@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): warm JVM (one untimed warmup per query set),
+median of 3 timed runs per query, session startup excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline subset — big-scan/join/window/dedup shapes that dominate runtime
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+]
+
+
+def main() -> None:
+    from quackspark.entry import queries
+    from quackspark.session import get_session
+
+    spark = get_session("quackspark-bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any later-registered headline ops
+    for extra in ("window_running_sum", "dedup_minhash_lsh", "ann_cosine_topk"):
+        if extra in qs and extra not in names:
+            names.append(extra)
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warmup (plan + JIT + page cache)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(runs), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+"""aggregates — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

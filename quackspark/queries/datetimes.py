@@ -1,0 +1,4 @@
+"""datetimes — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

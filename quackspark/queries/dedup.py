@@ -1,0 +1,4 @@
+"""dedup — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

@@ -1,0 +1,4 @@
+"""joins — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

@@ -1,0 +1,4 @@
+"""misc — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

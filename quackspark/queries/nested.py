@@ -1,0 +1,4 @@
+"""nested — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

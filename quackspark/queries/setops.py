@@ -1,0 +1,4 @@
+"""setops — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

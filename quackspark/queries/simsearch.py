@@ -1,0 +1,4 @@
+"""simsearch — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

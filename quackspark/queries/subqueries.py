@@ -1,0 +1,4 @@
+"""subqueries — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

@@ -1,0 +1,4 @@
+"""textops — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

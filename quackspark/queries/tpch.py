@@ -1,0 +1,200 @@
+"""TPC-H-shaped headline queries: scan → filter → join → agg → sort.
+
+Exercises the reference's core physical pipeline (TABLE_SCAN duckdb-4.cpp:6784,
+FILTER duckdb-3.cpp:12309, HASH_JOIN duckdb-3.cpp:14558, HASH_GROUP_BY
+duckdb-3.cpp:8480, ORDER_BY duckdb-4.cpp:559, TOP_N duckdb-4.cpp:840) as
+declarative DataFrame plans Catalyst compiles to the same shapes: pushed-down
+parquet scans, broadcast/shuffled hash joins, partial+final hash aggregation,
+TakeOrderedAndProject.
+
+Scale notes (100 TB posture): dimension tables (region/nation/supplier/part/
+customer) are broadcast explicitly so the only shuffles left are the
+aggregations; lineitem⋈orders is the one genuinely large shuffle and it is an
+equi-join on the natural key, which AQE can further skew-split. Money
+aggregates use the exact-decimal path (_util.dsum) so results are identical
+at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.queries._util import davg, dsum, load_table, o_davg, o_dsum
+
+def REVENUE() -> "F.Column":
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+O_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: big scan + filter + 8-agg groupBy. Flagship query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(REVENUE()).alias("sum_disc_price"),
+            dsum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: 3-way join + groupBy + top-n (TOP_N duckdb-4.cpp:840)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .filter(
+            (F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: 6-way star join through region→nation→{customer,supplier}."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (cust.c_nationkey == dims.n_nationkey) & (supp.s_nationkey == dims.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure scan+filter+global agg — the predicate-pushdown showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: join + groupBy many keys + top-n."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+}
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {o_dsum('l_quantity')}                          AS sum_qty,
+               {o_dsum('l_extendedprice')}                     AS sum_base_price,
+               {o_dsum(O_REVENUE)}                             AS sum_disc_price,
+               {o_dsum(O_REVENUE + ' * (1 + l_tax)')}          AS sum_charge,
+               {o_davg('l_quantity')}                          AS avg_qty,
+               {o_davg('l_extendedprice')}                     AS avg_price,
+               {o_davg('l_discount')}                          AS avg_disc,
+               count(*)                                        AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {o_dsum(O_REVENUE)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, {o_dsum(O_REVENUE)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {o_dsum(O_REVENUE)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+}

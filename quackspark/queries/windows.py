@@ -1,0 +1,4 @@
+"""windows — filled in during round 1."""
+
+QUERIES = {}
+ORACLES = {}

@@ -1,0 +1,104 @@
+"""Session & catalog layer.
+
+Mirrors the reference's ClientContext/config surface (duckdb-7.cpp:2453,
+settings at duckdb-7.cpp:8126-8130) as Spark session presets chosen for
+DuckDB-compatible semantics at scale:
+
+- UTC session timezone (DuckDB timestamps are TZ-naive UTC).
+- AQE on: runtime re-planning replaces the reference's cost-based join
+  order DP (duckdb-7.cpp:13981) at the physical layer; handles skew joins
+  and coalesces small shuffle partitions at 100 TB scale.
+- shuffle partitions sized to cores for local runs; a real cluster keeps
+  AQE's coalescing so an oversized initial number is harmless.
+- Arrow enabled so every Python-boundary crossing is vectorized.
+
+ANSI mode is intentionally OFF: DuckDB returns NULL on x/0 only under
+TRY, and errors on overflow; Spark's non-ANSI NULL-on-error semantics are
+closer to what the differential oracle tolerates, and individual queries
+opt into strictness with try_* / explicit casts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_session(app_name: str = "quackspark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the preset SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. On a real
+    cluster the master/memory settings come from spark-submit and these
+    local presets are inert.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = builder.master(f"local[{n}]").config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    Equivalent of the reference's TABLE_SCAN (duckdb-4.cpp:6784): Spark's
+    parquet source gives parallel row-group scans, predicate/projection
+    pushdown, and min/max row-group skipping — the same zone-map machinery
+    as duckdb-internal.hpp:3999-4002, inherited for free.
+    """
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_testdata_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (catalog layer).
+
+    Mirrors the reference catalog's named-table surface
+    (duckdb-6.cpp:14150-14176) on spark.catalog temp views.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
