@@ -1,4 +1,242 @@
-"""joins — filled in during round 1."""
+"""Join-type coverage (reference JoinType enum duckdb.hpp:13900-13912 and the
+join operators HASH_JOIN duckdb-3.cpp:14558, PIECEWISE_MERGE_JOIN
+duckdb-3.cpp:17261, IE_JOIN duckdb-3.cpp:15445, NESTED_LOOP / BLOCKWISE
+duckdb-3.cpp:16795/13965, CROSS_PRODUCT duckdb-3.cpp:14259, POSITIONAL_JOIN
+duckdb-4.cpp:16).
 
-QUERIES = {}
-ORACLES = {}
+Spark-first: equi joins are `df.join(..., how)` and Catalyst/AQE pick
+broadcast vs shuffled-hash vs sort-merge; inequality joins become
+BroadcastNestedLoopJoin when one side is small (hinted here), which is the
+right physical plan for the dim-sized inputs these target. At 100 TB a range
+join would get band-bucketing (see operators/asof.py); these queries keep the
+small side broadcast so no full cartesian shuffle ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quackspark.queries._util import dsum, load_table, o_dsum
+
+
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi join lineitem⋈part with a dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with an unmatched left side (filtered right) → NULL probes."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        )
+    )
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER — mirror of left; exercises the build/probe-side swap."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two disjoint-ish aggregates (both sides can dangle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    )
+    heavy_items = (
+        li.filter(F.col("l_quantity") >= 49)
+        .groupBy(F.col("l_orderkey").alias("lkey"))
+        .agg(F.count(F.lit(1)).alias("heavy_lines"))
+    )
+    return (
+        big_orders.join(heavy_items, big_orders.okey == heavy_items.lkey, "full")
+        .select(
+            F.coalesce("okey", "lkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "heavy_lines",
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS (reference SEMI join, duckdb.hpp:13905)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 430000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS (reference ANTI join, duckdb.hpp:13906)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 430000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_quiet_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS_PRODUCT (duckdb-3.cpp:14259) of two dims."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+def join_range_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single range predicate — reference plans PIECEWISE_MERGE_JOIN
+    (duckdb-4.cpp:9122); Spark picks BroadcastNestedLoopJoin for the
+    broadcast-sized build side."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        cust.join(
+            F.broadcast(supp),
+            (cust.c_acctbal > supp.s_acctbal - 5.0) & (cust.c_acctbal <= supp.s_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+def join_ie_two_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two inequality predicates — the IEJoin class (duckdb-3.cpp:15445)."""
+    s1 = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k1"), F.col("s_acctbal").alias("b1")
+    )
+    s2 = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("b2")
+    )
+    return (
+        s1.join(F.broadcast(s2), (F.col("b1") < F.col("b2")) & (F.col("k1") > F.col("k2")))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL join (duckdb-4.cpp:16): align two sorted relations row-by-row
+    via row_number — the distributed rewrite of physical row alignment."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    w_r = Window.orderBy("r_regionkey")
+    w_n = Window.orderBy("n_nationkey")
+    r = region.select(F.row_number().over(w_r).alias("pos"), "r_name")
+    n = nation.filter(F.col("n_nationkey") < 5).select(
+        F.row_number().over(w_n).alias("pos"), "n_name"
+    )
+    return r.join(n, "pos").select("pos", "r_name", "n_name").orderBy("pos")
+
+
+QUERIES = {
+    "join_inner_equi": join_inner_equi,
+    "join_left_outer": join_left_outer,
+    "join_right_outer": join_right_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_cross": join_cross,
+    "join_range_single": join_range_single,
+    "join_ie_two_ranges": join_ie_two_ranges,
+    "join_positional": join_positional,
+}
+
+ORACLES = {
+    "join_inner_equi": f"""
+        SELECT p_brand, count(*) AS n_items, {o_dsum('l_quantity')} AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, o_orderkey, coalesce(o_totalprice, 0.0) AS price_or_zero
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+          ON c_custkey = o.o_custkey
+    """,
+    "join_right_outer": """
+        SELECT c_nationkey, count(o_orderkey) AS n_big_orders, count(*) AS n_rows
+        FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        RIGHT JOIN customer ON o.o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "join_full_outer": """
+        WITH big_orders AS (
+          SELECT o_orderkey AS okey, o_totalprice FROM orders WHERE o_totalprice > 450000
+        ), heavy_items AS (
+          SELECT l_orderkey AS lkey, count(*) AS heavy_lines
+          FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey
+        )
+        SELECT coalesce(okey, lkey) AS orderkey, o_totalprice AS totalprice, heavy_lines
+        FROM big_orders FULL OUTER JOIN heavy_items ON okey = lkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 430000)
+    """,
+    "join_anti": """
+        SELECT c_nationkey, count(*) AS n_quiet_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 430000)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "join_cross": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+    """,
+    "join_range_single": """
+        SELECT s_suppkey, count(*) AS n_close_customers
+        FROM customer JOIN supplier
+          ON c_acctbal > s_acctbal - 5.0 AND c_acctbal <= s_acctbal
+        GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "join_ie_two_ranges": """
+        SELECT count(*) AS n_pairs
+        FROM (SELECT s_suppkey AS k1, s_acctbal AS b1 FROM supplier) s1
+        JOIN (SELECT s_suppkey AS k2, s_acctbal AS b2 FROM supplier) s2
+          ON b1 < b2 AND k1 > k2
+    """,
+    "join_positional": """
+        WITH r AS (SELECT row_number() OVER (ORDER BY r_regionkey) AS pos, r_name FROM region),
+             n AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS pos, n_name
+                   FROM nation WHERE n_nationkey < 5)
+        SELECT r.pos AS pos, r_name, n_name FROM r JOIN n USING (pos) ORDER BY pos
+    """,
+}

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md)
 TESTDATA_TABLES = (
@@ -58,6 +59,10 @@ def get_session(app_name: str = "quackspark", cpus: int | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS) (FIXTURES.md): read the raw
+        # int64 nanos and convert on load (load_table) — lossless, the data
+        # carries µs precision.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
     )
     active = SparkSession.getActiveSession()
@@ -82,8 +87,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet source gives parallel row-group scans, predicate/projection
     pushdown, and min/max row-group skipping — the same zone-map machinery
     as duckdb-internal.hpp:3999-4002, inherited for free.
+
+    ``events.ts`` arrives as int64 nanoseconds (legacy nanosAsLong read of
+    a TIMESTAMP(NANOS) column) and is normalized to TimestampType (µs) —
+    the reference normalizes TIMESTAMP_NS the same way (SURVEY.md §1.2).
     """
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_testdata_views(
@@ -98,7 +110,7 @@ def register_testdata_views(
     for name in TESTDATA_TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
