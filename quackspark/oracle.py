@@ -48,6 +48,8 @@ def _norm_cell(v):
         return bool(v)
     if isinstance(v, Decimal):
         return float(v)
+    if hasattr(v, "asDict"):  # pyspark Row (struct) — check before tuple:
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -58,8 +60,6 @@ def _norm_cell(v):
         return v.isoformat()
     if hasattr(v, "isoformat"):  # pandas Timestamp
         return _norm_cell(v.to_pydatetime()) if hasattr(v, "to_pydatetime") else v.isoformat()
-    if hasattr(v, "asDict"):  # pyspark Row (struct)
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     try:  # float('nan') inside object columns
         if isinstance(v, float) and math.isnan(v):
             return None
