@@ -176,11 +176,13 @@ def strip_accents(c: Column | str) -> Column:
 
 def bar(value: Column, vmin: float, vmax: float, width: int = 80) -> Column:
     """DuckDB `bar(x, min, max, width)` (duckdb-6.cpp:6014): unicode bar chart
-    string (full blocks; fractional blocks rendered as one partial via repeat)."""
+    string of full blocks, space-padded so the UTF-8 *byte* length reaches
+    `width` (each '█' is 3 bytes — matches the reference's byte-counting pad)."""
     frac = (value - vmin) / (vmax - vmin)
     frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
     nfull = F.floor(frac * width).cast("int")
-    return F.repeat(F.lit("█"), nfull)
+    pad = F.greatest(F.lit(width) - nfull * 3, F.lit(0)).cast("int")
+    return F.concat(F.repeat(F.lit("█"), nfull), F.repeat(F.lit(" "), pad))
 
 
 # ---------------------------------------------------------------------------
