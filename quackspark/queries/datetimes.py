@@ -1,4 +1,238 @@
-"""datetimes — filled in during round 1."""
+"""Date / time functions (reference registration duckdb-5.cpp:11399-11414;
+date_part named functions duckdb-5.cpp:8134-8200).
 
-QUERIES = {}
-ORACLES = {}
+Spark-first: everything here is built-in Column expressions (codegen'd,
+pushdown-friendly). The genuine gaps the reference fills natively are
+covered by compat helpers: `time_bucket` (epoch arithmetic), `isodow`
+(Spark dayofweek is Sun=1), and the C↔Java format translation in
+quackspark.functions.timefmt (strftime/strptime, duckdb-5.cpp:11408-11409).
+
+Semantics notes (SURVEY.md §7 hard parts):
+- DuckDB `dayofweek` is Sun=0..Sat=6 → Spark ``dayofweek() - 1``.
+- DuckDB `yearweek` is ISO year*100 + ISO week → ``extract(YEAROFWEEK)``.
+- DuckDB `date_diff('month', a, b)` counts month-boundary crossings →
+  ``(year(b)-year(a))*12 + (month(b)-month(a))``, not months_between.
+- events.ts is parquet timestamp[ns]: Spark truncates to µs — oracles cast
+  through TIMESTAMP (µs) on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.functions import compat
+from quackspark.functions.timefmt import strftime_spark, strptime_spark
+from quackspark.queries._util import dsum, load_table, o_dsum
+
+
+def dt_part_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_part named functions (duckdb-5.cpp:8134-8200): year..century."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        compat.isodow(d).alias("isodow"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("wk"),
+        (F.expr("extract(YEAROFWEEK FROM o_orderdate)") * 100 + F.weekofyear(d))
+        .cast("long")
+        .alias("yrwk"),
+        F.date_format(d, "MMMM").alias("moname"),
+        F.date_format(d, "EEEE").alias("dayname"),
+        F.last_day(d).alias("lastday"),
+        F.floor(F.year(d) / 10).cast("long").alias("decade"),
+        F.ceil(F.year(d) / 100).cast("long").alias("century"),
+        F.unix_timestamp(d).cast("double").alias("ep"),
+    )
+
+
+def dt_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc at year/quarter/month/week/day grain (duckdb-5.cpp:11402)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("year", d).alias("t_year"),
+        F.date_trunc("quarter", d).alias("t_quarter"),
+        F.date_trunc("month", d).alias("t_month"),
+        F.date_trunc("week", d).alias("t_week"),
+        F.date_trunc("day", d).alias("t_day"),
+    )
+
+
+def dt_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval +/- , date_diff day/month/year, date_add (duckdb-5.cpp:11400-11404)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    d = F.col("o_orderdate")
+    anchor = F.lit("1995-06-17").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
+        (d - F.expr("INTERVAL 2 HOURS")).alias("minus2h"),
+        F.add_months(d, 4).cast("timestamp").alias("plus4mo"),
+        F.datediff(d, anchor).cast("long").alias("dd_day"),
+        ((F.year(d) - F.lit(1995)) * 12 + F.month(d) - F.lit(6))
+        .cast("long")
+        .alias("dd_month"),
+        (F.year(d) - F.lit(1995)).cast("long").alias("dd_year"),
+        F.greatest(d, anchor).alias("later"),
+    )
+
+
+def dt_strftime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strftime / strptime with C-format translation (duckdb-5.cpp:11408-11409)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    d = F.col("o_orderdate")
+    iso = strftime_spark(d, "%Y-%m-%d %H:%M:%S")
+    return o.select(
+        "o_orderkey",
+        strftime_spark(d, "%Y-%m-%d").alias("ymd"),
+        strftime_spark(d, "%d/%m/%Y").alias("dmy"),
+        strftime_spark(d, "%A, %d %B %Y").alias("wordy"),
+        iso.alias("iso"),
+        strptime_spark(iso, "%Y-%m-%d %H:%M:%S").alias("rt"),
+    )
+
+
+def dt_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_date / make_timestamp constructors (duckdb-5.cpp:11406)."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.make_date(F.lit(2020) + k, (k % 12) + 1, (k % 28) + 1).alias("md"),
+        F.make_timestamp(
+            F.lit(2020), (k % 12) + 1, (k % 28) + 1, k % 24, k % 60, (k * 7 % 60).cast("double")
+        ).alias("mts"),
+    ).orderBy("n_nationkey")
+
+
+def dt_time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket(INTERVAL 15 MINUTE, ts) rollup over events
+    (duckdb-5.cpp:11411) — epoch arithmetic keeps it in codegen and the
+    groupBy shuffles on a low-cardinality bucket key: scales linearly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            compat.time_bucket(900, F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def dt_events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour/minute/second/millisecond/microsecond extraction on the ns-sourced
+    events table (µs-truncated on both engines)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.hour(ts).alias("hr"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("sec"),
+        (F.second(ts) * 1000).cast("long").alias("ms"),
+        F.unix_micros(ts).alias("micros"),
+    )
+
+
+QUERIES = {
+    "dt_part_family": dt_part_family,
+    "dt_trunc": dt_trunc,
+    "dt_arithmetic": dt_arithmetic,
+    "dt_strftime_roundtrip": dt_strftime_roundtrip,
+    "dt_make": dt_make,
+    "dt_time_bucket_events": dt_time_bucket_events,
+    "dt_events_hour_profile": dt_events_hour_profile,
+}
+
+ORACLES = {
+    "dt_part_family": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(dayofweek(o_orderdate) AS INT) AS dow,
+               CAST(isodow(o_orderdate) AS INT) AS isodow,
+               CAST(dayofyear(o_orderdate) AS INT) AS doy,
+               CAST(week(o_orderdate) AS INT) AS wk,
+               CAST(yearweek(o_orderdate) AS BIGINT) AS yrwk,
+               monthname(o_orderdate) AS moname,
+               dayname(o_orderdate) AS dayname,
+               last_day(CAST(o_orderdate AS DATE)) AS lastday,
+               CAST(decade(o_orderdate) AS BIGINT) AS decade,
+               CAST(century(o_orderdate) AS BIGINT) AS century,
+               epoch(o_orderdate) AS ep
+        FROM orders WHERE o_orderkey <= 5000
+    """,
+    "dt_trunc": """
+        SELECT o_orderkey,
+               CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS t_year,
+               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS t_quarter,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS t_month,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS t_week,
+               CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS t_day
+        FROM orders WHERE o_orderkey <= 5000
+    """,
+    "dt_arithmetic": """
+        SELECT o_orderkey,
+               o_orderdate + INTERVAL 3 DAY AS plus3d,
+               o_orderdate - INTERVAL 2 HOUR AS minus2h,
+               o_orderdate + INTERVAL 4 MONTH AS plus4mo,
+               CAST(date_diff('day', TIMESTAMP '1995-06-17', o_orderdate) AS BIGINT)
+                   AS dd_day,
+               CAST(date_diff('month', TIMESTAMP '1995-06-17', o_orderdate) AS BIGINT)
+                   AS dd_month,
+               CAST(date_diff('year', TIMESTAMP '1995-06-17', o_orderdate) AS BIGINT)
+                   AS dd_year,
+               greatest(o_orderdate, TIMESTAMP '1995-06-17') AS later
+        FROM orders WHERE o_orderkey <= 5000
+    """,
+    "dt_strftime_roundtrip": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+               strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+               strftime(o_orderdate, '%A, %d %B %Y') AS wordy,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+               strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                        '%Y-%m-%d %H:%M:%S') AS rt
+        FROM orders WHERE o_orderkey <= 5000
+    """,
+    "dt_make": """
+        SELECT n_nationkey,
+               make_date(2020 + n_nationkey, n_nationkey % 12 + 1,
+                         n_nationkey % 28 + 1) AS md,
+               make_timestamp(2020, n_nationkey % 12 + 1, n_nationkey % 28 + 1,
+                              n_nationkey % 24, n_nationkey % 60,
+                              n_nationkey * 7 % 60) AS mts
+        FROM nation ORDER BY n_nationkey
+    """,
+    "dt_time_bucket_events": f"""
+        SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket,
+               event_type,
+               count(*) AS n,
+               {o_dsum("value")} AS total
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dt_events_hour_profile": """
+        SELECT event_id,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+               CAST(minute(CAST(ts AS TIMESTAMP)) AS INT) AS mi,
+               CAST(floor(second(CAST(ts AS TIMESTAMP))) AS INT) AS sec,
+               CAST(floor(second(CAST(ts AS TIMESTAMP))) AS BIGINT) * 1000 AS ms,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS micros
+        FROM events WHERE event_id <= 2000
+    """,
+}
