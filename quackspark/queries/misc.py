@@ -1,4 +1,172 @@
-"""misc — filled in during round 1."""
+"""Generic / system operators (SURVEY.md §2.9 + scan/limit/sample rows of
+§2.1): VALUES expression scan, range/generate_series, LIMIT/OFFSET,
+least/greatest/coalesce/nullif/CASE/TRY_CAST, deterministic sampling,
+recursive CTE.
 
-QUERIES = {}
-ORACLES = {}
+Sampling note: the reference's RESERVOIR/BERNOULLI samples
+(duckdb-3.cpp:13038,13367) are nondeterministic across engines, so the
+oracle-diffable form here is *hash-keyed* sampling — md5 of a stable key,
+identical text→digest in both engines, uniform over keys. That is also the
+100 TB-correct pattern: a pushdown-friendly per-row predicate, no global
+sort, no driver round-trip, reproducible across reruns/retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.operators.recursive import recursive_cte
+from quackspark.queries._util import load_table
+
+
+def misc_values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES list (reference EXPRESSION_SCAN, duckdb.hpp:11946)."""
+    rows = [(1, "one", 1.5), (2, "two", None), (3, None, 3.5)]
+    return spark.createDataFrame(rows, "k int, name string, x double").orderBy("k")
+
+
+def misc_range_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range/generate_series table function (duckdb-6.cpp:9458) — native
+    spark.range: parallel, no data source, partitions by slice."""
+    return (
+        spark.range(0, 1000, 7)
+        .select(
+            F.col("id").alias("i"),
+            (F.col("id") * F.col("id") % 97).alias("sq_mod"),
+        )
+        .orderBy("i")
+    )
+
+
+def misc_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET over a total order (duckdb-3.cpp:12535). Spark `offset`
+    + `limit` compose into a single TakeOrderedAndProject — no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey"))
+        .offset(100)
+        .limit(25)
+    )
+
+
+def misc_generic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """least/greatest/coalesce/nullif/CASE/TRY_CAST (duckdb-5.cpp:12022-12032).
+    try_cast failures yield NULL in both engines (Spark try_cast ≡ TRY_CAST)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.least(bal, F.lit(0.0)).alias("lo"),
+        F.greatest(bal, F.lit(5000.0)).alias("hi"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("-")).alias(
+            "seg"
+        ),
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("big").alias("band"),
+        F.col("c_name").substr(F.lit(10), F.lit(8)).try_cast("int").alias("name_num"),
+        F.col("c_mktsegment").try_cast("int").alias("seg_num"),
+    )
+
+
+def misc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: keep rows whose md5(key) starts 0x0* / 0x1*
+    (16/256 buckets). Engine-portable stand-in for BERNOULLI sampling
+    (duckdb-3.cpp:13367) — per-row predicate, pushes down, no state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digest = F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")))
+    return (
+        li.filter(F.substring(digest, 1, 1).isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def misc_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE reachability over a synthetic DAG on nation keys
+    (edges k -> k+7, k -> k+11): driver-side fixpoint (operators/recursive.py,
+    reference duckdb-4.cpp:7608)."""
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        n.select(F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 7).alias("dst"))
+        .unionAll(
+            n.select(
+                F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 11).alias("dst")
+            )
+        )
+        .filter(F.col("dst") <= 24)
+    )
+    seed = spark.createDataFrame([(0, 0)], "node int, depth int")
+    edges_b = F.broadcast(edges)
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.join(edges_b, frontier.node == edges.src)
+            .select(F.col("dst").cast("int").alias("node"), (F.col("depth") + 1).alias("depth"))
+        )
+
+    reach = recursive_cte(seed, step)
+    return (
+        reach.groupBy("node").agg(F.min("depth").alias("depth")).orderBy("node")
+    )
+
+
+QUERIES = {
+    "misc_values_scan": misc_values_scan,
+    "misc_range_series": misc_range_series,
+    "misc_limit_offset": misc_limit_offset,
+    "misc_generic_funcs": misc_generic_funcs,
+    "misc_hash_sample": misc_hash_sample,
+    "misc_recursive_cte": misc_recursive_cte,
+}
+
+ORACLES = {
+    "misc_values_scan": """
+        SELECT * FROM (VALUES (1, 'one', 1.5), (2, 'two', NULL),
+                              (3, NULL, 3.5)) AS t(k, name, x)
+        ORDER BY k
+    """,
+    "misc_range_series": """
+        SELECT i, i * i % 97 AS sq_mod
+        FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1000, 7))
+        ORDER BY i
+    """,
+    "misc_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 25 OFFSET 100
+    """,
+    "misc_generic_funcs": """
+        SELECT c_custkey,
+               least(c_acctbal, 0.0) AS lo,
+               greatest(c_acctbal, 5000.0) AS hi,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), '-') AS seg,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'big' END AS band,
+               TRY_CAST(substring(c_name, 10, 8) AS INT) AS name_num,
+               TRY_CAST(c_mktsegment AS INT) AS seg_num
+        FROM customer WHERE c_custkey <= 500
+    """,
+    "misc_hash_sample": """
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 1) IN ('0', '1')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "misc_recursive_cte": """
+        WITH RECURSIVE edges AS (
+            SELECT n_nationkey AS src, n_nationkey + 7 AS dst FROM nation
+            UNION ALL
+            SELECT n_nationkey AS src, n_nationkey + 11 AS dst FROM nation
+        ), pruned AS (
+            SELECT * FROM edges WHERE dst <= 24
+        ), reach(node, depth) AS (
+            SELECT 0, 0
+            UNION
+            SELECT CAST(p.dst AS INT), r.depth + 1
+            FROM reach r JOIN pruned p ON r.node = p.src
+        )
+        SELECT node, min(depth) AS depth FROM reach GROUP BY node ORDER BY node
+    """,
+}
