@@ -1,0 +1,83 @@
+"""Text-analysis primitives for the training-data pipeline operators
+(language-ID, quality scoring, token counting, fingerprinting, shingling).
+
+These extend the reference's string/similarity surface (duckdb-6.cpp:
+5993-6040) with the document-scale ops a 100 TB corpus pipeline needs.
+Everything is built-in Column expressions / higher-order functions — no
+Python UDFs — so the whole pipeline stays inside whole-stage codegen and
+scales with executor count, not driver memory.
+
+Portability rule for the DuckDB differential oracle: only engine-agnostic
+primitives (split/lower/length/ascii/md5/arithmetic) — never engine hash()
+functions, whose values differ per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: modulus / multiplier of the rolling fingerprint (Rabin-Karp style)
+FP_MOD = 1_000_000_007
+FP_MULT = 131
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: array of non-empty tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word split: break on whitespace AND at letter/digit
+    boundaries (the regex pre-tokenizer shape GPT-2-style BPE uses).
+    Implemented as boundary-space insertion + whitespace split so the same
+    construction runs on RE2 (no lookaround) for the DuckDB oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    spaced = F.regexp_replace(
+        F.regexp_replace(c, "([a-z])([0-9])", "$1 $2"), "([0-9])([a-z])", "$1 $2"
+    )
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != "")
+
+
+def word_code(w: Column) -> Column:
+    """Portable per-token integer code: length*31 + first-char codepoint."""
+    return (F.length(w) * 31 + F.ascii(w)).cast("long")
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Rabin-Karp rolling hash over the token stream:
+    ``acc = (acc * 131 + code(tok)) mod 1e9+7`` — the document fingerprint."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * FP_MULT + word_code(w)) % FP_MOD,
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) — the dedup unit for MinHash/Jaccard.
+    Empty result when the document has fewer than k tokens."""
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Number of tokens that belong to `words` (lowercased exact match)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def char_class_count(text: Column | str, chars: str) -> Column:
+    """Occurrences of any character of `chars` (explicit class — identical
+    semantics in RE2/Java/DuckDB regex)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cls = "[" + chars.replace("\\", r"\\").replace("]", r"\]") + "]"
+    return F.length(c) - F.length(F.regexp_replace(c, cls, ""))

@@ -1,4 +1,242 @@
-"""textops — filled in during round 1."""
+"""Text analysis over the `documents` table — the training-data pipeline
+layer on top of the reference's string functions (duckdb-6.cpp:5993-6040):
+token counting, quality scoring, n-gram/stopword language-ID, rolling-hash
+fingerprinting.
 
-QUERIES = {}
-ORACLES = {}
+All pure Column expressions + higher-order functions (functions/text.py):
+per-row, shuffle-free until the final aggregate, pushdown-friendly — at
+100 TB this runs as a single map stage over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.functions import text as T
+from quackspark.queries._util import load_table
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "es": ["el", "la", "los", "y", "una"],
+}
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish sub-word tokens, distinct
+    tokens, mean token length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        F.size(toks).alias("n_tok"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_len"),
+    ).orderBy("doc_id")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation ratio, digit ratio,
+    type-token ratio → composite score in [0,1]."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    ntok = F.greatest(F.size(toks), F.lit(1))
+    nchar = F.greatest(F.length("text"), F.lit(1))
+    stop_ratio = T.stopword_hits(toks, _STOPWORDS["en"]) / ntok
+    punct_ratio = T.char_class_count(F.col("text"), ".,!?;:") / nchar
+    digit_ratio = T.char_class_count(F.col("text"), "0123456789") / nchar
+    ttr = F.size(F.array_distinct(toks)) / ntok
+    score = (
+        F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.25) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.25) * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
+        + F.lit(0.25) * ttr
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(score, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, argmax with
+    deterministic tie-break (en > de > fr > es > unknown)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    hits = {lang: T.stopword_hits(toks, words) for lang, words in _STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, "unknown")
+        .when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in _STOPWORDS],
+        guess.alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: Rabin-Karp rolling hash over the token
+    stream + md5 of the normalized text + min-token-digest (a 1-permutation
+    MinHash) — the exact-dup and near-dup keys used by the dedup operators."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    norm = F.concat_ws(" ", toks)
+    return d.select(
+        "doc_id",
+        T.rolling_hash(toks).alias("rk_fp"),
+        F.md5(norm).alias("md5_fp"),
+        F.array_min(F.transform(toks, F.md5)).alias("minhash1"),
+    ).orderBy("doc_id")
+
+
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling rollup: per (source, lang) doc counts, token totals,
+    mean quality inputs — the aggregation stage after the per-row map."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return (
+        d.select("source", "lang", F.size(toks).alias("ntok"), F.length("text").alias("nch"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ntok").alias("tokens"),
+            F.sum("nch").alias("chars"),
+            F.round(F.avg("ntok"), 6).alias("mean_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "text_source_profile": text_source_profile,
+}
+
+_SQL_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
+_SQL_TOKS_LOWER = (
+    r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')"
+)
+
+
+def _sql_hits(toks: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter({toks}, t -> list_contains([{lst}], lower(t))))"
+    )
+
+
+ORACLES = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS chars,
+               CAST(len({_SQL_TOKS}) AS INT) AS n_tok,
+               CAST(len(list_filter(string_split_regex(trim(
+                   regexp_replace(regexp_replace(text, '([a-z])([0-9])', '\\1 \\2', 'g'),
+                                  '([0-9])([a-z])', '\\1 \\2', 'g')),
+                   '\\s+'), t -> t != '')) AS INT) AS n_bpe,
+               CAST(len(list_distinct({_SQL_TOKS})) AS INT) AS n_uniq,
+               round(CAST(list_sum(list_transform({_SQL_TOKS}, t -> length(t)))
+                          AS DOUBLE)
+                     / greatest(len({_SQL_TOKS}), 1), 6) AS mean_len
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {_SQL_TOKS} AS toks,
+                   greatest(len({_SQL_TOKS}), 1) AS ntok,
+                   greatest(length(text), 1) AS nchar,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS npunct,
+                   length(text) - length(regexp_replace(text, '[0123456789]', '', 'g'))
+                       AS ndigit
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id,
+                   CAST({_sql_hits("toks", _STOPWORDS["en"])} AS DOUBLE) / ntok
+                       AS stop_ratio,
+                   CAST(npunct AS DOUBLE) / nchar AS punct_ratio,
+                   CAST(ndigit AS DOUBLE) / nchar AS digit_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / ntok AS ttr
+            FROM scored
+        )
+        SELECT doc_id,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(digit_ratio, 6) AS digit_ratio,
+               round(ttr, 6) AS ttr,
+               round(0.25 * least(stop_ratio * 5, 1.0)
+                     + 0.25 * (1 - least(punct_ratio * 10, 1.0))
+                     + 0.25 * (1 - least(digit_ratio * 10, 1.0))
+                     + 0.25 * ttr, 6) AS quality
+        FROM ratios ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   {_sql_hits(_SQL_TOKS_LOWER, _STOPWORDS["en"])} AS hits_en,
+                   {_sql_hits(_SQL_TOKS_LOWER, _STOPWORDS["de"])} AS hits_de,
+                   {_sql_hits(_SQL_TOKS_LOWER, _STOPWORDS["fr"])} AS hits_fr,
+                   {_sql_hits(_SQL_TOKS_LOWER, _STOPWORDS["es"])} AS hits_es
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(hits_en AS INT) AS hits_en,
+               CAST(hits_de AS INT) AS hits_de,
+               CAST(hits_fr AS INT) AS hits_fr,
+               CAST(hits_es AS INT) AS hits_es,
+               CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0
+                        THEN 'unknown'
+                    WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es)
+                        THEN 'en'
+                    WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es)
+                        THEN 'de'
+                    WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es)
+                        THEN 'fr'
+                    ELSE 'es' END AS lang_guess
+        FROM h ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_SQL_TOKS},
+                           t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS rk_fp,
+               md5(list_aggregate({_SQL_TOKS}, 'string_agg', ' ')) AS md5_fp,
+               list_min(list_transform({_SQL_TOKS}, t -> md5(t))) AS minhash1
+        FROM documents ORDER BY doc_id
+    """,
+    "text_source_profile": f"""
+        SELECT source, lang,
+               count(*) AS docs,
+               sum(CAST(len({_SQL_TOKS}) AS BIGINT)) AS tokens,
+               sum(CAST(length(text) AS BIGINT)) AS chars,
+               round(avg(CAST(len({_SQL_TOKS}) AS DOUBLE)), 6) AS mean_tokens
+        FROM documents
+        GROUP BY source, lang ORDER BY source, lang
+    """,
+}
