@@ -1,4 +1,164 @@
-"""dedup — filled in during round 1."""
+"""Deduplication queries over `documents` (operators/dedup.py): exact,
+n-gram Jaccard, MinHash+LSH, SimHash. Each has a full SQL oracle — the
+DuckDB side recomputes the same md5-derived hashes, so the differential
+check verifies the *operator semantics*, not just row counts.
+"""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.operators import dedup as D
+from quackspark.queries._util import load_table
+
+N_HASHES = 16
+BANDS = 8
+ROWS = N_HASHES // BANDS
+K = 3
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(d, "text", "doc_id")
+        .select("fp", "survivor", "dupes")
+        .orderBy("survivor")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", k=K, threshold=0.2).orderBy(
+        "d1", "d2"
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "text", "doc_id", k=K, n_hashes=N_HASHES, bands=BANDS, threshold=0.25
+    ).orderBy("d1", "d2")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_docs(d, "text", "doc_id").orderBy("doc")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+# --- oracle SQL builders (mirror the Spark constructions hash-for-hash) ---
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"
+_TOKS_LOWER = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
+
+
+def _sql_shingles(toks: str, k: int = K) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"(SELECT CASE WHEN len(t) < {k} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(t) - {k - 1}), i -> {parts}) "
+        f"END FROM (SELECT {toks} AS t) _sh)"
+    )
+
+
+def _sql_md5_int(expr: str, seed: int | None = None) -> str:
+    inner = f"'{seed}|' || {expr}" if seed is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+
+
+def _sql_signature(shingles: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_sql_md5_int('s', i)}))"
+        for i in range(N_HASHES)
+    )
+    return f"(SELECT [{mins}] FROM (SELECT {shingles} AS sh) _sig)"
+
+
+def _sql_band_keys() -> str:
+    keys = []
+    for b in range(BANDS):
+        vals = " || ',' || ".join(f"sig[{b * ROWS + r + 1}]" for r in range(ROWS))
+        keys.append(f"'{b}:' || {vals}")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _sql_simhash(toks: str) -> str:
+    codes = f"list_transform({toks}, t -> {_sql_md5_int('t')})"
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(codes, c -> "
+        f"CASE WHEN (c >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"(SELECT {bits} FROM (SELECT {codes} AS codes) _simh)"
+
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5(list_aggregate({_TOKS_LOWER}, 'string_agg', ' ')) AS fp,
+               min(doc_id) AS survivor,
+               count(*) AS dupes
+        FROM documents
+        GROUP BY 1 ORDER BY survivor
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct({_sql_shingles(_TOKS)})) AS s
+            FROM documents
+        ), sizes AS (
+            SELECT doc, count(*) AS nsh FROM sh GROUP BY doc
+        ), inter AS (
+            SELECT a.doc AS d1, b.doc AS d2, count(*) AS ninter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               round(CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = d1
+        JOIN sizes sb ON sb.doc = d2
+        WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.2
+        ORDER BY d1, d2
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sig AS (
+            SELECT doc_id AS doc,
+                   {_sql_signature(f"list_distinct({_sql_shingles(_TOKS)})")} AS sig
+            FROM documents
+        ), banded AS (
+            SELECT doc, sig, unnest({_sql_band_keys()}) AS band FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+                   a.sig AS sig1, b.sig AS sig2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc < b.doc
+        )
+        SELECT d1, d2,
+               round(CAST(len(list_filter(generate_series(1, {N_HASHES}),
+                                          i -> sig1[i] = sig2[i])) AS DOUBLE)
+                     / {N_HASHES}, 6) AS est_jaccard
+        FROM cand
+        WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+                                   i -> sig1[i] = sig2[i])) AS DOUBLE)
+              / {N_HASHES} >= 0.25
+        ORDER BY d1, d2
+    """,
+    "dedup_simhash": f"""
+        SELECT doc_id AS doc,
+               {_sql_simhash(_TOKS_LOWER)} AS simhash,
+               ({_sql_simhash(_TOKS_LOWER)} >> 0) & 255 AS band0,
+               ({_sql_simhash(_TOKS_LOWER)} >> 8) & 255 AS band1,
+               ({_sql_simhash(_TOKS_LOWER)} >> 16) & 255 AS band2,
+               ({_sql_simhash(_TOKS_LOWER)} >> 24) & 255 AS band3
+        FROM documents ORDER BY doc
+    """,
+}
