@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (`array<float>`): brute-force
+cosine top-k baseline + signed-random-projection (SRP) LSH scale path.
+
+Capability extension beyond the reference (its similarity surface is
+string-only: jaccard/levenshtein, duckdb-6.cpp:6020-6021); the vector ops
+follow the same blocking-then-verify shape as operators/dedup.py.
+
+Scale notes (100 TB posture):
+- cosine is a per-row zip_with/fold — pure codegen'd expressions, no UDF.
+- brute-force top-k broadcasts the (small) query set and shuffles only
+  (query, candidate-score) pairs; per-query ranking is a window over the
+  query key. At billion-row corpora, replace the final window with
+  per-partition heaps (mapInPandas) feeding a global top-k.
+- SRP-LSH: the sign matrix is a *constant literal* (md5-derived, engine
+  portable), so signatures are a map-side projection; candidates come from
+  an equi-join on 4-bit band keys — shuffle size is collision count, not
+  corpus x queries.
+- determinism: double-cast before multiply and left-fold addition in a
+  fixed element order → bit-identical results in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 16
+BAND_BITS = 4
+N_BANDS = N_PLANES // BAND_BITS
+
+
+def srp_signs(plane: int, dim: int = DIM) -> list[int]:
+    """Deterministic ±1 hyperplane components: parity of md5(f'{plane}|{i}').
+    Rademacher projections — same constants in any engine/language."""
+    return [
+        1 if int(hashlib.md5(f"{plane}|{i}".encode()).hexdigest()[:8], 16) & 1 else -1
+        for i in range(dim)
+    ]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product — element order fixed → deterministic."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def srp_signature(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
+    """n-bit SRP signature as a BIGINT: bit p = (vec · plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in srp_signs(p, dim)])
+        proj = dot(vec, signs)
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return sig
+
+
+def srp_band_keys(sig: Column) -> Column:
+    """Split the signature into 4-bit band keys 'band:value' for blocking."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.shiftright(sig, b * BAND_BITS).bitwiseAND(F.lit(2**BAND_BITS - 1)),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small side);
+    ties broken by candidate id for full determinism."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", "cos")
+    )
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing ≥1 SRP band with
+    the query, reranked by exact cosine. Shuffle is on band keys only."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(srp_band_keys(srp_signature(F.col(vec_col)))).alias("band"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(srp_band_keys(srp_signature(F.col(vec_col)))).alias("band"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, "band")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", "cos")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs via SRP band blocking,
+    verified by exact cosine ≥ threshold."""
+    e = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.explode(srp_band_keys(srp_signature(F.col(vec_col)))).alias("band"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.vec").alias("v1"),
+            F.col("b.vec").alias("v2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.select(
+            "d1", "d2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

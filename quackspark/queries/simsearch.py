@@ -1,4 +1,145 @@
-"""simsearch — filled in during round 1."""
+"""Similarity-search queries over `embeddings` (operators/simsearch.py):
+brute-force cosine top-k, SRP-LSH approximate top-k, embedding near-dup
+pairs. Oracles recompute the identical double-cast left-fold arithmetic
+and the identical md5-derived SRP sign constants, so the differential
+check verifies the scores bit-for-bit, not just shapes.
+"""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.operators import simsearch as S
+from quackspark.queries._util import load_table
+
+K = 5
+N_QUERIES = 5
+THRESHOLD = 0.45
+
+
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir)
+    return S.brute_force_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=K
+    ).orderBy("q_id", "rnk")
+
+
+def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir)
+    return S.srp_lsh_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=K
+    ).orderBy("q_id", "rnk")
+
+
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir)
+    return S.embedding_neardup_pairs(e, threshold=THRESHOLD).orderBy("d1", "d2")
+
+
+QUERIES = {
+    "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_srp_lsh_topk": sim_srp_lsh_topk,
+    "sim_embedding_neardup": sim_embedding_neardup,
+}
+
+# --- oracle SQL builders ---
+
+
+def _sql_dot(a: str, b: str, dim: int = S.DIM) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), 6)"
+    )
+
+
+def _sql_srp_sig(vec: str) -> str:
+    terms = []
+    for p in range(S.N_PLANES):
+        signs = "[" + ", ".join(str(s) for s in S.srp_signs(p)) + "]"
+        proj = _sql_dot(vec, signs)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_band_keys(sig: str) -> str:
+    keys = ", ".join(
+        f"'{b}:' || ((sig >> {b * S.BAND_BITS}) & {2**S.BAND_BITS - 1})"
+        for b in range(S.N_BANDS)
+    )
+    return f"(SELECT [{keys}] FROM (SELECT {sig} AS sig) _bk)"
+
+
+_SIG_CTE = f"""
+    sig AS (
+        SELECT vec_id, embedding, {_sql_srp_sig("embedding")} AS s
+        FROM embeddings
+    ), banded AS (
+        SELECT vec_id, embedding,
+               unnest({_sql_band_keys("s")}) AS band
+        FROM sig
+    )
+"""
+
+ORACLES = {
+    "sim_bruteforce_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   {_sql_cosine("q.embedding", "c.embedding")} AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, cos
+        FROM ranked WHERE rnk <= {K} ORDER BY q_id, rnk
+    """,
+    "sim_srp_lsh_topk": f"""
+        WITH {_SIG_CTE},
+        cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, q.embedding AS q_vec,
+                            c.vec_id AS c_id, c.embedding AS c_vec
+            FROM banded q JOIN banded c
+              ON q.band = c.band AND q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q_id, c_id, {_sql_cosine("q_vec", "c_vec")} AS cos
+            FROM cand
+        ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, cos
+        FROM ranked WHERE rnk <= {K} ORDER BY q_id, rnk
+    """,
+    "sim_embedding_neardup": f"""
+        WITH {_SIG_CTE},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS d1, a.embedding AS v1,
+                            b.vec_id AS d2, b.embedding AS v2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.vec_id < b.vec_id
+        )
+        SELECT d1, d2, {_sql_cosine("v1", "v2")} AS cos
+        FROM cand
+        WHERE {_sql_cosine("v1", "v2")} >= {THRESHOLD}
+        ORDER BY d1, d2
+    """,
+}
