@@ -27,6 +27,7 @@ def _modules():
         dedup,
         joins,
         misc,
+        multimodal,
         nested,
         setops,
         simsearch,
@@ -44,6 +45,7 @@ def _modules():
         windows,
         setops,
         nested,
+        multimodal,
         strings,
         datetimes,
         subqueries,
