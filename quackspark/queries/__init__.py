@@ -31,6 +31,7 @@ def _modules():
         nested,
         setops,
         simsearch,
+        streamwin,
         strings,
         subqueries,
         textops,
@@ -53,6 +54,7 @@ def _modules():
         dedup,
         textops,
         simsearch,
+        streamwin,
     ]
 
 

@@ -1,0 +1,88 @@
+"""Event-time window queries over `events`, batch mode (streaming/engine.py
+transformations run unchanged on batch DataFrames). Oracles: tumbling and
+sliding via time_bucket arithmetic; session windows via gaps-and-islands
+SQL (lag + running sum) — the classical batch formulation of what
+Structured Streaming's session_window computes incrementally.
+
+tests/test_streaming.py additionally runs the SAME transformations as real
+streams (availableNow → memory sink) and asserts stream == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quackspark.queries._util import load_table
+from quackspark.streaming import engine as E
+
+
+def sw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return E.tumbling_counts(ev).orderBy("w_start", "event_type")
+
+
+def sw_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return E.sliding_counts(ev).orderBy("w_start")
+
+
+def sw_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return E.session_windows(ev).orderBy("user_id", "s_start")
+
+
+QUERIES = {
+    "sw_tumbling": sw_tumbling,
+    "sw_sliding": sw_sliding,
+    "sw_session": sw_session,
+}
+
+ORACLES = {
+    "sw_tumbling": """
+        SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS w_start,
+               time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                   + INTERVAL 15 MINUTE AS w_end,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY w_start, event_type
+    """,
+    "sw_sliding": """
+        WITH starts AS (
+            SELECT unnest([
+                       time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+                           - INTERVAL 5 MINUTE
+                   ]) AS w_start
+            FROM events
+        )
+        SELECT w_start, count(*) AS n
+        FROM starts GROUP BY 1 ORDER BY w_start
+    """,
+    "sw_session": """
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - lag(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 5 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), tagged AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS s_start,
+               max(ts) + INTERVAL 5 MINUTE AS s_end,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM tagged
+        GROUP BY user_id, sess ORDER BY user_id, s_start
+    """,
+}

@@ -1,0 +1,189 @@
+"""Event-time streaming over the `events` table: tumbling / sliding /
+session windows with watermarks, plus a custom stateful operator via
+`applyInPandasWithState`.
+
+Correctness contract: every windowed transformation here is the *same
+logical plan* in batch and streaming mode — `F.window`/`F.session_window`
+work on both — so tests run the stream with `trigger(availableNow=True)`
+into a memory sink and assert equality with the batch result (and the
+batch result is separately oracle-checked against DuckDB gaps-and-islands
+SQL in queries/streamwin.py).
+
+Scale posture: watermark bounds state; the shuffle key is (window, key);
+`applyInPandasWithState` state is per-group and spills via the state
+store — nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: raw file schema — ts is int64 nanoseconds under the session's
+#: nanosAsLong parquet read (normalized to µs below, like session.load_table)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema must be explicit for
+    streaming sources; one file = one micro-batch under availableNow).
+
+    The file-stream source requires a *directory*, and the fixture is a
+    single file — stage a symlink directory (testdata stays read-only)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"qs_stream_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """15-minute tumbling windows per event_type."""
+    return (
+        events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event in 2 windows)."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap: session end =
+    last event + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+STATE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_TYPE = StructType(
+    [
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count / value sum / max — the streaming analog of the reference's
+    aggregate state update/combine (duckdb.hpp:19029-19036)."""
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen, vsum, vmax = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            seen += len(pdf)
+            vsum += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+        state.update((seen, vsum, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [seen],
+                "value_sum": [vsum],
+                "max_value": [vmax],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATE_OUTPUT,
+        stateStructType=_STATE_TYPE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming DataFrame with availableNow into a memory sink;
+    returns the materialized result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if not _is_update_only(stream_df) else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def _is_update_only(df: DataFrame) -> bool:
+    # applyInPandasWithState plans only support update mode
+    return "FlatMapGroupsInPandasWithState" in df._jdf.queryExecution().analyzed().toString()

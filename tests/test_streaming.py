@@ -1,0 +1,59 @@
+"""Structured Streaming equivalence: the same logical window
+transformations must produce identical results in batch mode and as a
+real stream (availableNow micro-batches → memory sink). This is the
+metamorphic-verifier idea of the reference (ClientContext::VerifyQuery,
+duckdb-7.cpp:2891-2990) applied across execution modes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quackspark.queries._util import load_table
+from quackspark.streaming import engine as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.mark.parametrize(
+    "name,transform,order",
+    [
+        ("t_tumbling", E.tumbling_counts, ["w_start", "event_type"]),
+        ("t_sliding", E.sliding_counts, ["w_start"]),
+        ("t_session", E.session_windows, ["user_id", "s_start"]),
+    ],
+)
+def test_stream_equals_batch(spark, name, transform, order):
+    batch = transform(load_table(spark, SF, "events"))
+    stream = transform(E.stream_events(spark, SF))
+    got = E.run_to_memory(stream, name)
+    assert _rows(got, order) == _rows(batch, order)
+
+
+def test_stateful_running_user_stats(spark):
+    stream = E.running_user_stats(E.stream_events(spark, SF))
+    got = E.run_to_memory(stream, "t_state")
+    # final state per user must equal the batch aggregate
+    import pyspark.sql.functions as F
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.sum("value").alias("value_sum"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    # memory sink in update mode keeps the last emit per key per batch;
+    # with availableNow single-batch input, that IS the final state.
+    g = {r["user_id"]: r for r in got.collect()}
+    for r in batch.collect():
+        s = g[r["user_id"]]
+        assert s["events_seen"] == r["events_seen"]
+        assert abs(s["value_sum"] - r["value_sum"]) < 1e-6
+        assert s["max_value"] == r["max_value"]
