@@ -1,0 +1,118 @@
+"""Sources/sinks roundtrips: COPY TO csv/parquet then read back with
+read_csv option parity, differential-checked against DuckDB reading the
+very same files (the §2.2 surface, verified like any other operator).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from quackspark.queries._util import load_table
+from quackspark.sources import copy_to, from_path, read_csv
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory(prefix="qs_sources_") as d:
+        yield d
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+def test_csv_roundtrip_with_options(spark, tmpdir):
+    nation = load_table(spark, SF, "nation")
+    path = os.path.join(tmpdir, "nation_csv")
+    copy_to(nation, path, format="csv", header=True, delim="|")
+    back = read_csv(
+        spark,
+        path,
+        columns={"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+        header=True,
+        delim="|",
+    )
+    assert _sorted_rows(back, "n_nationkey") == _sorted_rows(nation, "n_nationkey")
+
+
+def test_csv_duckdb_agrees(spark, tmpdir):
+    supp = load_table(spark, SF, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    path = os.path.join(tmpdir, "supp_csv")
+    copy_to(supp, path, format="csv", header=True)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(s_suppkey), round(sum(s_acctbal), 3) "
+        f"FROM read_csv_auto('{path}/*.csv')"
+    ).fetchone()
+    row = supp.agg(
+        F.count(F.lit(1)),
+        F.sum("s_suppkey"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)")).cast("double"), 3),
+    ).collect()[0]
+    assert got == tuple(row)
+
+
+def test_partitioned_parquet_prunes(spark, tmpdir):
+    orders = load_table(spark, SF, "orders")
+    path = os.path.join(tmpdir, "orders_part")
+    copy_to(
+        orders.withColumn("status", F.col("o_orderstatus")),
+        path,
+        format="parquet",
+        partition_by=["status"],
+    )
+    back = spark.read.parquet(path).filter(F.col("status") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan, plan[:500]
+    expect = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expect
+
+
+def test_compressed_csv(spark, tmpdir):
+    region = load_table(spark, SF, "region")
+    path = os.path.join(tmpdir, "region_gz")
+    copy_to(region, path, format="csv", compression="gzip")
+    back = read_csv(
+        spark, path, columns={"r_regionkey": "int", "r_name": "string"}, header=True
+    )
+    assert back.count() == region.count()
+
+
+def test_timestampformat_translation(spark, tmpdir):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate").limit(50)
+    path = os.path.join(tmpdir, "orders_fmt")
+    copy_to(
+        orders.withColumn(
+            "o_orderdate", F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss")
+        ),
+        path,
+        format="csv",
+    )
+    back = read_csv(
+        spark,
+        path,
+        columns={"o_orderkey": "bigint", "o_orderdate": "timestamp"},
+        header=True,
+        timestampformat="%d/%m/%Y %H:%M:%S",
+    )
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+
+
+def test_replacement_scan_dispatch(spark, tmpdir):
+    nation = load_table(spark, SF, "nation")
+    csv_path = os.path.join(tmpdir, "rs_nation_csv")
+    copy_to(nation, csv_path, format="csv")
+    got = from_path(
+        spark,
+        f"{csv_path}/*.csv",
+        columns={"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    )
+    assert got.count() == 25
+    pq = from_path(spark, f"{SF}/nation.parquet")
+    assert pq.count() == 25
