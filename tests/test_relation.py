@@ -1,0 +1,109 @@
+"""Relation API differential tests: the same relational-algebra pipeline
+built through our Relation mirror and through DuckDB's own relational API
+(the reference entry point C, duckdb-7.cpp:3468-3561) must agree.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from quackspark.relation import Connection
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, SF)
+    return Connection(spark)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    d = duckdb.connect()
+    for t in ["nation", "region", "customer", "orders", "supplier"]:
+        d.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return d
+
+
+def test_project_filter_order(con, duck):
+    got = (
+        con.table("nation")
+        .filter("n_regionkey = 2")
+        .project("n_nationkey", "upper(n_name) AS nm")
+        .order("n_nationkey")
+        .fetchall()
+    )
+    exp = (
+        duck.table("nation")
+        .filter("n_regionkey = 2")
+        .project("n_nationkey, upper(n_name) AS nm")
+        .order("n_nationkey")
+        .fetchall()
+    )
+    assert got == exp
+
+
+def test_join_aggregate(con, duck):
+    got = (
+        con.table("nation")
+        .set_alias("n")
+        .join(con.table("region").set_alias("r"), "n.n_regionkey = r.r_regionkey")
+        .aggregate(["count(*) AS cnt"], ["r_name"])
+        .order("r_name")
+        .fetchall()
+    )
+    exp = duck.sql(
+        "SELECT r_name, count(*) AS cnt FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in exp]
+
+
+def test_setops_distinct_limit(con, duck):
+    a = con.table("nation").project("n_regionkey")
+    b = con.table("region").project("r_regionkey")
+    got = sorted(a.intersect(b).fetchall())
+    exp = sorted(
+        duck.sql(
+            "SELECT n_regionkey FROM nation INTERSECT SELECT r_regionkey FROM region"
+        ).fetchall()
+    )
+    assert got == exp
+    assert a.distinct().count() == 5
+    assert a.limit(3, offset=2).count() == 3
+
+
+def test_union_except(con, duck):
+    a = con.table("nation").project("n_regionkey AS k")
+    b = con.values([(0,), (1,), (99,)], "k int")
+    assert a.union(b).count() == 28
+    assert sorted(b.except_(a.distinct()).fetchall()) == [(99,)]
+
+
+def test_values_from_query_range(con):
+    v = con.values([(1, "a"), (2, "b")], "k int, s string")
+    assert v.fetchall() == [(1, "a"), (2, "b")]
+    q = con.from_query("SELECT 40 + 2 AS answer")
+    assert q.fetchall() == [(42,)]
+    r = con.table_function("range", 0, 10, 3)
+    assert r.count() == 4
+
+
+def test_read_parquet_pipeline(con, duck):
+    got = (
+        con.read_parquet(f"{SF}/orders.parquet")
+        .filter("o_totalprice > 300000")
+        .aggregate(["count(*) AS n"])
+        .fetchall()
+    )
+    exp = duck.sql(
+        f"SELECT count(*) FROM '{SF}/orders.parquet' WHERE o_totalprice > 300000"
+    ).fetchall()
+    assert got[0][0] == exp[0][0]
