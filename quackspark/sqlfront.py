@@ -1,0 +1,345 @@
+"""Light DuckDB-dialect → Spark SQL transpiler (entry point A of the
+reference, duckdb-7.cpp:3375 → Parser → Binder; SURVEY.md §3.1).
+
+No general SQL parser ships in this container, so this is a deliberately
+bounded token-level rewriter covering the dialect gaps that actually
+differ (§2 mapping tables). Spark 4 already accepts much of the dialect
+natively (`::` casts, ILIKE, QUALIFY-less windows, lambdas); what we
+rewrite:
+
+- function renames + arg-order fixes (string_split→split, list_*→array
+  HOFs, strftime/strptime with C→Java format-literal translation, epoch,
+  regexp_matches→RLIKE, …)
+- `expr GLOB 'pat'` → `expr RLIKE '<anchored regex>'`
+- `//` integer division → `div`
+- `SELECT DISTINCT ON (k…) … ORDER BY …` → row_number window rewrite
+- `QUALIFY pred` → wrapped subquery filter
+- replacement scans: `FROM 'file.csv'` → temp view over sources.from_path
+
+Unsupported constructs raise `UnsupportedSQL` rather than silently
+mis-translating — same posture as the reference's binder errors.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quackspark.functions.compat import glob_to_regex
+from quackspark.functions.timefmt import translate_format
+
+
+class UnsupportedSQL(ValueError):
+    pass
+
+
+# --- tokenizer -------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+    '(?:[^']|'')*'            # single-quoted string
+  | "(?:[^"]|"")*"            # double-quoted identifier
+  | --[^\n]*                  # line comment
+  | /\*.*?\*/                 # block comment
+  | [A-Za-z_][A-Za-z0-9_]*    # identifier / keyword
+  | \d+(?:\.\d*)?             # number
+  | ::|//|<=|>=|<>|!=|\|\||-> # multi-char operators
+  | .                         # any single char
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokens(sql: str) -> list[str]:
+    return [t for t in _TOKEN.findall(sql) if t.strip()]
+
+
+def _is_string(tok: str) -> bool:
+    return tok.startswith("'")
+
+
+def _str_val(tok: str) -> str:
+    return tok[1:-1].replace("''", "'")
+
+
+def _quote(val: str) -> str:
+    return "'" + val.replace("'", "''") + "'"
+
+
+def _find_call_end(toks: list[str], open_idx: int) -> int:
+    """Index of the ')' matching toks[open_idx] == '('."""
+    depth = 0
+    for j in range(open_idx, len(toks)):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise UnsupportedSQL("unbalanced parentheses")
+
+
+def _split_args(toks: list[str]) -> list[list[str]]:
+    """Split the token span inside a call into top-level comma args."""
+    args: list[list[str]] = [[]]
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append([])
+        else:
+            args[-1].append(t)
+    return [a for a in args if a]
+
+
+# --- rewrite passes --------------------------------------------------------
+
+#: plain function renames (same arity/arg order)
+_RENAMES = {
+    "string_split": "split",
+    "string_split_regex": "split",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_contains": "array_contains",
+    "list_position": "array_position",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_sum": "aggregate_sum_placeholder",  # handled specially below
+    "len": "size",
+    "list_concat": "concat",
+    "list_prepend": "array_prepend",
+    "list_append": "array_append",
+    "array_length": "size",
+    "regexp_full_match": "rlike_full_placeholder",  # handled specially
+    "mismatches": "hamming_placeholder",
+    "ucase": "upper",
+    "lcase": "lower",
+    "instr": "instr",
+    "strpos": "instr",
+    "nfc_normalize": "nfc_placeholder",
+    "to_timestamp": "timestamp_seconds",  # duckdb to_timestamp(double epoch)
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+    "list_value": "array",
+    "list_pack": "array",
+    "struct_pack": "named_struct_placeholder",
+    "printf": "format_string",
+    "monthname": "monthname_placeholder",
+    "dayname": "dayname_placeholder",
+}
+
+
+def _rewrite_calls(toks: list[str]) -> list[str]:
+    """Single pass over function calls (innermost handled by recursion)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower()
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt == "(" and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            end = _find_call_end(toks, i + 1)
+            inner = _rewrite_calls(toks[i + 2 : end])
+            args = _split_args(inner)
+            out.extend(_emit_call(low, t, args))
+            i = end + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
+    def j(arg: list[str]) -> str:
+        return " ".join(arg)
+
+    if low in ("strftime", "date_format"):
+        # strftime(ts, '%Y-%m-%d') — translate C directives if present
+        if len(args) == 2 and _is_string(args[1][0]) and "%" in args[1][0]:
+            fmt = _quote(translate_format(_str_val(args[1][0])))
+            return _tokens(f"date_format({j(args[0])}, {fmt})")
+        return _tokens(f"date_format({j(args[0])}, {j(args[1])})")
+    if low == "strptime":
+        fmt = args[1][0]
+        if _is_string(fmt) and "%" in fmt:
+            fmt = _quote(translate_format(_str_val(fmt)))
+        return _tokens(f"to_timestamp({j(args[0])}, {fmt})")
+    if low == "regexp_matches":
+        return _tokens(f"({j(args[0])} RLIKE {j(args[1])})")
+    if low == "regexp_full_match":
+        if _is_string(args[1][0]):
+            pat = _quote("^(?:" + _str_val(args[1][0]) + ")$")
+            return _tokens(f"({j(args[0])} RLIKE {pat})")
+        raise UnsupportedSQL("regexp_full_match with non-literal pattern")
+    if low == "epoch":
+        return _tokens(f"CAST(unix_timestamp({j(args[0])}) AS DOUBLE)")
+    if low == "list_sum":
+        return _tokens(
+            f"aggregate({j(args[0])}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    if low == "list_aggregate":
+        if len(args) == 2 and _is_string(args[1][0]):
+            fn = _str_val(args[1][0]).lower()
+            if fn in ("sum",):
+                return _emit_call("list_sum", original, [args[0]])
+            if fn in ("min",):
+                return _tokens(f"array_min({j(args[0])})")
+            if fn in ("max",):
+                return _tokens(f"array_max({j(args[0])})")
+            if fn == "string_agg" and len(args) >= 2:
+                return _tokens(f"array_join({j(args[0])}, ' ')")
+        raise UnsupportedSQL(f"list_aggregate form not supported: {args}")
+    if low == "struct_pack":
+        # struct_pack(a := expr, b := expr2) → named_struct('a', expr, ...)
+        parts = []
+        for a in args:
+            if len(a) >= 3 and a[1] == ":" and a[2] == "=":
+                parts.append(f"'{a[0]}', {' '.join(a[3:])}")
+            elif len(a) >= 2 and a[1] == ":=":
+                parts.append(f"'{a[0]}', {' '.join(a[2:])}")
+            else:
+                raise UnsupportedSQL("struct_pack needs name := expr")
+        return _tokens(f"named_struct({', '.join(parts)})")
+    if low == "list_extract":
+        return _tokens(f"element_at({j(args[0])}, {j(args[1])})")
+    if low == "monthname":
+        return _tokens(f"date_format({j(args[0])}, 'MMMM')")
+    if low == "dayname":
+        return _tokens(f"date_format({j(args[0])}, 'EEEE')")
+    if low == "mismatches":
+        a, b = j(args[0]), j(args[1])
+        return _tokens(
+            f"size(filter(zip_with(split({a}, ''), split({b}, ''),"
+            f" (x, y) -> x != y), m -> m))"
+        )
+    if low in _RENAMES and not _RENAMES[low].endswith("_placeholder"):
+        name = _RENAMES[low]
+        inner = ", ".join(j(a) for a in args)
+        return _tokens(f"{name}({inner})")
+    # default: passthrough untouched
+    inner = ", ".join(j(a) for a in args)
+    return _tokens(f"{original}({inner})")
+
+
+def _rewrite_glob(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            toks[i].lower() == "glob"
+            and i + 1 < len(toks)
+            and _is_string(toks[i + 1])
+            and out
+        ):
+            out.append("RLIKE")
+            out.append(_quote(glob_to_regex(_str_val(toks[i + 1]))))
+            i += 2
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _rewrite_intdiv(toks: list[str]) -> list[str]:
+    return ["div" if t == "//" else t for t in toks]
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    toks = _tokens(sql)
+    # locate DISTINCT ON ( ... )
+    for i in range(len(toks) - 2):
+        if (
+            toks[i].lower() == "distinct"
+            and toks[i + 1].lower() == "on"
+            and toks[i + 2] == "("
+        ):
+            end = _find_call_end(toks, i + 2)
+            keys = " ".join(toks[i + 3 : end])
+            rest = toks[end + 1 :]
+            head = toks[: i]  # ... SELECT
+            # split rest at top-level ORDER BY
+            order = None
+            depth = 0
+            for k in range(len(rest) - 1):
+                if rest[k] == "(":
+                    depth += 1
+                elif rest[k] == ")":
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and rest[k].lower() == "order"
+                    and rest[k + 1].lower() == "by"
+                ):
+                    order = " ".join(rest[k + 2 :])
+                    rest = rest[:k]
+                    break
+            body = " ".join(rest)
+            ord_clause = order if order else keys
+            # body is "cols FROM tbl WHERE ..." — reconstruct directly:
+            return (
+                f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY {keys} ORDER BY {ord_clause}) AS __rn "
+                f"FROM (SELECT {body}) __d) WHERE __rn = 1"
+            )
+    return sql
+
+
+def _rewrite_qualify(sql: str) -> str:
+    m = re.search(r"\bQUALIFY\b", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    toks = _tokens(sql)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "qualify":
+            pred = " ".join(toks[i + 1 :])
+            body = " ".join(toks[:i])
+            return f"SELECT * FROM ({body}) __q WHERE {pred}"
+    return sql
+
+
+_PATH_SCAN = re.compile(r"\bFROM\s+'([^']+\.(?:csv|csv\.gz|tsv|parquet|parq|json))'", re.IGNORECASE)
+
+
+def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
+    def sub(m: re.Match) -> str:
+        path = m.group(1)
+        if spark is None:
+            raise UnsupportedSQL("replacement scan needs a SparkSession")
+        from quackspark.sources import from_path
+
+        view = "qs_scan_" + re.sub(r"[^A-Za-z0-9]", "_", path)[-60:]
+        from_path(spark, path).createOrReplaceTempView(view)
+        return f"FROM {view}"
+
+    return _PATH_SCAN.sub(sub, sql)
+
+
+def transpile(sql: str, spark: SparkSession | None = None) -> str:
+    """DuckDB-dialect SQL → Spark SQL text."""
+    sql = _rewrite_replacement_scans(sql, spark)
+    sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_qualify(sql)
+    toks = _tokens(sql)
+    toks = _rewrite_intdiv(toks)
+    toks = _rewrite_glob(toks)
+    toks = _rewrite_calls(toks)
+    return " ".join(toks)
+
+
+def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
+    """Entry point A: run DuckDB-dialect SQL on Spark."""
+    return spark.sql(transpile(duckdb_sql, spark))

@@ -1,0 +1,99 @@
+"""SQL frontend differential tests: DuckDB-dialect SQL through
+transpile()+spark.sql must agree with DuckDB executing the original text.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from quackspark import sqlfront
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    d = duckdb.connect()
+    for t in ["nation", "region", "customer", "orders", "part"]:
+        d.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, SF)
+
+
+CASES = [
+    # function renames + list fns
+    "SELECT n_nationkey, len(string_split(n_name, 'A')) AS parts "
+    "FROM nation ORDER BY n_nationkey",
+    # strftime C-format translation
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d "
+    "FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+    # GLOB operator
+    "SELECT p_partkey FROM part WHERE p_name GLOB '*green*' ORDER BY p_partkey",
+    # integer division
+    "SELECT n_nationkey, n_nationkey // 3 AS grp FROM nation ORDER BY n_nationkey",
+    # regexp_matches / full match
+    "SELECT p_partkey FROM part "
+    "WHERE regexp_matches(p_name, '^[a-c]') ORDER BY p_partkey",
+    # list HOFs
+    "SELECT n_nationkey, "
+    "list_transform(string_split(n_name, ''), x -> lower(x)) AS letters "
+    "FROM nation ORDER BY n_nationkey",
+    # epoch
+    "SELECT o_orderkey, epoch(o_orderdate) AS ep FROM orders "
+    "WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+    # monthname/dayname
+    "SELECT o_orderkey, monthname(o_orderdate) AS mn, dayname(o_orderdate) AS dn "
+    "FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+]
+
+
+@pytest.mark.parametrize("q", CASES, ids=range(len(CASES)))
+def test_transpiled_matches_duckdb(spark, duck, q):
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp, f"\nsql: {q}\nspark: {got[:3]}\nduck:  {exp[:3]}"
+
+
+def test_distinct_on(spark, duck):
+    q = (
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name"
+    )
+    got = sorted(tuple(r) for r in sqlfront.sql(spark, q).collect())
+    exp = sorted(duck.sql(q).fetchall())
+    assert got == exp
+
+
+def test_qualify(spark, duck):
+    q = (
+        "SELECT n_regionkey, n_name, "
+        "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rn "
+        "FROM nation QUALIFY rn <= 2"
+    )
+    got = sorted(tuple(r) for r in sqlfront.sql(spark, q).collect())
+    exp = sorted(duck.sql(q).fetchall())
+    assert got == exp
+
+
+def test_replacement_scan(spark, duck):
+    q = f"SELECT count(*) AS n FROM '{SF}/nation.parquet'"
+    got = sqlfront.sql(spark, q).collect()[0][0]
+    assert got == 25
+
+
+def test_struct_pack(spark, duck):
+    q = "SELECT struct_pack(a := 1, b := 'x') AS s"
+    got = sqlfront.sql(spark, q).collect()[0][0]
+    assert got.asDict() == {"a": 1, "b": "x"}
+
+
+def test_unsupported_raises(spark):
+    with pytest.raises(sqlfront.UnsupportedSQL):
+        sqlfront.transpile("SELECT list_aggregate([1], 'median')")
