@@ -38,7 +38,7 @@ def main() -> None:
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
     # extend with any later-registered headline ops
-    for extra in ("window_running_sum", "dedup_minhash_lsh", "ann_cosine_topk"):
+    for extra in ("window_running_sum", "dedup_minhash_lsh", "sim_bruteforce_topk", "sw_session"):
         if extra in qs and extra not in names:
             names.append(extra)
 

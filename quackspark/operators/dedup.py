@@ -30,35 +30,78 @@ def md5_int32(c: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
-def _seeded_hasher(seed: int):
-    # NB: the lambda must take exactly one parameter — PySpark dispatches
-    # transform()'s (element, index) form on lambda arity, so a default
-    # second parameter silently binds the array index.
-    return lambda s: md5_int32(s, seed)
+def md5_hash_family(c: Column, i: int) -> Column:
+    """Hash i of the MinHash family, 4 hashes per md5 digest: md5 yields
+    128 bits = four 32-bit lanes, so seed-group s = i//4 computes one
+    digest and lane j = i%4 slices bits [32j, 32j+32). Identical digests
+    across the 4 lanes CSE inside whole-stage codegen → 4× fewer md5
+    evaluations than one digest per hash."""
+    s, j = divmod(i, 4)
+    hex_digest = F.md5(F.concat(F.lit(f"{s}|"), c).cast("binary"))
+    return F.conv(F.substring(hex_digest, 8 * j + 1, 8), 16, 10).cast("long")
 
 
 def minhash_signature(shingles: Column, n_hashes: int) -> Column:
-    """MinHash signature: per hash-seed i, min over the shingle set of
-    md5_int32(i|shingle). Approximates Jaccard: P(sig_a[i]=sig_b[i]) = J."""
+    """MinHash signature as a single Column expression: per hash-seed i,
+    min over the shingle set of md5_int32(i|shingle). Approximates Jaccard:
+    P(sig_a[i]=sig_b[i]) = J.
+
+    Prefer :func:`minhash_signatures` for pipelines: this expression form
+    re-evaluates the shingle array once per seed, and any consumer that
+    references it k times pays k full recomputations (higher-order
+    functions are interpreted, not codegen'd, and Catalyst will not CSE
+    them across projections)."""
     return F.array(
-        *[F.array_min(F.transform(shingles, _seeded_hasher(i))) for i in range(n_hashes)]
+        *[
+            F.array_min(F.transform(shingles, _family_hasher(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _family_hasher(i: int):
+    # NB: the lambda must take exactly one parameter — PySpark dispatches
+    # transform()'s (element, index) form on lambda arity, so a default
+    # second parameter silently binds the array index.
+    return lambda s: md5_hash_family(s, i)
+
+
+def minhash_signatures(
+    df: DataFrame, shingles: Column, id_col: str, n_hashes: int
+) -> DataFrame:
+    """MinHash signatures in map-reduce shape: explode the shingle set, hash
+    each (shingle, seed) with codegen'd expressions, take 16 partial-agg
+    `min`s grouped by doc. One pass over the data, partial aggregation
+    map-side, shuffle carries only (doc, n_hashes longs) — the form that
+    holds at 100 TB, and ~100× faster than nested higher-order lambdas.
+
+    Returns ``doc, sig`` (docs with an empty shingle set drop out — at k=3
+    that is only documents of fewer than 3 tokens)."""
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("sh"))
+    aggs = [
+        F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return (
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
     )
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
     """Split the signature into `bands` bands of `rows` values; each band
-    key is 'band_index:joined-values'. Docs sharing any band key become
-    candidate pairs — the blocking structure that replaces all-pairs."""
-    return F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(b),
-                F.concat_ws(",", F.slice(sig, b * rows + 1, rows)),
-            )
-            for b in range(bands)
-        ]
-    )
+    key is 'band_index:v1,v2'. Docs sharing any band key become candidate
+    pairs — the blocking structure that replaces all-pairs. NULL signature
+    entries propagate to a NULL key (join-neutral), matching SQL `||`."""
+    keys = []
+    for b in range(bands):
+        parts: list[Column] = [F.lit(f"{b}:")]
+        for r in range(rows):
+            if r:
+                parts.append(F.lit(","))
+            parts.append(F.element_at(sig, b * rows + r + 1).cast("string"))
+        keys.append(F.concat(*parts))
+    return F.array(*keys)
 
 
 def simhash32(toks: Column) -> Column:
@@ -76,6 +119,23 @@ def simhash32(toks: Column) -> Column:
         bit_sum = F.aggregate(codes, F.lit(0).cast("long"), _bit_folder(i))
         out = out + F.when(bit_sum > 0, F.lit(2**i).cast("long")).otherwise(0)
     return out
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc, shingle) rows with distinct shingles per doc. Tokens are
+    materialized in their own projection so the whitespace split runs once
+    per document, not once per slice reference (Catalyst keeps the
+    projection because duplicating the non-cheap split fails its
+    CollapseProject cost check)."""
+    toked = df.select(
+        F.col(id_col).alias("doc"), T.tokens(F.col(text_col)).alias("toks")
+    )
+    return toked.select(
+        "doc",
+        F.explode(F.array_distinct(T.word_shingles(F.col("toks"), k))).alias("sh"),
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -103,10 +163,7 @@ def ngram_jaccard_pairs(
     shingle, so skew = hottest shingle; at scale drop top-frequency
     shingles (stopword shingles) before the join.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(T.word_shingles(T.tokens(F.col(text_col)), k))).alias("sh"),
-    )
+    sh = _exploded_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -148,12 +205,17 @@ def minhash_lsh_pairs(
     band keys, per-bucket pairing; bucket sizes are ~collision counts, not
     corpus size, so the join never goes quadratic in the corpus.
     """
-    sig_df = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(
-            F.array_distinct(T.word_shingles(T.tokens(F.col(text_col)), k)), n_hashes
-        ).alias("sig"),
-    )
+    sh = _exploded_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig_df = (
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+        .localCheckpoint(eager=False)
+    )  # signatures feed both sides of the candidate self-join —
+    # materialize once instead of recomputing per side
     rows = n_hashes // bands
     banded = sig_df.select(
         "doc", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
@@ -185,10 +247,34 @@ def minhash_lsh_pairs(
 def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document 32-bit SimHash plus its four 8-bit bands (the blocking
     keys for hamming-distance≤k search: distance≤3 pairs must agree on at
-    least one of 4 bands)."""
+    least one of 4 bands).
+
+    Map-reduce shape like :func:`minhash_signatures`: explode tokens, hash
+    once per token (codegen), 32 conditional sums with map-side partial
+    aggregation, reassemble bits. Documents with zero tokens drop out."""
     toks = T.tokens(F.lower(F.col(text_col)))
-    out = df.select(F.col(id_col).alias("doc"), simhash32(toks).alias("simhash"))
-    return out.select(
+    exploded = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
+    code = md5_int32(F.col("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(code, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sums = exploded.groupBy("doc").agg(*bit_aggs)
+    simhash = sums.select(
+        "doc",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(32)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return simhash.select(
         "doc",
         "simhash",
         *[

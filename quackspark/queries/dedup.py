@@ -73,9 +73,15 @@ def _sql_md5_int(expr: str, seed: int | None = None) -> str:
     return f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
 
 
+def _sql_hash_family(expr: str, i: int) -> str:
+    """Mirror of operators.dedup.md5_hash_family: 4 lanes per digest."""
+    s, j = divmod(i, 4)
+    return f"('0x' || substr(md5('{s}|' || {expr}), {8 * j + 1}, 8))::BIGINT"
+
+
 def _sql_signature(shingles: str) -> str:
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> {_sql_md5_int('s', i)}))"
+        f"list_min(list_transform(sh, s -> {_sql_hash_family('s', i)}))"
         for i in range(N_HASHES)
     )
     return f"(SELECT [{mins}] FROM (SELECT {shingles} AS sh) _sig)"

@@ -32,6 +32,8 @@ O_REVENUE = "l_extendedprice * (1 - l_discount)"
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: big scan + filter + 8-agg groupBy. Flagship query."""
     li = load_table(spark, sf_dir, "lineitem")
+    # averages derive from the decimal sums post-agg (double(sum)/count —
+    # bit-identical to davg) so the hash-agg carries 5 decimal states, not 7
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -40,10 +42,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_base_price"),
             dsum(REVENUE()).alias("sum_disc_price"),
             dsum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum("l_discount").alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sum_disc") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

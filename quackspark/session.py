@@ -92,10 +92,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a TIMESTAMP(NANOS) column) and is normalized to TimestampType (µs) —
     the reference normalizes TIMESTAMP_NS the same way (SURVEY.md §1.2).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
+
+
+#: analyzed-DataFrame cache — skips re-listing files and re-reading parquet
+#: footers on every query build (the reference's catalog plays this role);
+#: inputs are immutable fixtures, so staleness is not a concern.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def register_testdata_views(
