@@ -26,6 +26,7 @@ def _modules():
         datetimes,
         dedup,
         joins,
+        jsonops,
         misc,
         multimodal,
         nested,
@@ -36,11 +37,14 @@ def _modules():
         subqueries,
         textops,
         tpch,
+        tpch2,
         windows,
     )
 
     return [
         tpch,
+        tpch2,
+        jsonops,
         joins,
         aggregates,
         windows,

@@ -1,0 +1,86 @@
+"""JSON functions over `events.props` — the reference ships JSON support
+as a loadable extension (known-extension list duckdb-7.cpp:4405-4410);
+Spark's JSON expressions are built in.
+
+get_json_object / from_json push into codegen; parsing happens once per
+row with no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.queries._util import load_table
+
+
+def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_extract / ->> : scalar extraction with typed cast."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).alias("k_mod"),
+    ).orderBy("event_id")
+
+
+def json_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct(...)) construction + reparse roundtrip."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    built = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("t"),
+        )
+    )
+    return e.select(
+        "event_id",
+        built.alias("j"),
+        F.get_json_object(built, "$.t").alias("t_back"),
+    ).orderBy("event_id")
+
+
+def json_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate keyed by an extracted JSON field — json hits the groupBy
+    key path (extraction before shuffle, so the shuffle key is an int)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+QUERIES = {
+    "json_extract_scalar": json_extract_scalar,
+    "json_construct_roundtrip": json_construct_roundtrip,
+    "json_group_rollup": json_group_rollup,
+}
+
+ORACLES = {
+    "json_extract_scalar": """
+        SELECT event_id,
+               props ->> '$.k' AS k_str,
+               CAST(props ->> '$.k' AS INT) AS k_int,
+               CAST(props ->> '$.k' AS INT) % 10 AS k_mod
+        FROM events WHERE event_id <= 2000 ORDER BY event_id
+    """,
+    "json_construct_roundtrip": """
+        SELECT event_id,
+               '{"id":' || event_id || ',"t":"' || event_type || '"}' AS j,
+               event_type AS t_back
+        FROM events WHERE event_id <= 2000 ORDER BY event_id
+    """,
+    "json_group_rollup": """
+        SELECT CAST(props ->> '$.k' AS INT) % 10 AS k_mod,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+}
