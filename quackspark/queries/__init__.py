@@ -38,6 +38,7 @@ def _modules():
         textops,
         tpch,
         tpch2,
+        unionenum,
         windows,
     )
 
@@ -50,6 +51,7 @@ def _modules():
         windows,
         setops,
         nested,
+        unionenum,
         multimodal,
         strings,
         datetimes,
