@@ -311,6 +311,80 @@ def _rewrite_qualify(sql: str) -> str:
     return sql
 
 
+#: aggregate function names for GROUP BY ALL classification
+_AGG_FNS = {
+    "sum", "count", "min", "max", "avg", "mean", "median", "mode",
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+    "first", "last", "any_value", "bool_and", "bool_or", "bit_and", "bit_or",
+    "bit_xor", "corr", "covar_pop", "covar_samp", "skewness", "kurtosis",
+    "collect_list", "collect_set", "list", "string_agg", "array_agg",
+    "approx_count_distinct", "percentile", "percentile_approx", "quantile",
+    "approx_quantile", "entropy", "product", "min_by", "max_by", "arg_min",
+    "arg_max", "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
+}
+
+
+def _select_items(toks: list[str]) -> list[list[str]] | None:
+    """Top-level select list (between leading SELECT and top-level FROM)."""
+    if not toks or toks[0].lower() != "select":
+        return None
+    start = 1
+    if len(toks) > 1 and toks[1].lower() == "distinct":
+        start = 2
+    depth = 0
+    for i in range(start, len(toks)):
+        if toks[i] == "(":
+            depth += 1
+        elif toks[i] == ")":
+            depth -= 1
+        elif depth == 0 and toks[i].lower() == "from":
+            return _split_args(toks[start:i])
+    return None
+
+
+def _has_aggregate(item: list[str]) -> bool:
+    return any(
+        t.lower() in _AGG_FNS and i + 1 < len(item) and item[i + 1] == "("
+        for i, t in enumerate(item)
+    )
+
+
+def _rewrite_by_all(toks: list[str]) -> list[str]:
+    """GROUP BY ALL / ORDER BY ALL (DuckDB 0.7 additions) → ordinals."""
+    items = None
+    out: list[str] = []
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and t.lower() in ("group", "order")
+            and i + 2 < len(toks)
+            and toks[i + 1].lower() == "by"
+            and toks[i + 2].lower() == "all"
+        ):
+            if items is None:
+                items = _select_items(toks)
+            if items is None:
+                raise UnsupportedSQL(f"{t.upper()} BY ALL without parsable select list")
+            if t.lower() == "group":
+                ords = [str(j + 1) for j, it in enumerate(items) if not _has_aggregate(it)]
+            else:
+                ords = [str(j + 1) for j in range(len(items))]
+            out.extend([t, "BY"] + _tokens(", ".join(ords)))
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 _PATH_SCAN = re.compile(r"\bFROM\s+'([^']+\.(?:csv|csv\.gz|tsv|parquet|parq|json))'", re.IGNORECASE)
 
 
@@ -336,6 +410,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _tokens(sql)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_glob(toks)
+    toks = _rewrite_by_all(toks)
     toks = _rewrite_calls(toks)
     return " ".join(toks)
 

@@ -169,6 +169,15 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming exact dedup: `dropDuplicates` under the watermark — state
+    is bounded by the watermark horizon, the streaming form of the batch
+    exact-dedup operator (operators/dedup.exact_dedup). At 100 TB/day this
+    is the first stage of an ingest pipeline: duplicates never reach the
+    sink, and state expires instead of accumulating."""
+    return events.dropDuplicates(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink;
     returns the materialized result table."""

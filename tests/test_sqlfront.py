@@ -97,3 +97,25 @@ def test_struct_pack(spark, duck):
 def test_unsupported_raises(spark):
     with pytest.raises(sqlfront.UnsupportedSQL):
         sqlfront.transpile("SELECT list_aggregate([1], 'median')")
+
+
+def test_prepared_parameters(spark):
+    # §3.2 prepared statements: named + positional parameter binding
+    got = spark.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = :k", args={"k": 3}
+    ).collect()
+    assert got[0][0] == "NATION_3"
+    got2 = spark.sql(
+        "SELECT count(*) FROM nation WHERE n_regionkey = ?", args=[2]
+    ).collect()
+    assert got2[0][0] == 5
+
+
+def test_group_by_all_order_by_all(spark, duck):
+    q = (
+        "SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS s "
+        "FROM nation GROUP BY ALL ORDER BY ALL"
+    )
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp

@@ -57,3 +57,15 @@ def test_stateful_running_user_stats(spark):
         assert s["events_seen"] == r["events_seen"]
         assert abs(s["value_sum"] - r["value_sum"]) < 1e-6
         assert s["max_value"] == r["max_value"]
+
+
+def test_streaming_dedup(spark):
+    # duplicate the stream by unioning it with itself: dedup must halve it
+    batch = load_table(spark, SF, "events")
+    n = batch.count()
+    doubled = E.stream_events(spark, SF)
+    doubled = doubled.union(doubled)
+    got = E.run_to_memory(
+        E.streaming_dedup(doubled, ["event_id"]).groupBy().count(), "t_dedup"
+    )
+    assert got.collect()[0][0] == n
