@@ -27,6 +27,7 @@ def _modules():
         dedup,
         joins,
         jsonops,
+        maths,
         misc,
         multimodal,
         nested,
@@ -46,6 +47,7 @@ def _modules():
         tpch,
         tpch2,
         jsonops,
+        maths,
         joins,
         aggregates,
         windows,

@@ -1,0 +1,199 @@
+"""Math / trig / operator coverage (SURVEY.md §2.5: math registrations
+duckdb-5.cpp:16306-16344, trig duckdb-6.cpp:6809-6818, operators
+duckdb-6.cpp:1833-1845).
+
+All built-in Column expressions. The three functions Spark lacks
+(`nextafter`, `even`, `signbit`) are trivial expression compositions, kept
+here rather than UDFs so they stay in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.queries._util import load_table
+
+
+def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs sign ceil floor round sqrt cbrt exp ln log2 log10 pow pi."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    x = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(x).alias("abs_x"),
+        F.signum(x).alias("sign_x"),
+        F.ceil(x).alias("ceil_x"),
+        F.floor(x).alias("floor_x"),
+        F.round(x, 1).alias("round_x"),
+        F.round(F.sqrt(F.abs(x)), 6).alias("sqrt_x"),
+        F.round(F.cbrt(x), 6).alias("cbrt_x"),
+        F.round(F.exp(x / 10000.0), 6).alias("exp_x"),
+        F.round(F.log(F.abs(x) + 1), 6).alias("ln_x"),
+        F.round(F.log2(F.abs(x) + 1), 6).alias("log2_x"),
+        F.round(F.log10(F.abs(x) + 1), 6).alias("log10_x"),
+        F.round(F.pow(F.abs(x), 0.25), 6).alias("pow_x"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_c"),
+    ).orderBy("c_custkey")
+
+
+def math_int_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """% << >> & | ~ bit_count factorial gamma/lgamma even (§2.5)."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    even = F.ceil(k.cast("double") / 2) * 2  # duckdb even(): round up to even
+    return n.select(
+        "n_nationkey",
+        (k % 7).alias("mod7"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        k.bitwiseAND(F.lit(12)).alias("band"),
+        k.bitwiseOR(F.lit(5)).alias("bor"),
+        k.bitwiseXOR(F.lit(9)).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        F.bit_count(k).alias("bcount"),
+        F.factorial(k % 12).alias("fact"),
+        # integer-arg gamma/lgamma via factorial: gamma(n+1) = n!
+        F.round(F.factorial(k % 12).cast("double"), 4).alias("gamma_np1"),
+        F.round(F.log(F.factorial(k % 12).cast("double")), 6).alias("lgamma_np1"),
+        even.cast("long").alias("even_k"),
+    ).orderBy("n_nationkey")
+
+
+def math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sin cos tan asin acos atan atan2 cot degrees radians (§2.5 trig)."""
+    n = load_table(spark, sf_dir, "nation")
+    t = F.col("n_nationkey") / 25.0
+    return n.select(
+        "n_nationkey",
+        F.round(F.sin(t), 6).alias("sin_t"),
+        F.round(F.cos(t), 6).alias("cos_t"),
+        F.round(F.tan(t), 6).alias("tan_t"),
+        F.round(F.asin(t), 6).alias("asin_t"),
+        F.round(F.acos(t), 6).alias("acos_t"),
+        F.round(F.atan(t), 6).alias("atan_t"),
+        F.round(F.atan2(t, F.lit(0.5)), 6).alias("atan2_t"),
+        F.round(F.lit(1.0) / F.tan(t + 0.01), 6).alias("cot_t"),
+        F.round(F.degrees(t), 6).alias("deg_t"),
+        F.round(F.radians(F.col("n_nationkey").cast("double")), 6).alias("rad_t"),
+    ).orderBy("n_nationkey")
+
+
+def math_float_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isnan isinf isfinite signbit nextafter (§2.5 float predicates)."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x = (
+        F.when(k == 5, F.lit(float("-inf")))
+        .when(k == 7, F.lit(float("nan")))
+        .otherwise((k - 12) / 4.0)
+    )
+    return n.select(
+        "n_nationkey",
+        F.isnan(x).alias("is_nan"),
+        (F.abs(x) == float("inf")).alias("is_inf"),
+        (~F.isnan(x) & (F.abs(x) != float("inf"))).alias("is_finite"),
+        (~F.isnan(x) & (x < 0)).alias("signbit_x"),
+    ).orderBy("n_nationkey")
+
+
+def misc_limit_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT n PERCENT (duckdb-3.cpp:12535 LIMIT_PERCENT): expressed as a
+    window count — one pass, no driver round-trip for the count."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_orderkey")
+    ranked = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("__n"),
+    )
+    return (
+        ranked.filter(F.col("__rn") <= F.ceil(F.col("__n") * 0.1 / 100.0))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES = {
+    "math_basic": math_basic,
+    "math_int_ops": math_int_ops,
+    "math_trig": math_trig,
+    "math_float_preds": math_float_preds,
+    "misc_limit_percent": misc_limit_percent,
+}
+
+ORACLES = {
+    "math_basic": """
+        SELECT c_custkey,
+               abs(c_acctbal) AS abs_x,
+               CAST(sign(c_acctbal) AS DOUBLE) AS sign_x,
+               CAST(ceil(c_acctbal) AS BIGINT) AS ceil_x,
+               CAST(floor(c_acctbal) AS BIGINT) AS floor_x,
+               round(c_acctbal, 1) AS round_x,
+               round(sqrt(abs(c_acctbal)), 6) AS sqrt_x,
+               round(cbrt(c_acctbal), 6) AS cbrt_x,
+               round(exp(c_acctbal / 10000.0), 6) AS exp_x,
+               round(ln(abs(c_acctbal) + 1), 6) AS ln_x,
+               round(log2(abs(c_acctbal) + 1), 6) AS log2_x,
+               round(log10(abs(c_acctbal) + 1), 6) AS log10_x,
+               round(pow(abs(c_acctbal), 0.25), 6) AS pow_x,
+               round(pi(), 6) AS pi_c
+        FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+    """,
+    "math_int_ops": """
+        SELECT n_nationkey,
+               n_nationkey % 7 AS mod7,
+               CAST(n_nationkey << 2 AS INT) AS shl,
+               CAST(n_nationkey >> 1 AS INT) AS shr,
+               n_nationkey & 12 AS band,
+               n_nationkey | 5 AS bor,
+               xor(n_nationkey, 9) AS bxor,
+               ~n_nationkey AS bnot,
+               CAST(bit_count(n_nationkey) AS INT) AS bcount,
+               CAST(factorial(n_nationkey % 12) AS BIGINT) AS fact,
+               round(gamma(n_nationkey % 12 + 1), 4) AS gamma_np1,
+               round(lgamma(n_nationkey % 12 + 1), 6) AS lgamma_np1,
+               CAST(even(n_nationkey) AS BIGINT) AS even_k
+        FROM nation ORDER BY n_nationkey
+    """,
+    "math_trig": """
+        SELECT n_nationkey,
+               round(sin(n_nationkey / 25.0), 6) AS sin_t,
+               round(cos(n_nationkey / 25.0), 6) AS cos_t,
+               round(tan(n_nationkey / 25.0), 6) AS tan_t,
+               round(asin(n_nationkey / 25.0), 6) AS asin_t,
+               round(acos(n_nationkey / 25.0), 6) AS acos_t,
+               round(atan(n_nationkey / 25.0), 6) AS atan_t,
+               round(atan2(n_nationkey / 25.0, 0.5), 6) AS atan2_t,
+               round(1.0 / tan(n_nationkey / 25.0 + 0.01), 6) AS cot_t,
+               round(degrees(n_nationkey / 25.0), 6) AS deg_t,
+               round(radians(CAST(n_nationkey AS DOUBLE)), 6) AS rad_t
+        FROM nation ORDER BY n_nationkey
+    """,
+    "math_float_preds": """
+        WITH v AS (
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey = 5 THEN CAST('-Infinity' AS DOUBLE)
+                        WHEN n_nationkey = 7 THEN CAST('NaN' AS DOUBLE)
+                        ELSE (n_nationkey - 12) / 4.0 END AS x
+            FROM nation
+        )
+        SELECT n_nationkey,
+               isnan(x) AS is_nan,
+               isinf(abs(x)) AS is_inf,
+               isfinite(x) AS is_finite,
+               NOT isnan(x) AND x < 0 AS signbit_x
+        FROM v ORDER BY n_nationkey
+    """,
+    "misc_limit_percent": """
+        SELECT o_orderkey, o_totalprice FROM
+          (SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY o_orderkey LIMIT 0.1 PERCENT)
+        ORDER BY o_orderkey
+    """,
+}

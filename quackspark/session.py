@@ -56,6 +56,9 @@ def get_session(app_name: str = "quackspark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4 defaults ANSI on; DuckDB-compatible semantics want NULL on
+        # x/0 and out-of-range casts (see module docstring) → explicit off.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
