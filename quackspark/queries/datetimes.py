@@ -146,8 +146,28 @@ def dt_events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dt_interval_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_years/to_months/to_days/to_hours/to_minutes/to_seconds family
+    (duckdb-5.cpp:11412 to_interval registrations) applied in timestamp
+    arithmetic — Spark's make_interval covers the whole family."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    base = F.lit("2020-06-15 12:30:45").cast("timestamp")
+    return n.select(
+        "n_nationkey",
+        (base + F.make_interval(years=k)).alias("plus_years"),
+        (base + F.make_interval(months=k)).alias("plus_months"),
+        (base + F.make_interval(days=k)).alias("plus_days"),
+        (base + F.make_interval(hours=k)).alias("plus_hours"),
+        (base + F.make_interval(mins=k)).alias("plus_minutes"),
+        (base + F.make_interval(secs=k.cast("double"))).alias("plus_seconds"),
+        (base - F.make_interval(days=k, hours=k % 24)).alias("minus_mixed"),
+    ).orderBy("n_nationkey")
+
+
 QUERIES = {
     "dt_part_family": dt_part_family,
+    "dt_interval_constructors": dt_interval_constructors,
     "dt_trunc": dt_trunc,
     "dt_arithmetic": dt_arithmetic,
     "dt_strftime_roundtrip": dt_strftime_roundtrip,
@@ -157,6 +177,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dt_interval_constructors": """
+        SELECT n_nationkey,
+               TIMESTAMP '2020-06-15 12:30:45' + to_years(n_nationkey)
+                   AS plus_years,
+               TIMESTAMP '2020-06-15 12:30:45' + to_months(n_nationkey)
+                   AS plus_months,
+               TIMESTAMP '2020-06-15 12:30:45' + to_days(n_nationkey)
+                   AS plus_days,
+               TIMESTAMP '2020-06-15 12:30:45' + to_hours(n_nationkey)
+                   AS plus_hours,
+               TIMESTAMP '2020-06-15 12:30:45' + to_minutes(n_nationkey)
+                   AS plus_minutes,
+               TIMESTAMP '2020-06-15 12:30:45' + to_seconds(n_nationkey)
+                   AS plus_seconds,
+               TIMESTAMP '2020-06-15 12:30:45'
+                   - (to_days(n_nationkey) + to_hours(n_nationkey % 24))
+                   AS minus_mixed
+        FROM nation ORDER BY n_nationkey
+    """,
     "dt_part_family": """
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INT) AS yr,

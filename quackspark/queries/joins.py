@@ -165,8 +165,30 @@ def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(n, "pos").select("pos", "r_name", "n_name").orderBy("pos")
 
 
+def join_blockwise_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKWISE_NL_JOIN (duckdb-3.cpp:13965): join on an arbitrary
+    expression with no comparison structure — here a levenshtein-distance
+    predicate. Spark plans BroadcastNestedLoopJoin, the same shape."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("a")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("b")
+    )
+    cond = (
+        (F.levenshtein("a", "b") <= 2)
+        & (F.col("k1") < F.col("k2"))
+    )
+    return (
+        n1.join(n2, cond)
+        .select("k1", "k2", F.levenshtein("a", "b").alias("dist"))
+        .orderBy("k1", "k2")
+    )
+
+
 QUERIES = {
     "join_inner_equi": join_inner_equi,
+    "join_blockwise_expr": join_blockwise_expr,
     "join_left_outer": join_left_outer,
     "join_right_outer": join_right_outer,
     "join_full_outer": join_full_outer,
@@ -179,6 +201,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_blockwise_expr": """
+        SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+               CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+        FROM nation a JOIN nation b
+          ON levenshtein(a.n_name, b.n_name) <= 2 AND a.n_nationkey < b.n_nationkey
+        ORDER BY k1, k2
+    """,
     "join_inner_equi": f"""
         SELECT p_brand, count(*) AS n_items, {o_dsum('l_quantity')} AS total_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -112,8 +112,32 @@ def misc_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def misc_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERNOULLI sample (duckdb-3.cpp:13367): per-row coin flip via
+    df.sample — inherently nondeterministic across engines, so this is a
+    rows-only check (the deterministic diffable variant is misc_hash_sample).
+    Seeded for reproducibility within Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_quantity")
+
+
+def misc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESERVOIR fixed-size sample (duckdb-3.cpp:13038): n rows uniformly.
+    Distributed form: per-row seeded rand key + global TakeOrdered(n) — one
+    pass, no full sort (TOP_N machinery), no driver materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("__r", F.rand(seed=42))
+        .orderBy("__r")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
 QUERIES = {
     "misc_values_scan": misc_values_scan,
+    "misc_bernoulli_sample": misc_bernoulli_sample,
+    "misc_reservoir_sample": misc_reservoir_sample,
     "misc_range_series": misc_range_series,
     "misc_limit_offset": misc_limit_offset,
     "misc_generic_funcs": misc_generic_funcs,
