@@ -135,8 +135,34 @@ def str_accents_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_regionkey")
 
 
+def str_bits_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT functions (get_bit/set_bit, duckdb-6.cpp:6030-6032) over the
+    '0'/'1'-string representation (Spark has no BIT type — SURVEY.md §1.2
+    maps BIT→string), plus LIKE…ESCAPE (like_escape, duckdb-6.cpp:3880),
+    instr/prefix/suffix/unicode. The oracle computes get_bit/set_bit with
+    DuckDB's *native* BIT type — proving the representation is faithful.
+    (bit_position is represented as instr on the string form; the native
+    function's alignment semantics have no Spark analog.)"""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    b = F.lpad(F.bin(k + 37), 8, "0")
+    return n.select(
+        "n_nationkey",
+        b.alias("bstr"),
+        F.substring(b, 3, 1).cast("int").alias("get2"),
+        F.concat(F.substring(b, 1, 3), F.lit("1"), F.substring(b, 5, 8)).alias("set3"),
+        F.instr(b, "01").alias("pos01"),
+        F.expr("n_name LIKE 'NATION$_1%' ESCAPE '$'").alias("esc_like"),
+        F.instr(F.col("n_name"), "_1").alias("in_n"),
+        F.col("n_name").startswith("NATION_1").alias("pfx"),
+        F.col("n_name").endswith("3").alias("sfx"),
+        F.ascii(F.concat(F.lit("ü"), F.col("n_name"))).alias("uni"),
+    ).orderBy("n_nationkey")
+
+
 QUERIES = {
     "str_basic_funcs": str_basic_funcs,
+    "str_bits_misc": str_bits_misc,
     "str_concat_split": str_concat_split,
     "str_like_family": str_like_family,
     "str_glob_regexp": str_glob_regexp,
@@ -146,6 +172,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "str_bits_misc": """
+        WITH b AS (
+            SELECT n_nationkey, n_name,
+                   lpad(bin(n_nationkey + 37), 8, '0') AS bstr
+            FROM nation
+        )
+        SELECT n_nationkey,
+               bstr,
+               CAST(get_bit(CAST(bstr AS BIT), 2) AS INT) AS get2,
+               CAST(set_bit(CAST(bstr AS BIT), 3, 1) AS VARCHAR) AS set3,
+               CAST(instr(bstr, '01') AS INT) AS pos01,
+               n_name LIKE 'NATION$_1%' ESCAPE '$' AS esc_like,
+               CAST(instr(n_name, '_1') AS INT) AS in_n,
+               prefix(n_name, 'NATION_1') AS pfx,
+               suffix(n_name, '3') AS sfx,
+               CAST(unicode('ü' || n_name) AS INT) AS uni
+        FROM b ORDER BY n_nationkey
+    """,
     "str_basic_funcs": """
         SELECT c_custkey,
                lower(c_name) AS lo,
