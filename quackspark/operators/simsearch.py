@@ -112,6 +112,23 @@ def brute_force_topk(
     )
 
 
+def _banded(df: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame:
+    """(id, vec, band) rows. The signature is materialized in its own
+    projection before band-splitting — band_keys references it 2× per band
+    and the join consumes it twice, so inlining the 16-plane HOF expression
+    would recompute it ~8× (the minhash lesson, operators/dedup.py)."""
+    sig_df = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        srp_signature(F.col(vec_col)).alias("sig"),
+    ).localCheckpoint(eager=False)
+    return sig_df.select(
+        f"{prefix}_id",
+        f"{prefix}_vec",
+        F.explode(srp_band_keys(F.col("sig"))).alias("band"),
+    )
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,16 +139,8 @@ def srp_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing ≥1 SRP band with
     the query, reranked by exact cosine. Shuffle is on band keys only."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(srp_band_keys(srp_signature(F.col(vec_col)))).alias("band"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(srp_band_keys(srp_signature(F.col(vec_col)))).alias("band"),
-    )
+    q = _banded(queries, vec_col, id_col, "q")
+    c = _banded(corpus, vec_col, id_col, "c")
     cand = (
         F.broadcast(q)
         .join(c, "band")
@@ -161,19 +170,19 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs via SRP band blocking,
     verified by exact cosine ≥ threshold."""
-    e = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        F.explode(srp_band_keys(srp_signature(F.col(vec_col)))).alias("band"),
-    )
+    e = _banded(corpus, vec_col, id_col, "e")
     a, b = e.alias("a"), e.alias("b")
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.e_id") < F.col("b.e_id")),
+        )
         .select(
-            F.col("a.doc").alias("d1"),
-            F.col("b.doc").alias("d2"),
-            F.col("a.vec").alias("v1"),
-            F.col("b.vec").alias("v2"),
+            F.col("a.e_id").alias("d1"),
+            F.col("b.e_id").alias("d2"),
+            F.col("a.e_vec").alias("v1"),
+            F.col("b.e_vec").alias("v2"),
         )
         .dropDuplicates(["d1", "d2"])
     )
