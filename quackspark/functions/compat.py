@@ -87,11 +87,11 @@ def _jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
     prefix 4) — DuckDB `jaro_winkler_similarity` (duckdb-6.cpp:6021 family)."""
     if s1 is None or s2 is None:
         return None
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: any empty side → 0, even '' vs ''
+    if s1 == s2:
+        return 1.0
     match_dist = max(max(len1, len2) // 2 - 1, 0)
     s1_matched = [False] * len1
     s2_matched = [False] * len2
@@ -110,6 +110,8 @@ def _jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
     s2_m = [s2[j] for j in range(len2) if s2_matched[j]]
     t = sum(1 for a, b in zip(s1_m, s2_m) if a != b) // 2
     jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    if jaro <= 0.7:  # Winkler boost only above the standard 0.7 threshold
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:
@@ -132,19 +134,57 @@ def jaro_winkler(a: Column | str, b: Column | str) -> Column:
     return _jw(a, b)
 
 
+def nfc_normalize(c: Column | str) -> Column:
+    """DuckDB `nfc_normalize` (duckdb-6.cpp:6016, utf8proc-backed): Unicode
+    NFC normalization. No Spark expression exists — Arrow-vectorized pandas
+    UDF over Python's unicodedata (same normalization tables)."""
+    import pandas as pd
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = F.col(c) if isinstance(c, str) else c
+    return _nfc(c)
+
+
 def glob_to_regex(pattern: str) -> str:
     """GLOB pattern → anchored regex (DuckDB glob operator ~~~,
-    duckdb-6.cpp:3862-3880)."""
+    duckdb-6.cpp:3862-3880): `*` any-run, `?` any-one, `[abc]`/`[!abc]`
+    character classes (unterminated `[` matches a literal bracket)."""
     out = []
-    for ch in pattern:
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
-        elif ch in r"\^$.|+()[]{}":
+        elif ch == "[":
+            j = i + 1
+            if j < n and pattern[j] == "!":
+                j += 1
+            if j < n and pattern[j] == "]":  # leading ] is a literal member
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j >= n:  # unterminated class → literal '['
+                out.append(r"\[")
+            else:
+                body = pattern[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body.replace("\\", r"\\") + "]")
+                i = j
+        elif ch in r"\^$.|+(){}]":
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     return "^" + "".join(out) + "$"
 
 

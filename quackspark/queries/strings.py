@@ -160,9 +160,26 @@ def str_bits_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def str_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nfc_normalize (duckdb-6.cpp:6016): combining-mark sequences collapse
+    to composed form; both engines use the same Unicode tables."""
+    region = load_table(spark, sf_dir, "region")
+    # 'cafe' + combining-acute (U+0301) + '-...': NFC composes the accent
+    decomposed = F.concat(
+        F.lit("cafe\u0301-"), F.col("r_name")
+    )
+    return region.select(
+        "r_regionkey",
+        compat.nfc_normalize(decomposed).alias("nfc"),
+        F.length(compat.nfc_normalize(decomposed)).alias("nfc_len"),
+        F.length(decomposed).alias("raw_len"),
+    ).orderBy("r_regionkey")
+
+
 QUERIES = {
     "str_basic_funcs": str_basic_funcs,
     "str_bits_misc": str_bits_misc,
+    "str_nfc_normalize": str_nfc_normalize,
     "str_concat_split": str_concat_split,
     "str_like_family": str_like_family,
     "str_glob_regexp": str_glob_regexp,
@@ -172,6 +189,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "str_nfc_normalize": """
+        SELECT r_regionkey,
+               nfc_normalize('cafe' || chr(769) || '-' || r_name) AS nfc,
+               CAST(length(nfc_normalize('cafe' || chr(769) || '-' || r_name))
+                    AS INT) AS nfc_len,
+               CAST(length('cafe' || chr(769) || '-' || r_name) AS INT)
+                   AS raw_len
+        FROM region ORDER BY r_regionkey
+    """,
     "str_bits_misc": """
         WITH b AS (
             SELECT n_nationkey, n_name,
