@@ -402,12 +402,76 @@ def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
     return _PATH_SCAN.sub(sub, sql)
 
 
+#: scalar macros (CREATE MACRO, reference ScalarMacroFunction
+#: duckdb-internal.hpp:9920) — expanded inline at transpile time, exactly
+#: the reference's bind-time inlining semantics
+_MACROS: dict[str, tuple[list[str], list[str]]] = {}
+
+_CREATE_MACRO = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _handle_create_macro(sql: str) -> bool:
+    m = _CREATE_MACRO.match(sql)
+    if not m:
+        return False
+    name = m.group(1).lower()
+    toks = _tokens(sql)
+    open_idx = toks.index("(")
+    close_idx = _find_call_end(toks, open_idx)
+    params = [a[0] for a in _split_args(toks[open_idx + 1 : close_idx])]
+    if toks[close_idx + 1].lower() != "as":
+        raise UnsupportedSQL("CREATE MACRO requires AS <expression>")
+    body = toks[close_idx + 2 :]
+    _MACROS[name] = (params, body)
+    return True
+
+
+def _expand_macros(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    changed = False
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.lower() in _MACROS
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            end = _find_call_end(toks, i + 1)
+            args = _split_args(toks[i + 2 : end])
+            params, body = _MACROS[t.lower()]
+            if len(args) != len(params):
+                raise UnsupportedSQL(
+                    f"macro {t} expects {len(params)} args, got {len(args)}"
+                )
+            binding = {p.lower(): a for p, a in zip(params, args)}
+            out.append("(")
+            for bt in body:
+                if bt.lower() in binding:
+                    out.extend(["("] + binding[bt.lower()] + [")"])
+                else:
+                    out.append(bt)
+            out.append(")")
+            i = end + 1
+            changed = True
+            continue
+        out.append(t)
+        i += 1
+    return _expand_macros(out) if changed else out  # macros may call macros
+
+
 def transpile(sql: str, spark: SparkSession | None = None) -> str:
     """DuckDB-dialect SQL → Spark SQL text."""
+    if _handle_create_macro(sql):
+        return "SELECT 'macro registered' AS status"
     sql = _rewrite_replacement_scans(sql, spark)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     toks = _tokens(sql)
+    toks = _expand_macros(toks)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)

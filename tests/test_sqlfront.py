@@ -119,3 +119,23 @@ def test_group_by_all_order_by_all(spark, duck):
     got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
     exp = duck.sql(q).fetchall()
     assert got == exp
+
+
+def test_create_macro_inline_expansion(spark, duck):
+    # §2.11 CREATE MACRO (ScalarMacroFunction): both engines register the
+    # macro, then run the same query through it
+    macro = "CREATE MACRO disc_rev(p, d) AS p * (1 - d)"
+    q = (
+        "SELECT o_orderkey, round(disc_rev(o_totalprice, 0.05), 4) AS r "
+        "FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey"
+    )
+    sqlfront.sql(spark, macro)
+    duck.execute(macro)
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    assert got == duck.sql(q).fetchall()
+
+
+def test_macro_calling_macro(spark):
+    sqlfront.sql(spark, "CREATE MACRO twice(x) AS x + x")
+    sqlfront.sql(spark, "CREATE MACRO quad(x) AS twice(x) + twice(x)")
+    assert sqlfront.sql(spark, "SELECT quad(3) AS v").collect()[0][0] == 12
