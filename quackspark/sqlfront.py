@@ -227,6 +227,41 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     return _tokens(f"{original}({inner})")
 
 
+def _rewrite_star_modifiers(toks: list[str]) -> list[str]:
+    """DuckDB 0.7 star modifiers: `* EXCLUDE (cols)` → Spark `* EXCEPT
+    (cols)`; `* REPLACE (expr AS col, …)` → `* EXCEPT (cols), expr AS col, …`
+    (replaced columns re-appear at the end of the select list — column
+    *set* identical, ordinal position differs)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        nxt = toks[i + 1].lower() if i + 1 < len(toks) else ""
+        if t == "*" and nxt == "exclude" and i + 2 < len(toks) and toks[i + 2] == "(":
+            end = _find_call_end(toks, i + 2)
+            out.extend(["*", "EXCEPT"] + toks[i + 2 : end + 1])
+            i = end + 1
+            continue
+        if t == "*" and nxt == "replace" and i + 2 < len(toks) and toks[i + 2] == "(":
+            end = _find_call_end(toks, i + 2)
+            entries = _split_args(toks[i + 3 : end])
+            cols, exprs = [], []
+            for e in entries:
+                if len(e) >= 3 and e[-2].lower() == "as":
+                    cols.append(e[-1])
+                    exprs.append(" ".join(e))
+                else:
+                    raise UnsupportedSQL("* REPLACE entries need 'expr AS col'")
+            out.extend(
+                _tokens("* EXCEPT (" + ", ".join(cols) + "), " + ", ".join(exprs))
+            )
+            i = end + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _rewrite_glob(toks: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -472,6 +507,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     sql = _rewrite_qualify(sql)
     toks = _tokens(sql)
     toks = _expand_macros(toks)
+    toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)

@@ -178,13 +178,17 @@ def streaming_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink;
     returns the materialized result table."""
+    if output_mode is None:
+        output_mode = "complete" if not _is_update_only(stream_df) else "update"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if not _is_update_only(stream_df) else "update")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

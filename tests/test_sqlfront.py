@@ -139,3 +139,20 @@ def test_macro_calling_macro(spark):
     sqlfront.sql(spark, "CREATE MACRO twice(x) AS x + x")
     sqlfront.sql(spark, "CREATE MACRO quad(x) AS twice(x) + twice(x)")
     assert sqlfront.sql(spark, "SELECT quad(3) AS v").collect()[0][0] == 12
+
+
+def test_star_exclude_replace(spark, duck):
+    q1 = "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey"
+    got = [tuple(r) for r in sqlfront.sql(spark, q1).collect()]
+    assert got == duck.sql(q1).fetchall()
+
+    q2 = (
+        "SELECT * REPLACE (n_nationkey * 2 AS n_nationkey) "
+        "FROM nation ORDER BY n_nationkey"
+    )
+    got2 = {
+        tuple(sorted(r.asDict().items())) for r in sqlfront.sql(spark, q2).collect()
+    }
+    cols = [d[0] for d in duck.sql(q2).description]
+    exp2 = {tuple(sorted(zip(cols, r))) for r in duck.sql(q2).fetchall()}
+    assert got2 == exp2

@@ -69,3 +69,42 @@ def test_streaming_dedup(spark):
         E.streaming_dedup(doubled, ["event_id"]).groupBy().count(), "t_dedup"
     )
     assert got.collect()[0][0] == n
+
+
+def test_stream_stream_join(spark):
+    """Watermarked stream-stream self-join: click-like events joined to
+    purchase-like events for the same user within ±5 minutes."""
+    import pyspark.sql.functions as F
+
+    ev = E.stream_events(spark, SF)
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("a_ts")
+    )
+    b = E.stream_events(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    ).select(F.col("user_id").alias("u2"), F.col("ts").alias("b_ts"))
+    joined = a.join(
+        b,
+        F.expr(
+            "u = u2 AND b_ts BETWEEN a_ts - INTERVAL 5 MINUTES "
+            "AND a_ts + INTERVAL 5 MINUTES"
+        ),
+    )
+    got = E.run_to_memory(joined, "t_ssj", output_mode="append")
+    # batch equivalent
+    bat = load_table(spark, SF, "events")
+    ba = bat.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("a_ts")
+    )
+    bb = bat.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("b_ts")
+    )
+    bj = ba.join(
+        bb,
+        F.expr(
+            "u = u2 AND b_ts BETWEEN a_ts - INTERVAL 5 MINUTES "
+            "AND a_ts + INTERVAL 5 MINUTES"
+        ),
+    )
+    assert got.count() == bj.count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, bj.collect()))
