@@ -70,13 +70,39 @@ def get_session(app_name: str = "quackspark", cpus: int | None = None) -> SparkS
     )
     active = SparkSession.getActiveSession()
     if active is not None:
+        _register_compat_udfs(active)
         return active
     builder = builder.master(f"local[{n}]").config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _register_compat_udfs(spark)
     return spark
+
+
+_UDFS_REGISTERED: set[int] = set()
+
+
+def _register_compat_udfs(spark: SparkSession) -> None:
+    """SQL-name registration for compat functions that have no expression
+    form (the reference registers every function in its catalog,
+    duckdb-6.cpp:5993-6040; expression-form gaps are handled by the
+    sqlfront rewriter instead)."""
+    if id(spark) in _UDFS_REGISTERED:
+        return
+    import pandas as pd
+
+    from quackspark.functions.compat import _jaro_winkler_py
+
+    @F.pandas_udf("double")
+    def _jw(a, b):
+        return pd.Series(
+            [_jaro_winkler_py(x, y) for x, y in zip(a, b)]
+        )
+
+    spark.udf.register("jaro_winkler_similarity", _jw)
+    _UDFS_REGISTERED.add(id(spark))
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -212,6 +212,30 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         return _tokens(f"date_format({j(args[0])}, 'MMMM')")
     if low == "dayname":
         return _tokens(f"date_format({j(args[0])}, 'EEEE')")
+    if low == "jaccard":
+        a, b = j(args[0]), j(args[1])
+        ca, cb = f"array_distinct(split({a}, ''))", f"array_distinct(split({b}, ''))"
+        return _tokens(
+            f"(CAST(size(array_intersect({ca}, {cb})) AS DOUBLE)"
+            f" / size(array_union({ca}, {cb})))"
+        )
+    if low in ("jaro_winkler_similarity", "jaro_winkler"):
+        return _tokens(f"jaro_winkler_similarity({j(args[0])}, {j(args[1])})")
+    if low == "time_bucket":
+        # time_bucket(INTERVAL n unit, ts) — epoch-floor arithmetic
+        interval = [t.lower() for t in args[0]]
+        if interval and interval[0] == "interval" and len(interval) == 3:
+            mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+            unit = mult.get(interval[2])
+            if unit:
+                secs = int(interval[1]) * unit
+                ts = j(args[1])
+                return _tokens(
+                    f"timestamp_seconds(unix_timestamp({ts}) "
+                    f"- unix_timestamp({ts}) % {secs})"
+                )
+        raise UnsupportedSQL(f"time_bucket form not supported: {args[0]}")
     if low == "mismatches":
         a, b = j(args[0]), j(args[1])
         return _tokens(

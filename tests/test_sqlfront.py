@@ -156,3 +156,22 @@ def test_star_exclude_replace(spark, duck):
     cols = [d[0] for d in duck.sql(q2).description]
     exp2 = {tuple(sorted(zip(cols, r))) for r in duck.sql(q2).fetchall()}
     assert got2 == exp2
+
+
+def test_similarity_and_time_bucket_in_sql(spark, duck):
+    q = (
+        "SELECT n_nationkey, round(jaccard(n_name, 'NATION'), 6) AS jac, "
+        "round(jaro_winkler_similarity(n_name, 'NATION_5'), 6) AS jw "
+        "FROM nation ORDER BY n_nationkey"
+    )
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp
+
+    q2 = (
+        "SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 10:17:33')"
+        " AS b"
+    )
+    assert [tuple(r) for r in sqlfront.sql(spark, q2).collect()] == duck.sql(
+        q2
+    ).fetchall()
