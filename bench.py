@@ -38,7 +38,15 @@ def main() -> None:
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
     # extend with any later-registered headline ops
-    for extra in ("window_running_sum", "dedup_minhash_lsh", "sim_bruteforce_topk", "sw_session"):
+    for extra in (
+        "window_running_sum",
+        "dedup_minhash_lsh",
+        "sim_bruteforce_topk",
+        "sim_embedding_neardup",
+        "sw_session",
+        "text_fingerprint",
+        "json_group_rollup",
+    ):
         if extra in qs and extra not in names:
             names.append(extra)
 
