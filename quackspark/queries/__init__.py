@@ -39,6 +39,7 @@ def _modules():
         textops,
         tpch,
         tpch2,
+        tpch3,
         unionenum,
         windows,
     )
@@ -46,6 +47,7 @@ def _modules():
     return [
         tpch,
         tpch2,
+        tpch3,
         jsonops,
         maths,
         joins,
