@@ -239,6 +239,59 @@ def time_bucket(width_seconds: int, ts: Column | str) -> Column:
     return F.timestamp_seconds((secs - secs % width_seconds))
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def time_of_day_micros(ts: Column | str) -> Column:
+    """DuckDB TIME value of a timestamp (`CAST(ts AS TIME)`, LogicalTypeId
+    TIME duckdb.hpp:914) represented as its physical form: µs since midnight
+    (== DuckDB ``epoch_us(CAST(ts AS TIME))``). Spark has no TimeType, so
+    the µs-since-midnight BIGINT is the portable carrier; pure codegen
+    arithmetic. NTZ inputs (parquet default) are cast to session-TZ
+    timestamp — the session preset pins UTC, so this is lossless."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    ts = ts.cast("timestamp")
+    return F.unix_micros(ts) - F.unix_micros(F.date_trunc("DAY", ts))
+
+
+def make_time_micros(h: Column, m: Column, s: Column) -> Column:
+    """DuckDB `make_time(h, m, s)` (duckdb-5.cpp:11399 family) → µs since
+    midnight (== ``epoch_us(make_time(...))``)."""
+    return (
+        h.cast("long") * 3_600_000_000
+        + m.cast("long") * 60_000_000
+        + F.round(s.cast("double") * 1_000_000).cast("long")
+    )
+
+
+def age_parts(a: Column | str, b: Column | str):
+    """DuckDB/Postgres `age(a, b)` (duckdb-5.cpp:11400) decomposed into its
+    symbolic interval fields ``(years, months, days, time_micros)``, each
+    sign-carrying like ``date_part('year'|'month'|'day'|…, age(a, b))``.
+
+    Semantics (verified against DuckDB v0.7): field-wise difference of the
+    later minus the earlier timestamp, borrowing time-of-day from days and
+    days from the *earlier* timestamp's month length, then months from
+    years; the whole result is negated when a < b. Pure Column arithmetic —
+    stays in whole-stage codegen, no UDF."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    sign = F.when(a >= b, F.lit(1)).otherwise(F.lit(-1))
+    e = F.greatest(a, b)
+    s = F.least(a, b)
+    t_raw = time_of_day_micros(e) - time_of_day_micros(s)
+    t_borrow = (t_raw < 0).cast("int")
+    t = t_raw + t_borrow.cast("long") * _US_PER_DAY
+    d_raw = F.dayofmonth(e) - F.dayofmonth(s) - t_borrow
+    d_borrow = (d_raw < 0).cast("int")
+    d = d_raw + d_borrow * F.dayofmonth(F.last_day(s))
+    m_raw = F.month(e) - F.month(s) - d_borrow
+    m_borrow = (m_raw < 0).cast("int")
+    m = m_raw + m_borrow * 12
+    y = F.year(e) - F.year(s) - m_borrow
+    return (sign * y, sign * m, sign * d, sign.cast("long") * t)
+
+
 def isodow(ts: Column | str) -> Column:
     """DuckDB `isodow` (duckdb-5.cpp:8134-8200): ISO day of week, Mon=1..Sun=7.
     Spark dayofweek is Sun=1..Sat=7."""

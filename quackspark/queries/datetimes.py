@@ -165,7 +165,47 @@ def dt_interval_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def dt_age_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """age(l_shipdate, o_orderdate) decomposed into symbolic interval fields
+    (DuckDB `age`, duckdb-5.cpp:11400) — rolled up by (years, months) so the
+    borrow chain (time→days→months→years) is exercised across every
+    month-length boundary in the data. Pure codegen arithmetic, no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    y, m, d, _t = compat.age_parts(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        j.select(y.alias("years"), m.alias("months"), d.alias("days"))
+        .groupBy("years", "months")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("years", "months")
+    )
+
+
+def dt_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-type carrier ops over the ns-sourced events table: CAST(ts AS
+    TIME) as µs-since-midnight, make_time reconstruction of the whole-second
+    part, and the sub-second remainder (LogicalTypeId TIME duckdb.hpp:914,
+    make_time duckdb-5.cpp:11399 family)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    ts = F.col("ts")
+    tod = compat.time_of_day_micros(ts)
+    whole = compat.make_time_micros(F.hour(ts), F.minute(ts), F.second(ts))
+    return e.select(
+        "event_id",
+        tod.alias("tod_us"),
+        whole.alias("whole_sec_us"),
+        (tod - whole).alias("subsec_us"),
+    )
+
+
 QUERIES = {
+    "dt_age_parts": dt_age_parts,
+    "dt_time_of_day": dt_time_of_day,
     "dt_part_family": dt_part_family,
     "dt_interval_constructors": dt_interval_constructors,
     "dt_trunc": dt_trunc,
@@ -177,6 +217,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dt_age_parts": """
+        SELECT CAST(date_part('year', age(l_shipdate, o_orderdate)) AS INT)
+                   AS years,
+               CAST(date_part('month', age(l_shipdate, o_orderdate)) AS INT)
+                   AS months,
+               count(*) AS n,
+               CAST(min(date_part('day', age(l_shipdate, o_orderdate))) AS INT)
+                   AS min_days,
+               CAST(max(date_part('day', age(l_shipdate, o_orderdate))) AS INT)
+                   AS max_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dt_time_of_day": """
+        SELECT event_id,
+               epoch_us(CAST(CAST(ts AS TIMESTAMP) AS TIME)) AS tod_us,
+               epoch_us(make_time(hour(CAST(ts AS TIMESTAMP)),
+                                  minute(CAST(ts AS TIMESTAMP)),
+                                  floor(second(CAST(ts AS TIMESTAMP)))))
+                   AS whole_sec_us,
+               epoch_us(CAST(CAST(ts AS TIMESTAMP) AS TIME))
+                   - epoch_us(make_time(hour(CAST(ts AS TIMESTAMP)),
+                                        minute(CAST(ts AS TIMESTAMP)),
+                                        floor(second(CAST(ts AS TIMESTAMP)))))
+                   AS subsec_us
+        FROM events WHERE event_id <= 2000
+    """,
     "dt_interval_constructors": """
         SELECT n_nationkey,
                TIMESTAMP '2020-06-15 12:30:45' + to_years(n_nationkey)

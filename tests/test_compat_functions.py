@@ -117,3 +117,45 @@ def test_time_bucket_matches_duckdb(spark):
         "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 10:22:33')"
     )
     assert got == want
+
+
+def test_age_parts_matches_duckdb(spark):
+    """age() borrow chain (time->days->months->years) incl. sign flips and
+    month-length boundaries, differential vs DuckDB on a deterministic grid."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    stamps = [
+        "1995-01-20 00:00:00", "1996-03-15 00:00:00", "1996-01-31 23:30:00",
+        "1996-03-10 05:00:00", "1996-02-29 12:00:00", "1995-02-28 11:59:59",
+        "1996-12-31 00:00:01", "1997-01-01 00:00:00", "2000-02-29 06:07:08",
+        "1999-03-01 06:07:09",
+    ] + [
+        f"{rng.randint(1994, 2001)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d} "
+        f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}"
+        for _ in range(10)
+    ]
+    pairs = list(itertools.product(stamps, stamps))[:200]
+    rows = spark.createDataFrame(pairs, "a string, b string").select(
+        F.col("a"), F.col("b"), *(
+            part.alias(name)
+            for part, name in zip(
+                compat.age_parts(F.col("a").cast("timestamp"), F.col("b").cast("timestamp")),
+                ["years", "months", "days", "micros"],
+            )
+        )
+    )
+    got = {(r["a"], r["b"]): (r["years"], r["months"], r["days"], r["micros"])
+           for r in rows.collect()}
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.sql(
+            f"""SELECT date_part('year', g), date_part('month', g),
+                       date_part('day', g),
+                       date_part('hour', g) * 3600000000
+                       + date_part('minute', g) * 60000000
+                       + CAST(date_part('second', g) * 1000000 AS BIGINT)
+                FROM (SELECT age(TIMESTAMP '{a}', TIMESTAMP '{b}') AS g)"""
+        ).fetchone()
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
