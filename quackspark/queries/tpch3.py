@@ -15,17 +15,14 @@ Plan shapes exercised (reference inventory §2.1):
 - q15: view-style derived revenue relation + MAX scalar subquery equality.
 - q16: COUNT(DISTINCT) with NOT-IN-style anti-join blacklist.
 - q20: nested IN over an aggregated-HAVING subquery + region chain.
-- q21: EXISTS + NOT EXISTS self-joins on the fact table (the reference
-       plans these as MARK joins, duckdb.hpp:13908; we emit semi + anti).
+- q21: EXISTS + NOT EXISTS over the fact table, folded into a single
+       per-order aggregate (see its docstring for the derivation).
 
 Scale notes (100 TB posture): dimension sides (region/nation/supplier/part,
 and derived per-supplier/per-part aggregates, which shrink to dimension
 cardinality) are broadcast; the only large shuffles are fact-fact joins on
 their natural keys (orderkey/partkey) and the first-level aggregations,
-both AQE-splittable. q21's self semi/anti joins shuffle lineitem by
-l_orderkey once per side — at cluster scale these coalesce into one
-exchange reused by both joins (ReusedExchange), which .explain confirms.
-Money sums use the exact-decimal path (_util.dsum) so results are identical
+both AQE-splittable. Money sums use the exact-decimal path (_util.dsum) so results are identical
 at any parallelism.
 """
 
@@ -278,43 +275,48 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21-shaped: suppliers who alone returned items on multi-supplier
-    finished orders (EXISTS + NOT EXISTS self-joins on lineitem;
-    l_returnflag='R' proxies the late-delivery predicate)."""
+    finished orders (l_returnflag='R' proxies the late-delivery predicate).
+
+    The reference plans the EXISTS / NOT EXISTS pair as two MARK-join
+    self-joins of lineitem (duckdb.hpp:13908) — on Spark that costs three
+    shuffles of the fact table. Both existence tests reduce to per-order
+    extrema, so ONE hash aggregation replaces them: EXISTS(other
+    supplier) ⇔ min(supp) ≠ max(supp); NOT EXISTS(other 'R' supplier)
+    together with "the probe supplier is an 'R' supplier" ⇔ the order has
+    exactly one distinct 'R' supplier ⇔ min(R-supp) = max(R-supp)
+    (non-null), and that unique supplier is max(R-supp) with sum(R) rows
+    contributing to its wait count. lineitem is scanned once and shuffled
+    once as combined partial-agg states keyed by l_orderkey — no distinct
+    aggregate, no Expand, no self-join; everything downstream is
+    order-cardinality or smaller. Semantics stay exactly the oracle's
+    EXISTS/NOT EXISTS SQL (the semi/anti MARK operator family is covered
+    by subq_exists/subq_not_exists/q4)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_regionkey") == 1
     )
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_semi",
-        )
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+        F.min(r_supp).alias("rmin"),
+        F.max(r_supp).alias("rmax"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r_rows"),
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
-    )
-    waiting = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_semi",
+    waiting = per_order.filter(
+        (F.col("smin") != F.col("smax")) & (F.col("rmin") == F.col("rmax"))
     ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
-        "left_anti",
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(F.broadcast(supp), waiting.rmax == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey, "left_semi")
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
