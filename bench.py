@@ -39,6 +39,9 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     # extend with any later-registered headline ops
     for extra in (
+        "q9_product_profit",
+        "q13_customer_distribution",
+        "q21_waiting_supplier",
         "window_running_sum",
         "dedup_minhash_lsh",
         "sim_bruteforce_topk",
