@@ -8,8 +8,10 @@ Spark-first: equi joins are `df.join(..., how)` and Catalyst/AQE pick
 broadcast vs shuffled-hash vs sort-merge; inequality joins become
 BroadcastNestedLoopJoin when one side is small (hinted here), which is the
 right physical plan for the dim-sized inputs these target. At 100 TB a range
-join would get band-bucketing (see operators/asof.py); these queries keep the
-small side broadcast so no full cartesian shuffle ever materializes.
+join gets band-bucketing (operators/rangejoin.py, `join_band_bucketed`) and
+temporal lookup becomes the as-of union-sort (operators/asofjoin.py); the
+plain-range queries keep the small side broadcast so no full cartesian
+shuffle ever materializes.
 """
 
 from __future__ import annotations
@@ -186,7 +188,75 @@ def join_blockwise_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asofjoin.py): each click event enriched with
+    the most recent error event of the same user at-or-before its
+    timestamp. DuckDB v0.7 has no ASOF JOIN — the oracle is the correlated
+    arg_max-subquery form users write there; our implementation is the
+    distributed union-sort algorithm (one shuffle per side)."""
+    from quackspark.operators.asofjoin import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"), "value"
+    )
+    return asof_join(
+        clicks, errors, on="ts", by="user_id", tiebreaker="err_id"
+    ).select("event_id", "user_id", "ts", "r_ts", "r_err_id", "r_value")
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each signup matched to the user's first purchase
+    at-or-after it (conversion-lag shape)."""
+    from quackspark.operators.asofjoin import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id"), "value"
+    )
+    out = asof_join(
+        signups, purchases, on="ts", by="user_id",
+        direction="forward", tiebreaker="buy_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "r_ts", "r_buy_id", "r_value",
+        (F.unix_micros(F.col("r_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))).alias("lag_us"),
+    )
+
+
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join via bucketed equi-join (operators/rangejoin.py): error ×
+    click event pairs within ±120 s. The oracle runs the literal range
+    predicate (the reference would pick PIECEWISE_MERGE_JOIN); we shuffle
+    on floor(ts/band) buckets so the plan is a plain equi hash join."""
+    from quackspark.operators.rangejoin import band_join
+
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("err_us"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+    )
+    pairs = band_join(err, clk, "err_us", "click_us", 120_000_000)
+    return pairs.select(
+        "err_id", "click_id", (F.col("click_us") - F.col("err_us")).alias("delta_us")
+    ).orderBy("err_id", "click_id")
+
+
 QUERIES = {
+    "join_band_bucketed": join_band_bucketed,
+    "join_asof_backward": join_asof_backward,
+    "join_asof_forward": join_asof_forward,
     "join_inner_equi": join_inner_equi,
     "join_blockwise_expr": join_blockwise_expr,
     "join_left_outer": join_left_outer,
@@ -201,6 +271,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_band_bucketed": """
+        SELECT a.event_id AS err_id, b.event_id AS click_id,
+               epoch_us(CAST(b.ts AS TIMESTAMP))
+                 - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+        FROM events a JOIN events b
+          ON abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+                 - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 120000000
+        WHERE a.event_type = 'error' AND b.event_type = 'click'
+        ORDER BY err_id, click_id
+    """,
+    "join_asof_backward": """
+        SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+               (SELECT max(CAST(r.ts AS TIMESTAMP)) FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'error'
+                  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP))
+                   AS r_ts,
+               (SELECT arg_max(r.event_id, CAST(r.ts AS TIMESTAMP)) FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'error'
+                  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP))
+                   AS r_err_id,
+               (SELECT arg_max(r.value, CAST(r.ts AS TIMESTAMP)) FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'error'
+                  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP))
+                   AS r_value
+        FROM events l WHERE l.event_type = 'click'
+    """,
+    "join_asof_forward": """
+        SELECT *, epoch_us(r_ts) - epoch_us(ts) AS lag_us FROM (
+        SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+               (SELECT min(CAST(r.ts AS TIMESTAMP)) FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP))
+                   AS r_ts,
+               (SELECT arg_min(r.event_id, CAST(r.ts AS TIMESTAMP)) FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP))
+                   AS r_buy_id,
+               (SELECT arg_min(r.value, CAST(r.ts AS TIMESTAMP)) FROM events r
+                WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP))
+                   AS r_value
+        FROM events l WHERE l.event_type = 'signup')
+    """,
     "join_blockwise_expr": """
         SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
                CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist

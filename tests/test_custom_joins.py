@@ -1,0 +1,67 @@
+"""as-of / band join operators: paths not covered by the parity corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quackspark.oracle import compare
+from quackspark.operators.asofjoin import asof_join
+from quackspark.operators.rangejoin import band_join
+from quackspark.session import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_band_join_with_extra_keys(spark):
+    """Per-user band join: extra equi keys fold into the bucket shuffle key."""
+    e = load_table(spark, SF, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("err_us"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+    )
+    pairs = band_join(
+        err, clk, "err_us", "click_us", 3_600_000_000, extra_keys=["user_id"]
+    ).select("user_id", "err_id", "click_id")
+    problems = compare(
+        pairs,
+        """
+        SELECT a.user_id, a.event_id AS err_id, b.event_id AS click_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+                 - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
+        WHERE a.event_type = 'error' AND b.event_type = 'click'
+        """,
+        SF,
+    )
+    assert not problems, problems
+
+
+def test_asof_unmatched_left_rows_are_null(spark):
+    """Left rows before any right row keep NULL right columns (outer-ish)."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 100), (2, 5)], "k int, t int"
+    )
+    right = spark.createDataFrame([(1, 50, "a"), (2, 500, "b")], "k int, t int, v string")
+    out = asof_join(left, right, on="t", by="k").orderBy("k", "t").collect()
+    assert [(r["k"], r["t"], r["r_t"], r["r_v"]) for r in out] == [
+        (1, 10, None, None),
+        (1, 100, 50, "a"),
+        (2, 5, None, None),
+    ]
+
+
+def test_asof_tiebreaker_picks_last_right_row(spark):
+    """Two right rows at the same instant: highest tiebreaker wins backward."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "lo"), (1, 10, 9, "hi")], "k int, t int, seq long, v string"
+    )
+    out = asof_join(left, right, on="t", by="k", tiebreaker="seq").collect()
+    assert out[0]["r_v"] == "hi" and out[0]["r_seq"] == 9
