@@ -161,6 +161,81 @@ def srp_lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+    queries probe only the `nprobe` nearest cells and rerank exactly.
+
+    The codebook here is the deterministic seed choice (the first
+    `n_centroids` corpus vectors by id) so the differential oracle can
+    replay it bit-for-bit; a k-means refinement of the same codebook slots
+    in without changing any of the plumbing below. Scale shape: the
+    codebook is aggregated to ONE row and broadcast, so cell assignment is
+    a map-side higher-order-function projection — zero shuffle of the
+    corpus; the probe join shuffles on cell ids (candidate lists), exactly
+    like an IVF index probe. Assignment order uses raw (unrounded) cosine
+    with centroid-id tiebreak, identical fold order on both engines."""
+    cid = F.col(id_col)
+    cents = corpus.filter(cid < n_centroids).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(cid.alias("cid"), F.col(vec_col).alias("cvec"))
+            )
+        ).alias("__cents")
+    )
+
+    def ranked_cells(df: DataFrame, prefix: str) -> DataFrame:
+        scored = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (-cosine(F.col(vec_col), c["cvec"])).alias("negcos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.array_sort(scored).alias("__ranked"),
+        )
+
+    cells = ranked_cells(corpus, "c").select(
+        "c_id", "c_vec", F.element_at("__ranked", 1)["cid"].alias("cell")
+    )
+    probes = ranked_cells(queries, "q").select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.transform(F.slice("__ranked", 1, nprobe), lambda s: s["cid"])
+        ).alias("cell"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", "cos")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     *,

@@ -36,6 +36,23 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rnk")
 
 
+N_CENT = 16
+NPROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (operators/simsearch.py::ivf_topk): deterministic
+    codebook → map-side cell assignment → nprobe probe → exact rerank."""
+    e = _load(spark, sf_dir)
+    return S.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        n_centroids=N_CENT,
+        nprobe=NPROBE,
+        k=K,
+    ).orderBy("q_id", "rnk")
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir)
     return S.embedding_neardup_pairs(e, threshold=THRESHOLD).orderBy("d1", "d2")
@@ -44,6 +61,7 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_srp_lsh_topk": sim_srp_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
 }
 
@@ -93,7 +111,46 @@ _SIG_CTE = f"""
     )
 """
 
+def _sql_cosine_raw(a: str, b: str) -> str:
+    return (
+        f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
 ORACLES = {
+    "sim_ivf_topk": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < {N_CENT}
+        ), assign AS (
+            SELECT e.vec_id, e.embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine_raw("e.embedding", "cvec")} DESC, cid
+                   ) AS rn
+            FROM embeddings e, cents
+        ), cells AS (
+            SELECT vec_id AS c_id, embedding AS c_vec, cid AS cell
+            FROM assign WHERE rn = 1
+        ), qprobe AS (
+            SELECT vec_id AS q_id, embedding AS q_vec, cid AS cell
+            FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+        ), cand AS (
+            SELECT DISTINCT q_id, q_vec, c_id, c_vec
+            FROM qprobe JOIN cells USING (cell)
+            WHERE q_id != c_id
+        ), scored AS (
+            SELECT q_id, c_id, {_sql_cosine("q_vec", "c_vec")} AS cos
+            FROM cand
+        ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, cos
+        FROM ranked WHERE rnk <= {K} ORDER BY q_id, rnk
+    """,
     "sim_bruteforce_topk": f"""
         WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
