@@ -178,6 +178,30 @@ def streaming_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
+def enrich_with_static(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join: the static dimension is broadcast to
+    every micro-batch executor, so the stream side never shuffles and no
+    join state accumulates (unlike stream-stream joins). This is the
+    standard dimension-lookup stage of an ingest pipeline; at 100 TB/day
+    the static side is refreshed by re-planning the query, not by state."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame, sink: "callable", output_mode: str = "append"
+) -> None:
+    """Execute a stream with a foreachBatch sink (the arbitrary-sink slot —
+    upserts, multi-table writes, external systems). `sink(df, epoch_id)` is
+    called once per micro-batch with a *batch* DataFrame."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str | None = None
 ) -> DataFrame:

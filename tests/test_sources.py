@@ -116,3 +116,30 @@ def test_replacement_scan_dispatch(spark, tmpdir):
     assert got.count() == 25
     pq = from_path(spark, f"{SF}/nation.parquet")
     assert pq.count() == 25
+
+
+def test_export_import_database_roundtrip(spark, tmp_path):
+    """EXPORT DATABASE → fresh view names → IMPORT DATABASE restores
+    identical contents (parquet exact roundtrip)."""
+    from quackspark.sources.exportdb import export_database, import_database
+
+    nation = load_table(spark, "/root/testdata/sf0.01", "nation")
+    region = load_table(spark, "/root/testdata/sf0.01", "region")
+    nation.createOrReplaceTempView("exp_nation")
+    region.createOrReplaceTempView("exp_region")
+    target = str(tmp_path / "exported_db")
+    manifest = export_database(
+        spark, target, tables=["exp_nation", "exp_region"]
+    )
+    assert set(manifest) == {"exp_nation", "exp_region"}
+    assert os.path.exists(os.path.join(target, "schema.sql"))
+    spark.catalog.dropTempView("exp_nation")
+    spark.catalog.dropTempView("exp_region")
+    imported = import_database(spark, target)
+    assert set(imported) == {"exp_nation", "exp_region"}
+    assert sorted(map(tuple, spark.table("exp_nation").collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    assert spark.table("exp_region").count() == region.count()
+    spark.catalog.dropTempView("exp_nation")
+    spark.catalog.dropTempView("exp_region")

@@ -108,3 +108,38 @@ def test_stream_stream_join(spark):
     )
     assert got.count() == bj.count()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, bj.collect()))
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static broadcast join: per-segment counts equal batch."""
+    import pyspark.sql.functions as F
+
+    dim = load_table(spark, SF, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    ).filter(F.col("user_id") < 150)
+    enriched = E.enrich_with_static(
+        E.stream_events(spark, SF), dim, on="user_id"
+    ).groupBy("c_mktsegment").count()
+    got = E.run_to_memory(enriched, "t_enrich")
+    batch = (
+        load_table(spark, SF, "events")
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert _rows(got, ["c_mktsegment"]) == _rows(batch, ["c_mktsegment"])
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch arbitrary sink: per-batch parquet appends hold every row."""
+    out = str(tmp_path / "sink")
+    seen = []
+
+    def sink(df, epoch_id):
+        seen.append(epoch_id)
+        df.write.mode("append").parquet(out)
+
+    E.run_foreach_batch(E.stream_events(spark, SF), sink)
+    n = load_table(spark, SF, "events").count()
+    assert len(seen) >= 1
+    assert spark.read.parquet(out).count() == n
