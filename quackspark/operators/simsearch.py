@@ -42,7 +42,10 @@ def srp_signs(plane: int, dim: int = DIM) -> list[int]:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold double dot product — element order fixed → deterministic."""
+    """Left-fold double dot product — element order fixed → deterministic.
+    (An unrolled 64-term element_at expression was tried and is ~3× SLOWER:
+    the giant tree defeats whole-stage codegen and falls back to per-node
+    interpretation, while the HOF fold is one tight interpreted loop.)"""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -113,18 +116,23 @@ def brute_force_topk(
 
 
 def _banded(df: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame:
-    """(id, vec, band) rows. The signature is materialized in its own
+    """(id, vec, norm, band) rows. The signature is materialized in its own
     projection before band-splitting — band_keys references it 2× per band
     and the join consumes it twice, so inlining the 16-plane HOF expression
-    would recompute it ~8× (the minhash lesson, operators/dedup.py)."""
+    would recompute it ~8× (the minhash lesson, operators/dedup.py). The
+    vector norm is computed HERE, once per row, so the O(candidates)
+    verification stage pays one dot-product fold per pair instead of
+    three (norms are pair-invariant)."""
     sig_df = df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         F.col(vec_col).alias(f"{prefix}_vec"),
+        norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
         srp_signature(F.col(vec_col)).alias("sig"),
     ).localCheckpoint(eager=False)
     return sig_df.select(
         f"{prefix}_id",
         f"{prefix}_vec",
+        f"{prefix}_nrm",
         F.explode(srp_band_keys(F.col("sig"))).alias("band"),
     )
 
@@ -141,17 +149,24 @@ def srp_lsh_topk(
     the query, reranked by exact cosine. Shuffle is on band keys only."""
     q = _banded(queries, vec_col, id_col, "q")
     c = _banded(corpus, vec_col, id_col, "c")
-    cand = (
+    # score RAW band collisions map-side (vectors never survive the
+    # projection), then dedup the (q,c,cos) triples — duplicate collisions
+    # recompute an identical cos (≤ N_BANDS×, mean ~1.1×), which is far
+    # cheaper than shuffling both vectors through a pre-scoring distinct
+    scored = (
         F.broadcast(q)
         .join(c, "band")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", "c_id", "c_vec")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cos"),
+        )
         .dropDuplicates(["q_id", "c_id"])
-    )
-    scored = cand.select(
-        "q_id",
-        "c_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -247,7 +262,13 @@ def embedding_neardup_pairs(
     verified by exact cosine ≥ threshold."""
     e = _banded(corpus, vec_col, id_col, "e")
     a, b = e.alias("a"), e.alias("b")
-    cand = (
+    # cos is computed on raw band collisions: vectors die at the join's
+    # output projection and the dedup shuffle carries only (d1, d2, cos)
+    # triples (duplicate collisions yield identical cos). The dedup sits
+    # BETWEEN scoring and the threshold filter on purpose — it is an
+    # aggregation barrier, so the filter cannot be pushed back through the
+    # projection (which would re-inline and recompute the dot per row)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -256,14 +277,12 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.e_id").alias("d1"),
             F.col("b.e_id").alias("d2"),
-            F.col("a.e_vec").alias("v1"),
-            F.col("b.e_vec").alias("v2"),
+            F.round(
+                dot(F.col("a.e_vec"), F.col("b.e_vec"))
+                / (F.col("a.e_nrm") * F.col("b.e_nrm")),
+                6,
+            ).alias("cos"),
         )
         .dropDuplicates(["d1", "d2"])
-    )
-    return (
-        cand.select(
-            "d1", "d2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos")
-        )
         .filter(F.col("cos") >= threshold)
     )

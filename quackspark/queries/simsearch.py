@@ -102,10 +102,12 @@ def _sql_band_keys(sig: str) -> str:
 
 _SIG_CTE = f"""
     sig AS (
-        SELECT vec_id, embedding, {_sql_srp_sig("embedding")} AS s
+        SELECT vec_id, embedding,
+               sqrt({_sql_dot("embedding", "embedding")}) AS nrm,
+               {_sql_srp_sig("embedding")} AS s
         FROM embeddings
     ), banded AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id, embedding, nrm,
                unnest({_sql_band_keys("s")}) AS band
         FROM sig
     )
@@ -169,13 +171,14 @@ ORACLES = {
     "sim_srp_lsh_topk": f"""
         WITH {_SIG_CTE},
         cand AS (
-            SELECT DISTINCT q.vec_id AS q_id, q.embedding AS q_vec,
-                            c.vec_id AS c_id, c.embedding AS c_vec
+            SELECT DISTINCT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm,
+                            c.vec_id AS c_id, c.embedding AS c_vec, c.nrm AS c_nrm
             FROM banded q JOIN banded c
               ON q.band = c.band AND q.vec_id != c.vec_id
             WHERE q.vec_id < {N_QUERIES}
         ), scored AS (
-            SELECT q_id, c_id, {_sql_cosine("q_vec", "c_vec")} AS cos
+            SELECT q_id, c_id,
+                   round({_sql_dot("q_vec", "c_vec")} / (q_nrm * c_nrm), 6) AS cos
             FROM cand
         ), ranked AS (
             SELECT q_id, c_id, cos,
@@ -189,14 +192,17 @@ ORACLES = {
     "sim_embedding_neardup": f"""
         WITH {_SIG_CTE},
         cand AS (
-            SELECT DISTINCT a.vec_id AS d1, a.embedding AS v1,
-                            b.vec_id AS d2, b.embedding AS v2
+            SELECT DISTINCT a.vec_id AS d1, a.embedding AS v1, a.nrm AS n1,
+                            b.vec_id AS d2, b.embedding AS v2, b.nrm AS n2
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT d1, d2,
+                   round({_sql_dot("v1", "v2")} / (n1 * n2), 6) AS cos
+            FROM cand
         )
-        SELECT d1, d2, {_sql_cosine("v1", "v2")} AS cos
-        FROM cand
-        WHERE {_sql_cosine("v1", "v2")} >= {THRESHOLD}
+        SELECT d1, d2, cos FROM scored
+        WHERE cos >= {THRESHOLD}
         ORDER BY d1, d2
     """,
 }
