@@ -221,27 +221,28 @@ def minhash_lsh_pairs(
         "doc", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    # est_jaccard is computed on RAW band collisions so the signatures die
+    # at the join projection; the dedup shuffle then carries only
+    # (d1, d2, est) triples (collisions in multiple bands yield identical
+    # estimates). The dedup sits BEFORE the threshold filter on purpose:
+    # it is an aggregation barrier, so the filter cannot be pushed back
+    # into the projection and re-inline the zip_with per row.
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
         .select(
             F.col("a.doc").alias("d1"),
             F.col("b.doc").alias("d2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
+            F.round(agree / F.lit(n_hashes), 6).alias("est_jaccard"),
         )
         .dropDuplicates(["d1", "d2"])
+        .filter(F.col("est_jaccard") >= threshold)
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return cand.select(
-        "d1",
-        "d2",
-        F.round(agree / F.lit(n_hashes), 6).alias("est_jaccard"),
-    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
