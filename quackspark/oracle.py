@@ -53,6 +53,10 @@ def _norm_cell(v):
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
+        # DuckDB surfaces MAP values as {'key': [...], 'value': [...]} —
+        # canonicalize to the same (k, v) pair tuples as a Python dict
+        if set(v) == {"key", "value"} and isinstance(v.get("key"), list):
+            v = dict(zip(v["key"], v["value"]))
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
