@@ -539,6 +539,73 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     return " ".join(toks)
 
 
+#: statement-level commands that need the session, not just text rewrite
+#: (reference: EXPORT/IMPORT enum duckdb.hpp:12001-12002, COPY TO
+#: duckdb-4.cpp:4689)
+_EXPORT_RE = re.compile(
+    r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*;?\s*$",
+    re.I,
+)
+_IMPORT_RE = re.compile(r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.I)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(\w+|\(.*\))\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+
+
+def _parse_copy_options(opts: str | None) -> dict:
+    out: dict = {}
+    for part in re.split(r",", opts or ""):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"(\w+)\s*(.*)", part)
+        key, val = m.group(1).lower(), m.group(2).strip().strip("'")
+        if key == "format":
+            out["format"] = val.lower()
+        elif key == "header":
+            out["header"] = val.lower() not in ("false", "0")
+        elif key in ("delimiter", "delim", "sep"):
+            out["delim"] = val
+        elif key == "compression":
+            out["compression"] = val
+        elif key == "partition_by":
+            out["partition_by"] = [
+                c.strip() for c in val.strip("()").split(",") if c.strip()
+            ]
+        else:
+            raise UnsupportedSQL(f"COPY option {key!r}")
+    return out
+
+
+def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """Handle non-SELECT statements (EXPORT/IMPORT DATABASE, COPY TO);
+    returns a status DataFrame or None if the text is not one of them."""
+    from quackspark.sources.csvio import copy_to
+    from quackspark.sources.exportdb import export_database, import_database
+
+    if m := _EXPORT_RE.match(duckdb_sql):
+        manifest = export_database(spark, m.group(1), format=(m.group(2) or "parquet").lower())
+        return spark.createDataFrame(
+            sorted(manifest.items()), "table string, path string"
+        )
+    if m := _IMPORT_RE.match(duckdb_sql):
+        names = import_database(spark, m.group(1))
+        return spark.createDataFrame([(n,) for n in sorted(names)], "table string")
+    if m := _COPY_RE.match(duckdb_sql):
+        src, path, opts = m.group(1), m.group(2), _parse_copy_options(m.group(3))
+        if src.startswith("("):
+            df = spark.sql(transpile(src[1:-1], spark))
+        else:
+            df = spark.table(src)
+        copy_to(df, path, **{"format": opts.pop("format", "csv"), **opts})
+        return spark.createDataFrame([(path,)], "path string")
+    return None
+
+
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     """Entry point A: run DuckDB-dialect SQL on Spark."""
+    handled = _run_statement(spark, duckdb_sql)
+    if handled is not None:
+        return handled
     return spark.sql(transpile(duckdb_sql, spark))

@@ -175,3 +175,32 @@ def test_similarity_and_time_bucket_in_sql(spark, duck):
     assert [tuple(r) for r in sqlfront.sql(spark, q2).collect()] == duck.sql(
         q2
     ).fetchall()
+
+
+def test_copy_statement_and_export_import(spark, tmp_path):
+    """COPY (SELECT …) TO / EXPORT DATABASE / IMPORT DATABASE statements
+    route through the same writers as the programmatic API."""
+    from quackspark import sqlfront
+
+    out_csv = str(tmp_path / "nations.csv")
+    res = sqlfront.sql(
+        spark,
+        f"COPY (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5) "
+        f"TO '{out_csv}' (FORMAT CSV, HEADER, DELIMITER '|')",
+    )
+    assert res.collect()[0]["path"] == out_csv
+    back = spark.read.option("header", True).option("sep", "|").csv(out_csv)
+    assert back.count() == 5
+
+    spark.sql("SELECT n_nationkey, n_name FROM nation").createOrReplaceTempView(
+        "exp_stmt_nation"
+    )
+    exp_dir = str(tmp_path / "expdb")
+    res = sqlfront.sql(
+        spark, f"EXPORT DATABASE '{exp_dir}' (FORMAT PARQUET)"
+    )
+    assert "exp_stmt_nation" in {r["table"] for r in res.collect()}
+    spark.catalog.dropTempView("exp_stmt_nation")
+    res = sqlfront.sql(spark, f"IMPORT DATABASE '{exp_dir}'")
+    assert spark.table("exp_stmt_nation").count() == 25
+    spark.catalog.dropTempView("exp_stmt_nation")
