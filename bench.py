@@ -49,6 +49,7 @@ def main() -> None:
         "sw_session",
         "text_fingerprint",
         "json_group_rollup",
+        "pipeline_training_prep",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

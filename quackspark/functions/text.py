@@ -83,3 +83,24 @@ def char_class_count(text: Column | str, chars: str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     cls = "[" + chars.replace("\\", r"\\").replace("]", r"\]") + "]"
     return F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+
+
+def quality_score(text: Column | str, stopwords: list[str]) -> Column:
+    """Composite document-quality score in [0,1] (stopword ratio,
+    punctuation ratio, digit ratio, type-token ratio) — the shared
+    expression behind queries/textops.text_quality_score and the
+    training-prep pipeline gate. Pure per-row column arithmetic."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    ntok = F.greatest(F.size(toks), F.lit(1))
+    nchar = F.greatest(F.length(c), F.lit(1))
+    stop_ratio = stopword_hits(toks, stopwords) / ntok
+    punct_ratio = char_class_count(c, ".,!?;:") / nchar
+    digit_ratio = char_class_count(c, "0123456789") / nchar
+    ttr = F.size(F.array_distinct(toks)) / ntok
+    return (
+        F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.25) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.25) * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
+        + F.lit(0.25) * ttr
+    )

@@ -31,6 +31,7 @@ def _modules():
         misc,
         multimodal,
         nested,
+        pipeline,
         setops,
         simsearch,
         streamwin,
@@ -62,6 +63,7 @@ def _modules():
         subqueries,
         misc,
         dedup,
+        pipeline,
         textops,
         simsearch,
         streamwin,

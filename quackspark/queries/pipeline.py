@@ -1,0 +1,139 @@
+"""End-to-end training-data preparation pipeline over `documents` —
+the composition the north-star operators exist for, as ONE declarative
+plan: exact dedup → MinHash-LSH near-dup removal → language + quality
+gates → per-source corpus rollup.
+
+Every stage is the already-oracled operator (operators/dedup.py,
+functions/text.py); composing them in one DataFrame expression lets
+Catalyst fuse the gates into the scans and keeps the whole pipeline
+lazy — nothing materializes between stages.
+
+Scale shape (100 TB corpus): stage shuffles are (1) the 128-bit
+fingerprint groupBy, (2) the shingle explode + signature aggregate and
+band-key join of the LSH stage (collision-bounded), (3) the final
+source rollup (tiny). The near-dup drop list is dimension-sized and
+broadcast into an anti-join; the quality/language gates are pure map
+filters that push into the survivor scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark.functions import text as T
+from quackspark.operators import dedup as D
+from quackspark.queries._util import davg, load_table, o_davg
+from quackspark.queries.dedup import (
+    _sql_band_keys,
+    _sql_shingles,
+    _sql_signature,
+    _TOKS,
+    _TOKS_LOWER,
+    N_HASHES,
+)
+from quackspark.queries.textops import _sql_hits, _STOPWORDS
+
+_EST_THRESHOLD = 0.25
+_QUALITY_THRESHOLD = 0.5
+
+
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # 1. exact dedup: survivor = min doc_id per normalized-text fingerprint
+    fp = F.md5(F.concat_ws(" ", T.tokens(F.lower(F.col("text")))))
+    surv_ids = (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(surv_ids, "doc_id", "left_semi")
+    # 2. near-dup removal: drop the higher id of each MinHash-LSH pair
+    drops = (
+        D.minhash_lsh_pairs(
+            surv, "text", "doc_id", k=3, n_hashes=N_HASHES, bands=8,
+            threshold=_EST_THRESHOLD,
+        )
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    kept = surv.join(F.broadcast(drops), "doc_id", "left_anti")
+    # 3. language + quality gates (pure map filters)
+    gated = (
+        kept.filter(F.col("lang") == "en")
+        .withColumn(
+            "quality", F.round(T.quality_score(F.col("text"), _STOPWORDS["en"]), 6)
+        )
+        .filter(F.col("quality") >= _QUALITY_THRESHOLD)
+    )
+    # 4. per-source corpus rollup
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
+            davg("quality").alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {"pipeline_training_prep": pipeline_training_prep}
+
+
+def _sql_quality() -> str:
+    ntok = f"greatest(len({_TOKS}), 1)"
+    nchar = "greatest(length(text), 1)"
+    npunct = "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
+    ndigit = "length(text) - length(regexp_replace(text, '[0123456789]', '', 'g'))"
+    stop = f"CAST({_sql_hits(_TOKS, _STOPWORDS['en'])} AS DOUBLE) / {ntok}"
+    punct = f"CAST({npunct} AS DOUBLE) / {nchar}"
+    digit = f"CAST({ndigit} AS DOUBLE) / {nchar}"
+    ttr = f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / {ntok}"
+    return (
+        f"(0.25 * least({stop} * 5, 1.0)"
+        f" + 0.25 * (1 - least({punct} * 10, 1.0))"
+        f" + 0.25 * (1 - least({digit} * 10, 1.0))"
+        f" + 0.25 * {ttr})"
+    )
+
+
+ORACLES = {
+    "pipeline_training_prep": f"""
+        WITH norm AS (
+            SELECT doc_id, text, lang, source,
+                   md5(list_aggregate({_TOKS_LOWER}, 'string_agg', ' ')) AS fp
+            FROM documents
+        ), surv AS (
+            SELECT doc_id, text, lang, source FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS s FROM norm
+            ) WHERE doc_id = s
+        ), sig AS (
+            SELECT doc_id AS doc,
+                   {_sql_signature(f"list_distinct({_sql_shingles(_TOKS)})")} AS sig
+            FROM surv
+        ), banded AS (
+            SELECT doc, sig, unnest({_sql_band_keys()}) AS band FROM sig
+        ), drops AS (
+            SELECT DISTINCT b.doc AS doc_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.doc < b.doc
+            WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+                                       i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+                  / {N_HASHES} >= {_EST_THRESHOLD}
+        ), gated AS (
+            SELECT doc_id, source, text, round({_sql_quality()}, 6) AS quality
+            FROM surv
+            WHERE lang = 'en'
+              AND doc_id NOT IN (SELECT doc_id FROM drops)
+        )
+        SELECT source,
+               count(*) AS docs_kept,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               {o_davg("quality")} AS mean_quality
+        FROM gated
+        WHERE quality >= {_QUALITY_THRESHOLD}
+        GROUP BY source ORDER BY source
+    """,
+}
