@@ -309,6 +309,57 @@ def _rewrite_intdiv(toks: list[str]) -> list[str]:
     return ["div" if t == "//" else t for t in toks]
 
 
+def _rewrite_using_sample(toks: list[str]) -> list[str]:
+    """`USING SAMPLE n ROWS | n% | bernoulli(n%) | system(n%) |
+    reservoir(n)` (reference sample clause, SampleMethod duckdb.hpp:20017)
+    → Spark `TABLESAMPLE (n ROWS | n PERCENT)`. Sampling is inherently
+    nondeterministic across engines — row-level results are rows-only
+    territory; the rewrite preserves the method's cardinality semantics."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if (
+            toks[i].lower() == "using"
+            and i + 1 < n
+            and toks[i + 1].lower() == "sample"
+        ):
+            j = i + 2
+            method = None
+            if j < n and toks[j].lower() in ("bernoulli", "system", "reservoir"):
+                method = toks[j].lower()
+                if j + 1 < n and toks[j + 1] == "(":
+                    j += 2
+                else:
+                    raise UnsupportedSQL("USING SAMPLE method needs (arg)")
+            if j >= n or not re.fullmatch(r"\d+(?:\.\d*)?", toks[j]):
+                raise UnsupportedSQL("USING SAMPLE requires a numeric size")
+            amount = toks[j]
+            j += 1
+            unit = "ROWS" if method == "reservoir" else None
+            if j < n and toks[j] == "%":
+                unit = "PERCENT"
+                j += 1
+            elif j < n and toks[j].lower() in ("percent", "rows"):
+                unit = toks[j].upper()
+                j += 1
+            if method in ("bernoulli", "system"):
+                unit = unit or "PERCENT"
+            if unit is None:  # bare `USING SAMPLE 10` = 10 rows in DuckDB
+                unit = "ROWS"
+            if method is not None:
+                if j < n and toks[j] == ")":
+                    j += 1
+                else:
+                    raise UnsupportedSQL("unterminated USING SAMPLE method")
+            out += ["TABLESAMPLE", "(", amount, unit, ")"]
+            i = j
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
     if not m:
@@ -533,6 +584,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _expand_macros(toks)
     toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
+    toks = _rewrite_using_sample(toks)
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)
     toks = _rewrite_calls(toks)

@@ -204,3 +204,21 @@ def test_copy_statement_and_export_import(spark, tmp_path):
     res = sqlfront.sql(spark, f"IMPORT DATABASE '{exp_dir}'")
     assert spark.table("exp_stmt_nation").count() == 25
     spark.catalog.dropTempView("exp_stmt_nation")
+
+
+def test_using_sample_rewrite(spark):
+    """USING SAMPLE forms → TABLESAMPLE with matching cardinality semantics."""
+    from quackspark import sqlfront
+
+    t = sqlfront.transpile("SELECT * FROM nation USING SAMPLE 10 ROWS")
+    assert "TABLESAMPLE ( 10 ROWS )" in t
+    t = sqlfront.transpile("SELECT * FROM nation USING SAMPLE 20%")
+    assert "TABLESAMPLE ( 20 PERCENT )" in t
+    t = sqlfront.transpile("SELECT * FROM nation USING SAMPLE bernoulli(50%)")
+    assert "TABLESAMPLE ( 50 PERCENT )" in t
+    t = sqlfront.transpile("SELECT * FROM nation USING SAMPLE reservoir(7)")
+    assert "TABLESAMPLE ( 7 ROWS )" in t
+    rows = sqlfront.sql(
+        spark, "SELECT n_nationkey FROM nation USING SAMPLE 5 ROWS"
+    ).collect()
+    assert len(rows) == 5
