@@ -1,0 +1,53 @@
+"""Bucketed tables — the co-located-join storage layout (the Spark analog
+of pre-partitioning a fact table on its join key; the reference needs no
+equivalent because it is single-process, but at 100 TB this is what turns
+the recurring lineitem⋈orders shuffle into a scan-local merge join).
+
+`write_bucketed` persists a DataFrame hash-bucketed (and optionally
+sorted) by the join keys; two tables bucketed the same way join with NO
+exchange — each task merge-joins bucket i of both sides straight off the
+scan. Use for keys that are joined repeatedly (orderkey, custkey): the
+shuffle is paid once at write time, then amortized over every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str] | str,
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist `df` as a bucketed managed table (parquet in the session
+    warehouse). `sort=True` also sorts within buckets by the keys, which
+    removes the per-task Sort from subsequent merge joins."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.format("parquet").saveAsTable(name)
+
+
+def bucketed_join_is_shuffle_free(
+    spark: SparkSession, left: str, right: str, on: list[str] | str
+) -> bool:
+    """Plan introspection helper: True iff joining the two bucketed tables
+    on `on` plans no Exchange (broadcast disabled for the check)."""
+    on = [on] if isinstance(on, str) else list(on)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            spark.table(left)
+            .join(spark.table(right), on)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return "Exchange" not in plan

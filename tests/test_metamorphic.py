@@ -24,6 +24,9 @@ PROBES = [
     "sim_bruteforce_topk",
     "agg_grouping_sets",
     "sw_session",
+    "q21_waiting_supplier",
+    "join_asof_backward",
+    "pipeline_training_prep",
 ]
 
 
