@@ -630,6 +630,66 @@ def _parse_copy_options(opts: str | None) -> dict:
     return out
 
 
+def _split_top_level_union(toks: list[str]) -> tuple[list[str], list[str], bool]:
+    """Split CTE body tokens at the top-level UNION [ALL]; returns
+    (base, step, union_all)."""
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "union":
+            if i + 1 < len(toks) and toks[i + 1].lower() == "all":
+                return toks[:i], toks[i + 2 :], True
+            return toks[:i], toks[i + 1 :], False
+    raise UnsupportedSQL("recursive CTE body needs a top-level UNION [ALL]")
+
+
+def _run_recursive(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """`WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step) tail` —
+    entry point A for the reference's RECURSIVE_CTE operator
+    (duckdb-4.cpp:7608), evaluated by operators/recursive.py's distributed
+    fixpoint: each round re-runs the step SQL with the CTE name bound to
+    the previous frontier (working-table semantics)."""
+    from quackspark.operators.recursive import recursive_cte
+
+    toks = _tokens(duckdb_sql)
+    low = [t.lower() for t in toks]
+    if low[:2] != ["with", "recursive"]:
+        return None
+    i = 2
+    name = toks[i]
+    i += 1
+    cols: list[str] | None = None
+    if toks[i] == "(":
+        end = _find_call_end(toks, i)
+        cols = [t for t in toks[i + 1 : end] if t != ","]
+        i = end + 1
+    if low[i] != "as" or toks[i + 1] != "(":
+        raise UnsupportedSQL("WITH RECURSIVE requires AS (...)")
+    body_end = _find_call_end(toks, i + 1)
+    base_toks, step_toks, union_all = _split_top_level_union(
+        toks[i + 2 : body_end]
+    )
+    tail = " ".join(toks[body_end + 1 :])
+    if not tail:
+        tail = f"SELECT * FROM {name}"
+
+    base_df = spark.sql(transpile(" ".join(base_toks), spark))
+    if cols:
+        base_df = base_df.toDF(*cols)
+
+    def step(frontier: DataFrame) -> DataFrame:
+        frontier.createOrReplaceTempView(name)
+        out = spark.sql(transpile(" ".join(step_toks), spark))
+        return out.toDF(*cols) if cols else out.toDF(*base_df.columns)
+
+    result = recursive_cte(base_df, step, union_all=union_all)
+    result.createOrReplaceTempView(name)
+    return spark.sql(transpile(tail, spark))
+
+
 def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     """Handle non-SELECT statements (EXPORT/IMPORT DATABASE, COPY TO);
     returns a status DataFrame or None if the text is not one of them."""
@@ -658,6 +718,8 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     """Entry point A: run DuckDB-dialect SQL on Spark."""
     handled = _run_statement(spark, duckdb_sql)
+    if handled is None:
+        handled = _run_recursive(spark, duckdb_sql)
     if handled is not None:
         return handled
     return spark.sql(transpile(duckdb_sql, spark))

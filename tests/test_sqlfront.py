@@ -222,3 +222,38 @@ def test_using_sample_rewrite(spark):
         spark, "SELECT n_nationkey FROM nation USING SAMPLE 5 ROWS"
     ).collect()
     assert len(rows) == 5
+
+
+def test_with_recursive_union_all_series(spark):
+    """WITH RECURSIVE ... UNION ALL: generate 1..10, differential value."""
+    from quackspark import sqlfront
+
+    got = sqlfront.sql(
+        spark,
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 10) SELECT sum(n) AS s FROM t",
+    ).collect()[0]["s"]
+    import duckdb
+
+    want = duckdb.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 10) SELECT sum(n) AS s FROM t"
+    ).fetchone()[0]
+    assert got == want == 55
+
+
+def test_with_recursive_union_terminates_on_cycle(spark):
+    """UNION (distinct) semantics must converge on cyclic edges."""
+    from quackspark import sqlfront
+
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src int, dst int"
+    ).createOrReplaceTempView("cyc_edges")
+    rows = sqlfront.sql(
+        spark,
+        "WITH RECURSIVE r(node) AS (SELECT 0 UNION "
+        "SELECT dst FROM cyc_edges JOIN r ON src = node) "
+        "SELECT node FROM r ORDER BY node",
+    ).collect()
+    assert [r["node"] for r in rows] == [0, 1, 2, 3]
+    spark.catalog.dropTempView("cyc_edges")
