@@ -127,7 +127,64 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-style filters a training
+    pipeline gates on): duplicate-bigram fraction per document and the
+    most-frequent-token mass ratio. The bigram part is a per-row HOF; the
+    top-token part is the map-reduce shape (explode → per-(doc,token)
+    count → per-doc max), partial-aggregated both levels."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    grams = T.word_shingles(toks, 2)
+    per_row = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.round(
+            F.when(
+                F.size(grams) > 0,
+                1 - F.size(F.array_distinct(grams)) / F.size(grams),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    tok_counts = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    return (
+        per_row.join(tok_counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "dup_bigram_frac",
+            "top_tok_n",
+            F.round(F.col("top_tok_n") / F.greatest(F.col("n_tok"), F.lit(1)), 6)
+            .alias("top_tok_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: global token frequencies, top 20 —
+    the vocabulary-building scan of a tokenizer-training pipeline. One
+    explode + count shuffle, then TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "text_repetition": text_repetition,
+    "text_vocab_topk": text_vocab_topk,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -148,7 +205,46 @@ def _sql_hits(toks: str, words: list[str]) -> str:
     )
 
 
+def _sql_bigrams() -> str:
+    # dedup's _TOKS (lambda var `x`) — textops' `t`-lambda collides with
+    # the shingle subquery's column alias `t` in DuckDB's binder
+    from quackspark.queries.dedup import _sql_shingles, _TOKS
+
+    return _sql_shingles(_TOKS, 2)
+
+
 ORACLES = {
+    "text_repetition": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKS}) AS INT) AS n_tok,
+                   {_sql_bigrams()} AS grams
+            FROM documents
+        ), per_row AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1 - CAST(len(list_distinct(grams))
+                                            AS DOUBLE) / len(grams), 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM g
+        ), tc AS (
+            SELECT doc_id, max(c) AS top_tok_n FROM (
+                SELECT doc_id, tok, count(*) AS c FROM (
+                    SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+                ) GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT per_row.doc_id, n_tok, dup_bigram_frac, top_tok_n,
+               round(CAST(top_tok_n AS DOUBLE) / greatest(n_tok, 1), 6)
+                   AS top_tok_ratio
+        FROM per_row JOIN tc ON per_row.doc_id = tc.doc_id
+        ORDER BY per_row.doc_id
+    """,
+    "text_vocab_topk": f"""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest({_SQL_TOKS_LOWER}) AS tok FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
     "text_token_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS INT) AS chars,
