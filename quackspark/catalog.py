@@ -50,3 +50,69 @@ def duckdb_functions(spark: SparkSession) -> DataFrame:
     """Registered function inventory (built-ins + ours)."""
     rows = [(f.name, f.isTemporary) for f in spark.catalog.listFunctions()]
     return spark.createDataFrame(rows, "function_name string, temporary boolean")
+
+
+def pragma_table_info(spark: SparkSession, table: str) -> DataFrame:
+    """SQLite-compat `PRAGMA table_info('t')` (registered by the reference
+    at duckdb-6.cpp:14150-14176): cid, name, type, notnull, dflt_value, pk.
+    Spark has no column defaults or primary keys on views — those render
+    NULL/false like the reference does for tables without them."""
+    rows = [
+        (i, c.name, c.dataType, not c.nullable, None, False)
+        for i, c in enumerate(spark.catalog.listColumns(table))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cid int, name string, type string, notnull boolean, "
+        "dflt_value string, pk boolean",
+    )
+
+
+def summarize(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
+    """`SUMMARIZE rel` (reference `summary` table function,
+    duckdb-6.cpp:9489-9496): per-column min / max / unique-count /
+    null-count / row-count profile.
+
+    One distributed aggregation pass over the input (single global agg →
+    one reduce to a 1-row frame), then a `stack` unpivot — no per-column
+    jobs, no driver materialization of data rows. `exact_distinct=False`
+    uses HyperLogLog approx_count_distinct, matching the reference's
+    approx_unique choice and the only sane option at 100 TB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, f in enumerate(fields):
+        c = F.col(f.name)
+        orderable = not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        )
+        countable = not isinstance(f.dataType, T.MapType)
+        mn = F.min(c).cast("string") if orderable else F.lit(None).cast("string")
+        mx = F.max(c).cast("string") if orderable else F.lit(None).cast("string")
+        if countable:
+            uq = (
+                F.countDistinct(c) if exact_distinct else F.approx_count_distinct(c)
+            ).cast("long")
+        else:
+            uq = F.lit(None).cast("long")
+        aggs += [
+            mn.alias(f"__min_{i}"),
+            mx.alias(f"__max_{i}"),
+            uq.alias(f"__uq_{i}"),
+            F.sum(c.isNull().cast("long")).alias(f"__nul_{i}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{f.name}', '{f.dataType.simpleString()}', "
+        f"`__min_{i}`, `__max_{i}`, `__uq_{i}`, `__nul_{i}`"
+        for i, f in enumerate(fields)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(fields)}, {stack_args}) AS "
+            "(column_name, column_type, min, max, approx_unique, null_count)"
+        ),
+        F.col("__n").alias("count"),
+    )

@@ -704,6 +704,31 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     if m := _IMPORT_RE.match(duckdb_sql):
         names = import_database(spark, m.group(1))
         return spark.createDataFrame([(n,) for n in sorted(names)], "table string")
+    if m := re.match(r"^\s*SUMMARIZE\s+(.+?)\s*;?\s*$", duckdb_sql, re.I | re.DOTALL):
+        from quackspark.catalog import summarize
+
+        inner = m.group(1)
+        df = (
+            spark.sql(transpile(inner, spark))
+            if re.match(r"^\s*(SELECT|WITH|FROM)\b", inner, re.I)
+            else spark.table(inner)
+        )
+        return summarize(df)
+    if m := re.match(
+        r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.]*)'?\s*\))?\s*;?\s*$", duckdb_sql, re.I
+    ):
+        from quackspark.catalog import duckdb_tables, pragma_table_info
+
+        pragma, arg = m.group(1).lower(), m.group(2)
+        if pragma == "table_info" and arg:
+            return pragma_table_info(spark, arg)
+        if pragma == "show_tables":
+            return duckdb_tables(spark).select("table_name")
+        if pragma == "version":
+            return spark.createDataFrame(
+                [(spark.version,)], "library_version string"
+            )
+        raise UnsupportedSQL(f"PRAGMA {pragma}")
     if m := _COPY_RE.match(duckdb_sql):
         src, path, opts = m.group(1), m.group(2), _parse_copy_options(m.group(3))
         if src.startswith("("):

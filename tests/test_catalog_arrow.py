@@ -50,3 +50,36 @@ def test_arrow_out_roundtrip(spark):
     assert [tuple(r) for r in back.orderBy("n_nationkey").collect()] == [
         tuple(r) for r in df.collect()
     ]
+
+
+def test_pragma_table_info_and_summarize_statements(spark):
+    """PRAGMA table_info / SUMMARIZE route through the statement frontend."""
+    from quackspark import sqlfront
+
+    info = sqlfront.sql(spark, "PRAGMA table_info('nation')").collect()
+    assert [r["name"] for r in info] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert info[0]["cid"] == 0
+
+    prof = sqlfront.sql(spark, "SUMMARIZE nation").collect()
+    by_col = {r["column_name"]: r for r in prof}
+    assert set(by_col) == {"n_nationkey", "n_name", "n_regionkey"}
+    r = by_col["n_nationkey"]
+    assert (r["min"], r["max"], r["count"], r["null_count"]) == ("0", "24", 25, 0)
+    assert by_col["n_regionkey"]["column_type"] == "int"
+
+    prof2 = sqlfront.sql(
+        spark, "SUMMARIZE SELECT n_regionkey FROM nation WHERE n_nationkey < 10"
+    ).collect()
+    assert prof2[0]["count"] == 10
+
+
+def test_summarize_exact_distinct(spark):
+    from quackspark.catalog import summarize
+    from quackspark.queries._util import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    prof = {
+        r["column_name"]: r
+        for r in summarize(li.select("l_returnflag", "l_orderkey"), exact_distinct=True).collect()
+    }
+    assert prof["l_returnflag"]["approx_unique"] == 3
