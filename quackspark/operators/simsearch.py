@@ -6,7 +6,10 @@ string-only: jaccard/levenshtein, duckdb-6.cpp:6020-6021); the vector ops
 follow the same blocking-then-verify shape as operators/dedup.py.
 
 Scale notes (100 TB posture):
-- cosine is a per-row zip_with/fold — pure codegen'd expressions, no UDF.
+- generic cosine is a zip_with/fold expression; the hot paths (signature
+  map, per-candidate verification) use Arrow-batched pandas UDFs whose
+  numpy kernels replay the exact same IEEE op sequence (see dot_arrow /
+  srp_signature_arrow) — vectorized AND bit-identical to the fold.
 - brute-force top-k broadcasts the (small) query set and shuffles only
   (query, candidate-score) pairs; per-query ranking is a window over the
   query key. At billion-row corpora, replace the final window with
@@ -50,6 +53,27 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_arrow(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Arrow-vectorized pair dot product, bit-identical to :func:`dot`
+    (float64 cast per element, left-fold ascending — ``acc += ax_i * bx_i``
+    replays the HOF's multiply-then-add sequence). For the O(candidates)
+    verification stage, where one batched kernel replaces an interpreted
+    64-step fold per pair."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _dot(x, y):
+        ax = np.vstack(x.to_numpy()).astype(np.float64)
+        bx = np.vstack(y.to_numpy()).astype(np.float64)
+        acc = np.zeros(ax.shape[0])
+        for i in range(dim):
+            acc += ax[:, i] * bx[:, i]
+        return pd.Series(acc)
+
+    return _dot(a, b)
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -59,13 +83,45 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def srp_signature(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
-    """n-bit SRP signature as a BIGINT: bit p = (vec · plane_p) > 0."""
+    """n-bit SRP signature as a BIGINT: bit p = (vec · plane_p) > 0.
+    Expression form (16 interpreted HOF folds per row) — kept as the
+    generic/reference implementation; the hot path uses
+    :func:`srp_signature_arrow`."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         signs = F.array(*[F.lit(s) for s in srp_signs(p, dim)])
         proj = dot(vec, signs)
         sig = sig + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
     return sig
+
+
+def srp_signature_arrow(
+    vec: Column, n_planes: int = N_PLANES, dim: int = DIM
+) -> Column:
+    """Arrow-vectorized SRP signature, bit-identical to
+    :func:`srp_signature`: numpy replays the same IEEE op sequence — cast
+    each float32 element to float64, multiply by the ±1.0 sign, and
+    left-fold ascending over elements (``acc += a[:, i] * S[i]`` is the
+    same multiply-then-add pair the HOF fold performs), so the sign tests
+    and therefore the signatures match the expression form and the DuckDB
+    oracle exactly. One batched kernel replaces 16 interpreted folds/row."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [[float(s) for s in srp_signs(p, dim)] for p in range(n_planes)]
+    ).T  # dim × n_planes
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(vecs):
+        a = np.vstack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((a.shape[0], S.shape[1]))
+        for i in range(S.shape[0]):
+            acc += a[:, i : i + 1] * S[i]
+        return pd.Series((acc > 0) @ weights)
+
+    return _sig(vec)
 
 
 def srp_band_keys(sig: Column) -> Column:
@@ -127,7 +183,7 @@ def _banded(df: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame:
         F.col(id_col).alias(f"{prefix}_id"),
         F.col(vec_col).alias(f"{prefix}_vec"),
         norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
-        srp_signature(F.col(vec_col)).alias("sig"),
+        srp_signature_arrow(F.col(vec_col)).alias("sig"),
     ).localCheckpoint(eager=False)
     return sig_df.select(
         f"{prefix}_id",
@@ -161,7 +217,7 @@ def srp_lsh_topk(
             "q_id",
             "c_id",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
+                dot_arrow(F.col("q_vec"), F.col("c_vec"))
                 / (F.col("q_nrm") * F.col("c_nrm")),
                 6,
             ).alias("cos"),
@@ -278,7 +334,7 @@ def embedding_neardup_pairs(
             F.col("a.e_id").alias("d1"),
             F.col("b.e_id").alias("d2"),
             F.round(
-                dot(F.col("a.e_vec"), F.col("b.e_vec"))
+                dot_arrow(F.col("a.e_vec"), F.col("b.e_vec"))
                 / (F.col("a.e_nrm") * F.col("b.e_nrm")),
                 6,
             ).alias("cos"),
