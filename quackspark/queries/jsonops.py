@@ -57,13 +57,48 @@ def json_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_array_length / json_keys / json_valid family (reference JSON
+    extension surface): constructed array JSON, object key listing, and
+    validity checks incl. a deliberately-broken document."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    narr = (F.col("event_id") % 5).cast("int")
+    arrj = F.to_json(F.array_repeat(F.col("event_id"), narr))
+    return e.select(
+        "event_id",
+        arrj.alias("arr_j"),
+        F.json_array_length(arrj).alias("arr_len"),
+        F.json_object_keys("props").alias("ks"),
+        # NB both engines' parsers agree on leading garbage; Spark's
+        # (get_json_object and try_parse_json) tolerate TRAILING garbage
+        # where DuckDB's json_valid does not — a documented drift edge
+        F.get_json_object("props", "$").isNotNull().alias("valid"),
+        F.get_json_object(F.concat(F.lit("x"), F.col("props")), "$")
+        .isNotNull()
+        .alias("still_valid"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
+    "json_inspect": json_inspect,
     "json_extract_scalar": json_extract_scalar,
     "json_construct_roundtrip": json_construct_roundtrip,
     "json_group_rollup": json_group_rollup,
 }
 
 ORACLES = {
+    "json_inspect": """
+        SELECT event_id,
+               to_json(list_transform(generate_series(1, CAST(event_id % 5 AS INT)),
+                                      i -> event_id)) AS arr_j,
+               CAST(json_array_length(
+                   to_json(list_transform(generate_series(1, CAST(event_id % 5 AS INT)),
+                                          i -> event_id))) AS INT) AS arr_len,
+               json_keys(props) AS ks,
+               json_valid(props) AS valid,
+               json_valid('x' || props) AS still_valid
+        FROM events WHERE event_id <= 2000 ORDER BY event_id
+    """,
     "json_extract_scalar": """
         SELECT event_id,
                props ->> '$.k' AS k_str,
