@@ -59,6 +59,43 @@ class Relation:
     def cross_product(self, other: "Relation") -> "Relation":
         return Relation(self._df.crossJoin(other._df))
 
+    def asof_join(
+        self,
+        other: "Relation",
+        on: str,
+        by: list[str] | str | None = None,
+        direction: str = "backward",
+        **kwargs,
+    ) -> "Relation":
+        """Temporal as-of join (operators/asofjoin.py) — beyond-reference
+        extension; DuckDB gained ASOF JOIN only after v0.7."""
+        from quackspark.operators.asofjoin import asof_join
+
+        return Relation(
+            asof_join(self._df, other._df, on=on, by=by, direction=direction, **kwargs)
+        )
+
+    def band_join(
+        self, other: "Relation", left_on: str, right_on: str, band: int, **kwargs
+    ) -> "Relation":
+        """Bounded range join via bucketed equi join (operators/rangejoin.py)."""
+        from quackspark.operators.rangejoin import band_join
+
+        return Relation(
+            band_join(self._df, other._df, left_on, right_on, band, **kwargs)
+        )
+
+    def sample(self, fraction: float, seed: int | None = None) -> "Relation":
+        """`USING SAMPLE n%` (bernoulli) — reference sample operator
+        duckdb-3.cpp:13038."""
+        return Relation(self._df.sample(fraction=fraction, seed=seed))
+
+    def summarize(self, exact_distinct: bool = False) -> "Relation":
+        """Per-column profile (`SUMMARIZE rel`, catalog.summarize)."""
+        from quackspark.catalog import summarize
+
+        return Relation(summarize(self._df, exact_distinct=exact_distinct))
+
     def union(self, other: "Relation", *, all: bool = True) -> "Relation":
         out = self._df.unionAll(other._df)
         return Relation(out if all else out.distinct())

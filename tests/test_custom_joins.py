@@ -65,3 +65,48 @@ def test_asof_tiebreaker_picks_last_right_row(spark):
     )
     out = asof_join(left, right, on="t", by="k", tiebreaker="seq").collect()
     assert out[0]["r_v"] == "hi" and out[0]["r_seq"] == 9
+
+
+def test_asof_and_band_match_bruteforce_on_random_data(spark):
+    """Randomized check (fixed seed): the optimized operators must agree
+    with the brute-force all-pairs definition of their semantics."""
+    import random
+
+    rng = random.Random(99)
+    left = [(rng.randint(0, 4), rng.randint(0, 1000), i) for i in range(120)]
+    right = [
+        (rng.randint(0, 4), rng.randint(0, 1000), 1000 + i, rng.random())
+        for i in range(80)
+    ]
+    L = spark.createDataFrame(left, "k int, t int, lid int")
+    R = spark.createDataFrame(right, "k int, t int, rid int, v double")
+
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in asof_join(L, R, on="t", by="k", tiebreaker="rid").collect()
+    }
+    want = set()
+    for k, t, lid in left:
+        cands = [(rk, rt, rid) for rk, rt, rid, _ in right if rk == k and rt <= t]
+        best = max(cands, key=lambda c: (c[1], c[2]), default=None)
+        want.add((lid, best[2] if best else None))
+    assert got == want
+
+    band = 50
+    gotb = {
+        (r["lid"], r["rid"])
+        for r in band_join(
+            L.select("lid", F.col("t").alias("lt")),
+            R.select("rid", F.col("t").alias("rt")),
+            "lt",
+            "rt",
+            band,
+        ).collect()
+    }
+    wantb = {
+        (lid, rid)
+        for _, lt, lid in left
+        for _, rt, rid, _ in right
+        if abs(lt - rt) <= band
+    }
+    assert gotb == wantb
