@@ -225,6 +225,65 @@ def bar(value: Column, vmin: float, vmax: float, width: int = 80) -> Column:
     return F.concat(F.repeat(F.lit("█"), nfull), F.repeat(F.lit(" "), pad))
 
 
+def even(c: Column | str) -> Column:
+    """DuckDB `even(x)` (duckdb-5.cpp:16306-16344 math registration):
+    round away from zero to the next even integer —
+    sign(x) · 2·ceil(|x|/2), verified against the reference engine."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.signum(c) * 2 * F.ceil(F.abs(c) / 2)).cast("double")
+
+
+def nextafter(a: Column | str, b: Column | str) -> Column:
+    """DuckDB `nextafter(a, b)`: next representable double from a toward
+    b. IEEE-754-defined, so Python's math.nextafter is bit-identical —
+    Arrow-vectorized pandas UDF (no Spark expression exposes the raw
+    bit-increment)."""
+    import math
+
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _na(x, y):
+        return pd.Series(
+            [
+                math.nextafter(p, q) if p is not None and q is not None else None
+                for p, q in zip(x, y)
+            ]
+        )
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _na(a.cast("double"), b.cast("double"))
+
+
+def constant_or_null(value: Column, *conds: Column) -> Column:
+    """DuckDB `constant_or_null(v, c…)` (duckdb-5.cpp:12022-12032): v,
+    or NULL if any condition argument is NULL."""
+    any_null = None
+    for c in conds:
+        n = c.isNull()
+        any_null = n if any_null is None else (any_null | n)
+    return F.when(any_null, F.lit(None)).otherwise(value)
+
+
+#: DuckDB type name → Spark simpleString, for typeof() parity
+_TYPEOF_MAP = {
+    "BOOLEAN": "boolean", "TINYINT": "tinyint", "SMALLINT": "smallint",
+    "INTEGER": "int", "BIGINT": "bigint", "FLOAT": "float",
+    "DOUBLE": "double", "VARCHAR": "string", "BLOB": "binary",
+    "DATE": "date", "TIMESTAMP": "timestamp",
+}
+
+
+def current_setting(spark, name: str) -> str | None:
+    """DuckDB `current_setting('key')` → spark.conf lookup (engine-specific
+    values; not oracle-comparable by design)."""
+    try:
+        return spark.conf.get(name)
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # date/time (duckdb-5.cpp:11399-11414)
 # ---------------------------------------------------------------------------

@@ -134,7 +134,31 @@ def misc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def misc_generic_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second generic-function wave (duckdb-5.cpp:12022-12032 +
+    duckdb-5.cpp:16306 math tail): even, nextafter (IEEE bit-exact via
+    Arrow UDF), constant_or_null, typeof (names normalized to Spark's in
+    the oracle), encode/decode (UTF-8 string↔blob)."""
+    from quackspark.functions import compat
+
+    n = load_table(spark, sf_dir, "nation")
+    x = (F.col("n_nationkey") - 12) / F.lit(4.0)
+    cond = F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("int")).otherwise(1)
+    return n.select(
+        "n_nationkey",
+        compat.even(x).alias("ev"),
+        compat.nextafter(x, F.lit(100.0)).alias("nxt_up"),
+        compat.nextafter(x, F.lit(-100.0)).alias("nxt_dn"),
+        compat.constant_or_null(F.lit(42), cond).alias("con"),
+        F.expr("typeof(n_nationkey)").alias("ty_int"),
+        F.expr("typeof(n_name)").alias("ty_str"),
+        F.encode(F.col("n_name"), "UTF-8").alias("enc"),
+        F.decode(F.encode(F.col("n_name"), "UTF-8"), "UTF-8").alias("dec"),
+    ).orderBy("n_nationkey")
+
+
 QUERIES = {
+    "misc_generic_funcs2": misc_generic_funcs2,
     "misc_values_scan": misc_values_scan,
     "misc_bernoulli_sample": misc_bernoulli_sample,
     "misc_reservoir_sample": misc_reservoir_sample,
@@ -146,6 +170,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "misc_generic_funcs2": """
+        SELECT n_nationkey,
+               even((n_nationkey - 12) / 4.0) AS ev,
+               nextafter((n_nationkey - 12) / 4.0, 100.0) AS nxt_up,
+               nextafter((n_nationkey - 12) / 4.0, -100.0) AS nxt_dn,
+               constant_or_null(42,
+                                CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                                     ELSE 1 END) AS con,
+               CASE typeof(n_nationkey) WHEN 'INTEGER' THEN 'int' END AS ty_int,
+               CASE typeof(n_name) WHEN 'VARCHAR' THEN 'string' END AS ty_str,
+               encode(n_name) AS enc,
+               decode(encode(n_name)) AS dec
+        FROM nation ORDER BY n_nationkey
+    """,
     "misc_values_scan": """
         SELECT * FROM (VALUES (1, 'one', 1.5), (2, 'two', NULL),
                               (3, NULL, 3.5)) AS t(k, name, x)
