@@ -69,7 +69,27 @@ def mm_filtered_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: decode payloads to feature vectors (Arrow
+    stage) then exact cosine top-k over them (operators/simsearch.py) —
+    the decode→embed→search composition of a multimodal pipeline, fully
+    oracled because the stub decode is md5-replayable in SQL."""
+    from quackspark.operators.simsearch import brute_force_topk
+
+    feats = M.extract_features(_payloads(spark, sf_dir)).select(
+        "doc_id", "features"
+    )
+    return brute_force_topk(
+        feats,
+        feats.filter(F.col("doc_id") < 5),
+        vec_col="features",
+        id_col="doc_id",
+        k=3,
+    ).orderBy("q_id", "rnk")
+
+
 QUERIES = {
+    "mm_feature_search": mm_feature_search,
     "mm_features": mm_features,
     "mm_frames": mm_frames,
     "mm_resize_meta": mm_resize_meta,
@@ -82,7 +102,38 @@ _FEATURES = ", ".join(
     for i in range(M.N_FEATURES)
 )
 
+_RAW_FEATURES = ", ".join(
+    f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT / 255.0"
+    for i in range(M.N_FEATURES)
+)
+
+
+def _mm_sql_dot(a: str, b: str) -> str:
+    from quackspark.queries.simsearch import _sql_dot
+
+    return _sql_dot(a, b, dim=M.N_FEATURES)
+
+
 ORACLES = {
+    "mm_feature_search": f"""
+        WITH f AS (
+            SELECT doc_id, [{_RAW_FEATURES}] AS v FROM documents
+        ), scored AS (
+            SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+                   round({_mm_sql_dot("q.v", "c.v")}
+                         / (sqrt({_mm_sql_dot("q.v", "q.v")})
+                            * sqrt({_mm_sql_dot("c.v", "c.v")})), 6) AS cos
+            FROM f q JOIN f c ON q.doc_id != c.doc_id
+            WHERE q.doc_id < 5
+        ), ranked AS (
+            SELECT q_id, c_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, cos
+        FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk
+    """,
     "mm_features": f"""
         SELECT doc_id,
                {_MODALITY} AS modality,
