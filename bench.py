@@ -50,6 +50,8 @@ def main() -> None:
         "text_fingerprint",
         "json_group_rollup",
         "pipeline_training_prep",
+        "join_asof_backward",
+        "dt_hypertable_rollup",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -203,7 +203,33 @@ def dt_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dt_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass over events rolled
+    up through a bucket hierarchy (hour ⊃ 15-min ⊃ minute) via ROLLUP —
+    the multi-resolution time-series materialization TimescaleDB calls a
+    hypertable rollup, expressed as a single grouping-sets aggregation so
+    every resolution shares one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return (
+        e.select(
+            compat.time_bucket(3600, ts).alias("b_hour"),
+            compat.time_bucket(900, ts).alias("b_15m"),
+            compat.time_bucket(60, ts).alias("b_min"),
+            "value",
+        )
+        .rollup("b_hour", "b_15m", "b_min")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total"),
+            F.grouping_id().alias("lvl"),
+        )
+        .orderBy("lvl", "b_hour", "b_15m", "b_min")
+    )
+
+
 QUERIES = {
+    "dt_hypertable_rollup": dt_hypertable_rollup,
     "dt_age_parts": dt_age_parts,
     "dt_time_of_day": dt_time_of_day,
     "dt_part_family": dt_part_family,
@@ -217,6 +243,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dt_hypertable_rollup": f"""
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS b_hour,
+               time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS b_15m,
+               time_bucket(INTERVAL 1 MINUTE, CAST(ts AS TIMESTAMP)) AS b_min,
+               count(*) AS n,
+               {o_dsum("value")} AS total,
+               CAST(grouping(b_hour) * 4 + grouping(b_15m) * 2
+                    + grouping(b_min) AS BIGINT) AS lvl
+        FROM events
+        GROUP BY ROLLUP (b_hour, b_15m, b_min)
+        ORDER BY lvl, b_hour, b_15m, b_min
+    """,
     "dt_age_parts": """
         SELECT CAST(date_part('year', age(l_shipdate, o_orderdate)) AS INT)
                    AS years,
