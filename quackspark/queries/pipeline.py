@@ -79,7 +79,40 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_training_prep": pipeline_training_prep}
+#: per-source sampling rates for the mixing query (out of 256 md5 buckets)
+_MIX_BUCKETS = {"src0": 256, "src1": 128, "src2": 64}  # 100% / 50% / 25%
+_MIX_DEFAULT = 32  # 12.5% for every other source
+
+
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: each source is
+    down-sampled at its own rate (the data-mixing stage of a training
+    pipeline — e.g. keep all of a high-quality source, 12.5% of a noisy
+    crawl). The keep-decision is an md5 bucket of the document id —
+    engine-portable, reproducible across reruns/retries, pushdown-friendly
+    (a per-row predicate, no global state), and exactly oracled, unlike
+    rand()-based sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+                    ).cast("int")
+    threshold = F.lit(_MIX_DEFAULT)
+    for src, t in _MIX_BUCKETS.items():
+        threshold = F.when(F.col("source") == src, t).otherwise(threshold)
+    kept = d.filter(bucket < threshold)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "pipeline_training_prep": pipeline_training_prep,
+    "pipeline_source_mix": pipeline_source_mix,
+}
 
 
 def _sql_quality() -> str:
@@ -100,6 +133,19 @@ def _sql_quality() -> str:
 
 
 ORACLES = {
+    "pipeline_source_mix": f"""
+        SELECT source,
+               count(*) AS docs_kept,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS tokens_kept
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+              < (CASE source
+                     WHEN 'src2' THEN {_MIX_BUCKETS["src2"]}
+                     WHEN 'src1' THEN {_MIX_BUCKETS["src1"]}
+                     WHEN 'src0' THEN {_MIX_BUCKETS["src0"]}
+                     ELSE {_MIX_DEFAULT} END)
+        GROUP BY source ORDER BY source
+    """,
     "pipeline_training_prep": f"""
         WITH norm AS (
             SELECT doc_id, text, lang, source,
