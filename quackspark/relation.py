@@ -194,3 +194,31 @@ class Connection:
         if name == "range":
             return Relation(self.spark.range(*args).withColumnRenamed("id", "range"))
         raise ValueError(f"unknown table function {name!r}")
+
+    def prepare(self, sql: str) -> "PreparedStatement":
+        """Entry point B (Connection::Prepare, duckdb-7.cpp:3423): cache the
+        transpiled statement once; `execute(*params)` binds `?` positional
+        parameters per run via Spark's parameterized SQL."""
+        from quackspark.sqlfront import transpile
+
+        return PreparedStatement(self.spark, transpile(sql, self.spark))
+
+    def sql(self, duckdb_sql: str) -> Relation:
+        """Entry point A (Connection::Query, duckdb-7.cpp:3375): DuckDB-
+        dialect SQL through the frontend."""
+        from quackspark import sqlfront
+
+        return Relation(sqlfront.sql(self.spark, duckdb_sql))
+
+
+class PreparedStatement:
+    """`?`-parameterized statement (reference PreparedStatementData,
+    duckdb-7.cpp:1968-2055). The transpiled text is cached; Catalyst's own
+    plan cache covers re-execution with equal parameter types."""
+
+    def __init__(self, spark: SparkSession, spark_sql: str):
+        self._spark = spark
+        self._sql = spark_sql
+
+    def execute(self, *params) -> Relation:
+        return Relation(self._spark.sql(self._sql, args=list(params)))

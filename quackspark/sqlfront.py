@@ -704,6 +704,18 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     if m := _IMPORT_RE.match(duckdb_sql):
         names = import_database(spark, m.group(1))
         return spark.createDataFrame([(n,) for n in sorted(names)], "table string")
+    if m := re.match(
+        r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", duckdb_sql, re.I | re.DOTALL
+    ):
+        # reference EXPLAIN / EXPLAIN ANALYZE (duckdb.hpp:11995-11996)
+        df = spark.sql(transpile(m.group(2), spark))
+        mode = "cost" if m.group(1) else "formatted"
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+        return spark.createDataFrame(
+            [(line,) for line in plan.splitlines()], "explain_output string"
+        )
     if m := re.match(r"^\s*SUMMARIZE\s+(.+?)\s*;?\s*$", duckdb_sql, re.I | re.DOTALL):
         from quackspark.catalog import summarize
 

@@ -107,3 +107,21 @@ def test_read_parquet_pipeline(con, duck):
         f"SELECT count(*) FROM '{SF}/orders.parquet' WHERE o_totalprice > 300000"
     ).fetchall()
     assert got[0][0] == exp[0][0]
+
+
+def test_prepare_and_explain_statement(spark):
+    """Connection.prepare (entry point B) + EXPLAIN statement parity."""
+    from quackspark import sqlfront
+    from quackspark.relation import Connection
+
+    con = Connection(spark)
+    stmt = con.prepare(
+        "SELECT n_regionkey, count(*) AS n FROM nation "
+        "WHERE n_nationkey < ? GROUP BY ALL ORDER BY ALL"
+    )
+    r1 = stmt.execute(10).fetchall()
+    r2 = stmt.execute(25).fetchall()
+    assert sum(n for _, n in r1) == 10 and sum(n for _, n in r2) == 25
+
+    plan = sqlfront.sql(spark, "EXPLAIN SELECT 1 AS x").collect()
+    assert any("Physical Plan" in r["explain_output"] for r in plan)
