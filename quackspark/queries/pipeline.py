@@ -48,6 +48,10 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # survivors feed BOTH the near-dup stage and the gated output; the
+    # branches recompute the cheap fingerprint semi-join rather than
+    # checkpointing — materializing full-text survivor rows costs more
+    # than the duplicated id-only shuffle (measured at sf0.1)
     surv = d.join(surv_ids, "doc_id", "left_semi")
     # 2. near-dup removal: drop the higher id of each MinHash-LSH pair
     drops = (
