@@ -245,6 +245,39 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, max_distance: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the four 8-bit bands (pigeonhole —
+    any pair within hamming distance 3 of a 32-bit hash shares at least
+    one of 4 bands), then verify bit_count(xor) ≤ max_distance on the
+    band-collision candidates. Shuffle carries (doc, simhash, band) rows
+    and candidate pairs only — the corpus never self-joins unblocked."""
+    docs = simhash_docs(df, text_col, id_col)
+    banded = docs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(b), F.col(f"band{b}")) for b in range(4)
+            ])
+        ).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"), dist)
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document 32-bit SimHash plus its four 8-bit bands (the blocking
     keys for hamming-distance≤k search: distance≤3 pairs must agree on at

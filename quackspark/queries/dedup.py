@@ -46,11 +46,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_docs(d, "text", "doc_id").orderBy("doc")
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming-distance pairs (operators/dedup.simhash_pairs) — a
+    loose distance bound so the candidate join is non-trivially exercised
+    on the synthetic corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "text", "doc_id", max_distance=8).orderBy("d1", "d2")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
 }
 
 # --- oracle SQL builders (mirror the Spark constructions hash-for-hash) ---
@@ -156,6 +165,25 @@ ORACLES = {
         WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
                                    i -> sig1[i] = sig2[i])) AS DOUBLE)
               / {N_HASHES} >= 0.25
+        ORDER BY d1, d2
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id AS doc, {_sql_simhash(_TOKS_LOWER)} AS simhash
+            FROM documents
+        ), banded AS (
+            SELECT doc, simhash,
+                   unnest([{", ".join(f"'{b}:' || ((simhash >> {8 * b}) & 255)" for b in range(4))}])
+                       AS bk
+            FROM sh
+        ), cand AS (
+            SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+                   a.simhash AS s1, b.simhash AS s2
+            FROM banded a JOIN banded b
+              ON a.bk = b.bk AND a.doc < b.doc
+        )
+        SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= 8
         ORDER BY d1, d2
     """,
     "dedup_simhash": f"""
