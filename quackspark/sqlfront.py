@@ -705,6 +705,36 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         names = import_database(spark, m.group(1))
         return spark.createDataFrame([(n,) for n in sorted(names)], "table string")
     if m := re.match(
+        r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)\s*;?\s*$",
+        duckdb_sql,
+        re.I,
+    ):
+        # reference ATTACH (duckdb.hpp:11990): an exported-database dir
+        # becomes a Spark database of external parquet tables, queryable
+        # as alias.table — the dotted-namespace semantics of the original
+        import json
+        import os
+
+        src, alias = m.group(1), m.group(2)
+        with open(os.path.join(src, "load.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("format") != "parquet":
+            raise UnsupportedSQL("ATTACH supports parquet exports")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+        for tname, rel in meta["tables"].items():
+            path = os.path.abspath(os.path.join(src, rel))
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {alias}.{tname} "
+                f"USING parquet LOCATION '{path}'"
+            )
+        return spark.createDataFrame(
+            [(alias, n) for n in sorted(meta["tables"])], "db string, table string"
+        )
+    if m := re.match(r"^\s*DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*$", duckdb_sql, re.I):
+        alias = m.group(1)
+        spark.sql(f"DROP DATABASE IF EXISTS {alias} CASCADE")
+        return spark.createDataFrame([(alias,)], "detached string")
+    if m := re.match(
         r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", duckdb_sql, re.I | re.DOTALL
     ):
         # reference EXPLAIN / EXPLAIN ANALYZE (duckdb.hpp:11995-11996)

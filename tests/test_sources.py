@@ -143,3 +143,22 @@ def test_export_import_database_roundtrip(spark, tmp_path):
     assert spark.table("exp_region").count() == region.count()
     spark.catalog.dropTempView("exp_nation")
     spark.catalog.dropTempView("exp_region")
+
+
+def test_attach_detach_database(spark, tmp_path):
+    """ATTACH an exported dir as a dotted namespace; DETACH drops it."""
+    from quackspark import sqlfront
+    from quackspark.sources.exportdb import export_database
+
+    load_table(spark, "/root/testdata/sf0.01", "region").createOrReplaceTempView(
+        "att_region"
+    )
+    target = str(tmp_path / "attachdb")
+    export_database(spark, target, tables=["att_region"])
+    spark.catalog.dropTempView("att_region")
+
+    res = sqlfront.sql(spark, f"ATTACH '{target}' AS extdb").collect()
+    assert ("extdb", "att_region") in {(r["db"], r["table"]) for r in res}
+    assert spark.sql("SELECT count(*) AS n FROM extdb.att_region").collect()[0]["n"] == 5
+    sqlfront.sql(spark, "DETACH extdb")
+    assert "extdb" not in [d.name for d in spark.catalog.listDatabases()]
