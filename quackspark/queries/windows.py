@@ -177,7 +177,29 @@ def distinct_on_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with an INTERVAL bound (WindowBoundary EXPR_PRECEDING in
+    RANGE mode, duckdb-internal.hpp:3433-3443): per-user trailing-1-hour
+    event count and value sum over event time. The DataFrame rangeBetween
+    API is numeric-only, so the interval frame is expressed in SQL — same
+    Catalyst window operator either way."""
+    e = load_table(spark, sf_dir, "events")
+    frame = (
+        "PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.expr(f"count(*) OVER ({frame})").alias("n_1h"),
+        F.expr(
+            f"CAST(sum(CAST(value AS DECIMAL(18,6))) OVER ({frame}) AS DOUBLE)"
+        ).alias("sum_1h"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
+    "window_range_interval_frame": window_range_interval_frame,
     "window_rank_family": window_rank_family,
     "window_lead_lag": window_lead_lag,
     "window_running_sum": window_running_sum,
@@ -191,6 +213,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_range_interval_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP)
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP)
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        FROM events ORDER BY event_id
+    """,
     "window_rank_family": """
         SELECT c_custkey, c_nationkey,
            row_number()  OVER (PARTITION BY c_nationkey
