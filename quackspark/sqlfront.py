@@ -155,6 +155,26 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
     return out
 
 
+def _regex_with_flags(
+    pat_toks: list[str], flag_toks: list[str], allow_global: bool
+) -> str | None:
+    """Fold a DuckDB regex options string ('i','s','m','g' RE2 flags,
+    duckdb-6.cpp:4822-4860) into a Java inline-flag prefix. Returns None
+    when `allow_global` is set but 'g' is absent (first-match semantics we
+    cannot express); raises on flags with no Java equivalent."""
+    if not _is_string(pat_toks[0]) or not _is_string(flag_toks[0]):
+        raise UnsupportedSQL("regex flags must be literals")
+    flags = _str_val(flag_toks[0])
+    inline = "".join(c for c in flags if c in "ism")
+    unknown = set(flags) - set("ismg")
+    if unknown:
+        raise UnsupportedSQL(f"unsupported regex flags {unknown}")
+    if allow_global and "g" not in flags:
+        return None
+    pat = _str_val(pat_toks[0])
+    return _quote(f"(?{inline}){pat}" if inline else pat)
+
+
 def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     def j(arg: list[str]) -> str:
         return " ".join(arg)
@@ -171,7 +191,21 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
             fmt = _quote(translate_format(_str_val(fmt)))
         return _tokens(f"to_timestamp({j(args[0])}, {fmt})")
     if low == "regexp_matches":
+        if len(args) == 3:
+            pat = _regex_with_flags(args[1], args[2], allow_global=False)
+            return _tokens(f"({j(args[0])} RLIKE {pat})")
         return _tokens(f"({j(args[0])} RLIKE {j(args[1])})")
+    if low == "regexp_replace":
+        # DuckDB default replaces the FIRST match; Spark regexp_replace is
+        # always global. Require the 'g' flag rather than mis-translate.
+        if len(args) == 4:
+            pat = _regex_with_flags(args[1], args[3], allow_global=True)
+            if pat is not None:
+                return _tokens(f"regexp_replace({j(args[0])}, {pat}, {j(args[2])})")
+        raise UnsupportedSQL(
+            "regexp_replace without the 'g' flag replaces only the first "
+            "match in DuckDB; Spark has no first-only mode — add 'g'"
+        )
     if low == "regexp_full_match":
         if _is_string(args[1][0]):
             pat = _quote("^(?:" + _str_val(args[1][0]) + ")$")

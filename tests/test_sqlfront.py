@@ -257,3 +257,33 @@ def test_with_recursive_union_terminates_on_cycle(spark):
     ).collect()
     assert [r["node"] for r in rows] == [0, 1, 2, 3]
     spark.catalog.dropTempView("cyc_edges")
+
+
+def test_regexp_flags_translation(spark):
+    """'i' flag → (?i) inline; flagless regexp_replace raises (DuckDB
+    replaces first match only — no Spark equivalent)."""
+    from quackspark import sqlfront
+
+    got = sqlfront.sql(
+        spark,
+        "SELECT n_name FROM nation "
+        "WHERE regexp_matches(n_name, 'nation_1$', 'i') ORDER BY n_name",
+    ).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM '/root/testdata/sf0.01/nation.parquet'"
+    )
+    want = con.execute(
+        "SELECT n_name FROM nation "
+        "WHERE regexp_matches(n_name, 'nation_1$', 'i') ORDER BY n_name"
+    ).fetchall()
+    assert [(r["n_name"],) for r in got] == want
+
+    t = sqlfront.transpile(
+        "SELECT regexp_replace(n_name, 'N', 'x', 'gi') FROM nation"
+    )
+    assert "(?i)N" in t
+    with pytest.raises(sqlfront.UnsupportedSQL):
+        sqlfront.transpile("SELECT regexp_replace(n_name, 'N', 'x') FROM nation")
