@@ -193,6 +193,23 @@ class Connection:
     def table_function(self, name: str, *args) -> Relation:
         if name == "range":
             return Relation(self.spark.range(*args).withColumnRenamed("id", "range"))
+        if name == "glob":
+            # duckdb-6.cpp:9491: file listing as a relation (driver-side
+            # metadata, like the reference's filesystem call)
+            import glob as _glob
+
+            files = sorted(_glob.glob(args[0]))
+            return Relation(
+                self.spark.createDataFrame([(f,) for f in files], "file string")
+            )
+        if name == "repeat":
+            # duckdb-6.cpp:10510-10530: repeat(value, count)
+            value, count = args
+            return Relation(
+                self.spark.range(int(count)).select(
+                    F.lit(value).alias("repeat")
+                )
+            )
         raise ValueError(f"unknown table function {name!r}")
 
     def prepare(self, sql: str) -> "PreparedStatement":

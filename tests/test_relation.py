@@ -125,3 +125,15 @@ def test_prepare_and_explain_statement(spark):
 
     plan = sqlfront.sql(spark, "EXPLAIN SELECT 1 AS x").collect()
     assert any("Physical Plan" in r["explain_output"] for r in plan)
+
+
+def test_glob_and_repeat_table_functions(spark):
+    from quackspark.relation import Connection
+
+    con = Connection(spark)
+    files = con.table_function("glob", "/root/testdata/sf0.001/*.parquet").fetchall()
+    names = {f[0].rsplit("/", 1)[-1] for f in files}
+    assert "lineitem.parquet" in names and len(names) >= 8
+
+    reps = con.table_function("repeat", "x", 5).fetchall()
+    assert reps == [("x",)] * 5
