@@ -287,3 +287,27 @@ def test_regexp_flags_translation(spark):
     assert "(?i)N" in t
     with pytest.raises(sqlfront.UnsupportedSQL):
         sqlfront.transpile("SELECT regexp_replace(n_name, 'N', 'x') FROM nation")
+
+
+def test_ctas_and_insert_into(spark, tmp_path):
+    """Append-only DML (reference INSERT duckdb.hpp:11969): CREATE TABLE AS
+    and INSERT INTO pass through to Spark managed tables; MVCC
+    UPDATE/DELETE stay documented out of scope (SURVEY §7)."""
+    from quackspark import sqlfront
+
+    spark.sql("DROP TABLE IF EXISTS dml_t")
+    sqlfront.sql(
+        spark,
+        "CREATE TABLE dml_t AS SELECT n_nationkey AS k, n_name AS v "
+        "FROM nation WHERE n_nationkey < 3",
+    )
+    sqlfront.sql(spark, "INSERT INTO dml_t SELECT 99, 'appended'")
+    sqlfront.sql(
+        spark, "INSERT INTO dml_t SELECT n_nationkey, n_name FROM nation "
+               "WHERE n_nationkey BETWEEN 3 AND 4"
+    )
+    assert spark.table("dml_t").count() == 6
+    assert [r["v"] for r in spark.sql("SELECT v FROM dml_t WHERE k = 99").collect()] == [
+        "appended"
+    ]
+    spark.sql("DROP TABLE dml_t")
