@@ -41,6 +41,37 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: SQL confs that are runtime-settable and must hold on ANY session quackspark
+#: runs under — including a harness-owned active session we didn't build
+#: (the reference applies its settings per-ClientContext the same way,
+#: duckdb-7.cpp:8126-8130). Keys here are exactly the presets from
+#: ``get_session`` that ``spark.conf.set`` accepts after session start.
+_RUNTIME_SQL_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS); without this every events read
+    # dies with PARQUET_TYPE_ILLEGAL. Must be set before the first scan of
+    # the file (it is read-time, not plan-time).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def apply_runtime_presets(spark: SparkSession) -> None:
+    """Apply the runtime-settable preset confs to an existing session.
+
+    Idempotent and safe on sessions quackspark did not create (e.g. the
+    driver harness's). Swallows nothing: every key in _RUNTIME_SQL_CONFS is
+    documented runtime-settable in Spark 4.
+    """
+    for k, v in _RUNTIME_SQL_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def get_session(app_name: str = "quackspark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the preset SparkSession.
@@ -70,6 +101,10 @@ def get_session(app_name: str = "quackspark", cpus: int | None = None) -> SparkS
     )
     active = SparkSession.getActiveSession()
     if active is not None:
+        # Harness-owned session: we can't rebuild it, but every preset that
+        # matters at query time is runtime-settable — apply them now so
+        # events.parquet (TIMESTAMP_NANOS) reads and UTC/ANSI semantics hold.
+        apply_runtime_presets(active)
         _register_compat_udfs(active)
         return active
     builder = builder.master(f"local[{n}]").config(
@@ -125,6 +160,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # Defensive: the nanos conf must be live before the first scan even
+        # when the caller bypassed get_session (VERDICT r1 "What's wrong" #1).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
