@@ -32,10 +32,15 @@ _C2J = {
     "%B": "MMMM",
     "%Z": "zz",
     "%z": "xx",
-    "%G": "YYYY",  # ISO year
-    "%V": "ww",  # ISO week (approximate: Java ww is locale week)
     "%%": "%",
 }
+
+#: directives with no valid Spark datetime-pattern letter: Spark >=3.0
+#: rejects week-based 'YYYY'/'ww' patterns outright
+#: (DATETIME_PATTERN_RECOGNITION; ADVICE r1). Raise a clear error here
+#: instead of a confusing engine error at runtime; callers wanting ISO
+#: year/week should use extract(YEAROFWEEK/WEEK) expressions.
+_UNSUPPORTED = {"%G", "%V", "%U", "%W", "%u", "%w", "%C"}
 
 
 def translate_format(c_fmt: str) -> str:
@@ -61,6 +66,13 @@ def translate_format(c_fmt: str) -> str:
             elif tok in _C2J:
                 flush_literal()
                 out.append(_C2J[tok])
+            elif tok in _UNSUPPORTED:
+                raise ValueError(
+                    f"unsupported strftime directive {tok!r}: no Spark "
+                    "datetime pattern exists (week-based letters are "
+                    "rejected by Spark >=3.0); use extract-based "
+                    "expressions instead"
+                )
             else:
                 raise ValueError(f"unsupported strftime directive {tok!r}")
             i += 2

@@ -85,9 +85,9 @@ def _split_args(toks: list[str]) -> list[list[str]]:
     args: list[list[str]] = [[]]
     depth = 0
     for t in toks:
-        if t == "(":
+        if t in ("(", "["):  # '[' — DuckDB list literal / subscript
             depth += 1
-        elif t == ")":
+        elif t in (")", "]"):
             depth -= 1
         if t == "," and depth == 0:
             args.append([])
@@ -218,7 +218,7 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
             f"aggregate({j(args[0])}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
     if low == "list_aggregate":
-        if len(args) == 2 and _is_string(args[1][0]):
+        if len(args) >= 2 and _is_string(args[1][0]):
             fn = _str_val(args[1][0]).lower()
             if fn in ("sum",):
                 return _emit_call("list_sum", original, [args[0]])
@@ -226,8 +226,17 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
                 return _tokens(f"array_min({j(args[0])})")
             if fn in ("max",):
                 return _tokens(f"array_max({j(args[0])})")
-            if fn == "string_agg" and len(args) >= 2:
-                return _tokens(f"array_join({j(args[0])}, ' ')")
+            if fn == "string_agg":
+                # DuckDB's string_agg default separator is ',' (ADVICE r1);
+                # an explicit separator arrives as a 3rd literal argument.
+                sep = "','"
+                if len(args) >= 3:
+                    if not _is_string(args[2][0]):
+                        raise UnsupportedSQL(
+                            "list_aggregate string_agg separator must be a literal"
+                        )
+                    sep = _quote(_str_val(args[2][0]))
+                return _tokens(f"array_join({j(args[0])}, {sep})")
         raise UnsupportedSQL(f"list_aggregate form not supported: {args}")
     if low == "struct_pack":
         # struct_pack(a := expr, b := expr2) → named_struct('a', expr, ...)
@@ -343,6 +352,52 @@ def _rewrite_intdiv(toks: list[str]) -> list[str]:
     return ["div" if t == "//" else t for t in toks]
 
 
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _rewrite_list_literals(toks: list[str]) -> list[str]:
+    """DuckDB `[e1, e2, …]` list literals → Spark `array(e1, e2, …)`.
+
+    A `[` right after an identifier / `)` / `]` is a subscript
+    (`l[1]`), not a literal — left untouched (reference grammar
+    duckdb-libpg_query.cpp indirection vs list ctor)."""
+    out: list[str] = []
+    stack: list[str] = []  # what each open bracket/paren became
+    for i, t in enumerate(toks):
+        if t == "(":
+            stack.append("(")
+            out.append(t)
+        elif t == ")":
+            if stack:
+                stack.pop()
+            out.append(t)
+        elif t == "[":
+            prev = toks[i - 1] if i else ""
+            is_subscript = prev in (")", "]") or (
+                _IDENT.match(prev) and prev.lower() not in _LITERAL_LEADERS
+            )
+            if is_subscript:
+                stack.append("[")
+                out.append("[")
+            else:
+                stack.append("array")
+                out.extend(["array", "("])
+        elif t == "]":
+            kind = stack.pop() if stack else "["
+            out.append("]" if kind == "[" else ")")
+        else:
+            out.append(t)
+    return out
+
+
+#: keywords after which '[' starts a literal, not a subscript
+_LITERAL_LEADERS = {
+    "select", "where", "and", "or", "not", "in", "as", "when", "then",
+    "else", "on", "by", "from", "union", "all", "distinct", "having",
+    "limit", "offset", "array", "values", "return", "returning",
+}
+
+
 def _rewrite_using_sample(toks: list[str]) -> list[str]:
     """`USING SAMPLE n ROWS | n% | bernoulli(n%) | system(n%) |
     reservoir(n)` (reference sample clause, SampleMethod duckdb.hpp:20017)
@@ -409,8 +464,9 @@ def _rewrite_distinct_on(sql: str) -> str:
             end = _find_call_end(toks, i + 2)
             keys = " ".join(toks[i + 3 : end])
             rest = toks[end + 1 :]
-            head = toks[: i]  # ... SELECT
-            # split rest at top-level ORDER BY
+            # split rest at top-level ORDER BY, then peel trailing
+            # LIMIT/OFFSET off whichever side they landed on (ADVICE r1:
+            # they must apply AFTER dedup, outside the window spec)
             order = None
             depth = 0
             for k in range(len(rest) - 1):
@@ -423,18 +479,42 @@ def _rewrite_distinct_on(sql: str) -> str:
                     and rest[k].lower() == "order"
                     and rest[k + 1].lower() == "by"
                 ):
-                    order = " ".join(rest[k + 2 :])
+                    order = rest[k + 2 :]
                     rest = rest[:k]
                     break
+            tail: list[str] = []
+            if order is not None:
+                order, tail = _peel_limit_offset(order)
+            else:
+                rest, tail = _peel_limit_offset(rest)
             body = " ".join(rest)
-            ord_clause = order if order else keys
+            ord_clause = " ".join(order) if order else keys
+            # DuckDB defines row order by the same ORDER BY that ranks the
+            # window — re-state it as an outer ORDER BY so output order
+            # matches (the window ORDER BY alone orders nothing).
+            outer_order = f" ORDER BY {ord_clause}" if order else ""
+            outer_tail = (" " + " ".join(tail)) if tail else ""
             # body is "cols FROM tbl WHERE ..." — reconstruct directly:
             return (
                 f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
                 f"(PARTITION BY {keys} ORDER BY {ord_clause}) AS __rn "
                 f"FROM (SELECT {body}) __d) WHERE __rn = 1"
+                f"{outer_order}{outer_tail}"
             )
     return sql
+
+
+def _peel_limit_offset(toks: list[str]) -> tuple[list[str], list[str]]:
+    """Split trailing top-level LIMIT/OFFSET clauses off a token span."""
+    depth = 0
+    for k, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() in ("limit", "offset"):
+            return toks[:k], toks[k:]
+    return toks, []
 
 
 def _rewrite_qualify(sql: str) -> str:
@@ -449,9 +529,37 @@ def _rewrite_qualify(sql: str) -> str:
         elif t == ")":
             depth -= 1
         elif depth == 0 and t.lower() == "qualify":
-            pred = " ".join(toks[i + 1 :])
+            pred_toks = toks[i + 1 :]
+            # ORDER BY / LIMIT / OFFSET after the predicate belong to the
+            # outer query, not the predicate
+            cut = len(pred_toks)
+            d2 = 0
+            for k, pt in enumerate(pred_toks):
+                if pt == "(":
+                    d2 += 1
+                elif pt == ")":
+                    d2 -= 1
+                elif d2 == 0 and (
+                    pt.lower() in ("limit", "offset")
+                    or (
+                        pt.lower() == "order"
+                        and k + 1 < len(pred_toks)
+                        and pred_toks[k + 1].lower() == "by"
+                    )
+                ):
+                    cut = k
+                    break
+            pred = " ".join(pred_toks[:cut])
+            tail = " ".join(pred_toks[cut:])
             body = " ".join(toks[:i])
-            return f"SELECT * FROM ({body}) __q WHERE {pred}"
+            # Spark rejects window functions in WHERE (ADVICE r1): project
+            # the predicate as a generated boolean inside the subquery, then
+            # filter on the column and EXCEPT it away.
+            return (
+                f"SELECT * EXCEPT (__qp) FROM "
+                f"(SELECT *, ({pred}) AS __qp FROM ({body}) __q) "
+                f"WHERE __qp{(' ' + tail) if tail else ''}"
+            )
     return sql
 
 
@@ -607,6 +715,17 @@ def _expand_macros(toks: list[str]) -> list[str]:
     return _expand_macros(out) if changed else out  # macros may call macros
 
 
+def _escape_spark_literal(tok: str) -> str:
+    """DuckDB string literals carry no backslash escapes (standard SQL), but
+    Spark's parser consumes them (escapedStringLiterals=false default) — so
+    every backslash in an emitted literal must be doubled or patterns like
+    RLIKE '^.*\\.csv$' silently lose the escape and match too much
+    (ADVICE r1, high). Applied once, at emit time, to every single-quoted
+    token — pass-through DuckDB literals and _quote()-built regexes alike.
+    """
+    return tok.replace("\\", "\\\\") if _is_string(tok) else tok
+
+
 def transpile(sql: str, spark: SparkSession | None = None) -> str:
     """DuckDB-dialect SQL → Spark SQL text."""
     if _handle_create_macro(sql):
@@ -618,11 +737,12 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _expand_macros(toks)
     toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
+    toks = _rewrite_list_literals(toks)
     toks = _rewrite_using_sample(toks)
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)
     toks = _rewrite_calls(toks)
-    return " ".join(toks)
+    return " ".join(_escape_spark_literal(t) for t in toks)
 
 
 #: statement-level commands that need the session, not just text rewrite

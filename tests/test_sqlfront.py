@@ -311,3 +311,96 @@ def test_ctas_and_insert_into(spark, tmp_path):
         "appended"
     ]
     spark.sql("DROP TABLE dml_t")
+
+
+# --- ADVICE r1 regressions --------------------------------------------------
+
+
+def test_backslash_regex_literal(spark, duck):
+    # RLIKE pattern with \d must survive Spark's escape-consuming parser
+    q = (
+        "SELECT n_nationkey FROM nation "
+        r"WHERE regexp_matches(n_name, 'NATION_\d\d') ORDER BY n_nationkey"
+    )
+    got = [r[0] for r in sqlfront.sql(spark, q).collect()]
+    exp = [r[0] for r in duck.sql(q).fetchall()]
+    assert got == exp and len(got) > 0
+
+
+def test_glob_dot_is_literal(spark, duck):
+    # GLOB '*.N*' — the '.' must be literal: 'NATION_1' has no dot and must
+    # NOT match (pre-fix, RLIKE '^.*\.N.*$' reached Spark as '^.*.N.*$')
+    q = "SELECT count(*) AS n FROM nation WHERE n_name GLOB '*.N*'"
+    got = sqlfront.sql(spark, q).collect()[0][0]
+    exp = duck.sql(q).fetchall()[0][0]
+    assert got == exp == 0
+
+
+def test_backslash_in_plain_literal(spark, duck):
+    q = r"SELECT 'a\b' AS s, length('a\b') AS n"
+    got = tuple(sqlfront.sql(spark, q).collect()[0])
+    exp = tuple(duck.sql(q).fetchall()[0])
+    assert got == exp == ("a\\b", 3)
+
+
+def test_distinct_on_order_and_limit(spark, duck):
+    # output row ORDER must match DuckDB (no sorted() masking) and trailing
+    # LIMIT applies after dedup, outside the window spec
+    q = (
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name DESC LIMIT 3"
+    )
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp and len(got) == 3
+
+
+def test_distinct_on_no_order_with_limit(spark, duck):
+    q = (
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey "
+        "FROM nation LIMIT 2"
+    )
+    got = sqlfront.sql(spark, q).collect()
+    assert len(got) == 2
+
+
+def test_qualify_inline_window(spark, duck):
+    # the common form: window fn directly in the QUALIFY predicate
+    # (pre-fix: AnalysisException — window fn in WHERE)
+    q = (
+        "SELECT n_regionkey, n_name FROM nation "
+        "QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1 "
+        "ORDER BY n_regionkey"
+    )
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp and len(got) == 5
+
+
+def test_qualify_trailing_limit(spark, duck):
+    q = (
+        "SELECT n_regionkey, n_name FROM nation "
+        "QUALIFY rank() OVER (PARTITION BY n_regionkey ORDER BY n_name) <= 2 "
+        "ORDER BY n_regionkey, n_name LIMIT 4"
+    )
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp and len(got) == 4
+
+
+def test_list_aggregate_string_agg_separator(spark, duck):
+    q = (
+        "SELECT list_aggregate(['a','b','c'], 'string_agg') AS dflt, "
+        "list_aggregate(['a','b','c'], 'string_agg', '|') AS piped"
+    )
+    got = tuple(sqlfront.sql(spark, q).collect()[0])
+    exp = tuple(duck.sql(q).fetchall()[0])
+    assert got == exp == ("a,b,c", "a|b|c")
+
+
+def test_strftime_iso_week_raises():
+    from quackspark.functions.timefmt import translate_format
+
+    for d in ("%G", "%V", "%U"):
+        with pytest.raises(ValueError, match="unsupported strftime"):
+            translate_format(f"%Y-{d}")
