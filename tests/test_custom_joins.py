@@ -110,3 +110,15 @@ def test_asof_and_band_match_bruteforce_on_random_data(spark):
         if abs(lt - rt) <= band
     }
     assert gotb == wantb
+
+
+def test_limit_percent_plan_is_take_ordered(spark):
+    """VERDICT r1 #2: LIMIT PERCENT must plan as TakeOrderedAndProject
+    (per-partition heaps), not a single-partition global window."""
+    from quackspark.queries.maths import misc_limit_percent
+
+    df = misc_limit_percent(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
