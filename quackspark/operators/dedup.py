@@ -138,6 +138,38 @@ def _exploded_shingles(
     )
 
 
+#: default document-frequency cutoff for the hot-shingle guard: a shingle
+#: found in more than this many documents is a stopword-shingle — it carries
+#: no similarity signal (non-discriminative) and its block alone would
+#: produce df² candidate pairs in ONE join task. 1000 ⇒ ≤1e6 pairs per
+#: hot block worst-case before the guard trips; inert on the fixtures
+#: (max DF is 7 at sf0.01, 25 at sf0.1).
+HOT_SHINGLE_DF = 1000
+
+
+def drop_hot_shingles(
+    sh: DataFrame, max_df: int | None = HOT_SHINGLE_DF
+) -> DataFrame:
+    """Skew guard: drop shingles whose document frequency exceeds
+    ``max_df`` from a ``(doc, sh)`` stream.
+
+    The DF count is one extra shuffle of the shingle stream (map-side
+    partial agg), but the hot *list* is tiny by construction — it comes
+    back as a broadcast anti-join, so the main stream is never
+    re-shuffled. This is the mitigation the reference can't need (its
+    single-process pairwise scan has no shuffle to skew) but a
+    1000-executor band join does."""
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on the whitespace-normalized lowered text: one shuffle
     on the 128-bit fingerprint, survivor = min id per group."""
@@ -153,17 +185,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = HOT_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pairs by exact k-shingle Jaccard.
 
-    Plan shape: explode distinct shingles → self-equi-join on the shingle
+    Plan shape: explode distinct shingles → hot-shingle guard
+    (:func:`drop_hot_shingles`, on by default — the shuffle key is the
+    shingle, so skew = hottest shingle) → self-equi-join on the shingle
     (the blocking key — only docs sharing a shingle meet) → per-pair
-    intersection counts → Jaccard from |A|+|B|-|∩|. The shuffle key is the
-    shingle, so skew = hottest shingle; at scale drop top-frequency
-    shingles (stopword shingles) before the join.
+    intersection counts → Jaccard from |A|+|B|-|∩|.
+
+    NOTE: with the guard active, `nsh` counts *surviving* shingles and
+    the Jaccard is over the guarded shingle sets — dropped shingles are
+    treated as absent from every document (consistent on both sides of
+    a pair, and mirrored by the SQL oracle).
     """
-    sh = _exploded_shingles(df, text_col, id_col, k)
+    sh = drop_hot_shingles(
+        _exploded_shingles(df, text_col, id_col, k), max_shingle_df
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -196,6 +241,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_shingle_df: int | None = HOT_SHINGLE_DF,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature → band keys → candidate pairs
     from band-bucket equi-join → verify with the *estimated* Jaccard
@@ -203,9 +249,15 @@ def minhash_lsh_pairs(
 
     The 100 TB shape: per-row signature map (no shuffle), one shuffle on
     band keys, per-bucket pairing; bucket sizes are ~collision counts, not
-    corpus size, so the join never goes quadratic in the corpus.
+    corpus size, so the join never goes quadratic in the corpus. The
+    hot-shingle guard (on by default) drops stopword-shingles before the
+    signatures: a near-universal shingle correlates every signature lane
+    it wins, collapsing docs into the same band buckets — the one way
+    this plan's band join can still blow up.
     """
-    sh = _exploded_shingles(df, text_col, id_col, k)
+    sh = drop_hot_shingles(
+        _exploded_shingles(df, text_col, id_col, k), max_shingle_df
+    )
     aggs = [
         F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
     ]

@@ -16,6 +16,7 @@ N_HASHES = 16
 BANDS = 8
 ROWS = N_HASHES // BANDS
 K = 3
+HOT_DF = D.HOT_SHINGLE_DF
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,10 +125,15 @@ ORACLES = {
         GROUP BY 1 ORDER BY survivor
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS (
+        WITH sh0 AS (
             SELECT doc_id AS doc,
                    unnest(list_distinct({_sql_shingles(_TOKS)})) AS s
             FROM documents
+        ), sh AS (
+            -- hot-shingle guard (operators/dedup.drop_hot_shingles):
+            -- DF-cutoff {HOT_DF}, inert on the fixture (max DF 7)
+            SELECT doc, s FROM sh0
+            WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {HOT_DF})
         ), sizes AS (
             SELECT doc, count(*) AS nsh FROM sh GROUP BY doc
         ), inter AS (
@@ -145,10 +151,21 @@ ORACLES = {
         ORDER BY d1, d2
     """,
     "dedup_minhash_lsh": f"""
-        WITH sig AS (
+        WITH sh0 AS (
             SELECT doc_id AS doc,
-                   {_sql_signature(f"list_distinct({_sql_shingles(_TOKS)})")} AS sig
+                   unnest(list_distinct({_sql_shingles(_TOKS)})) AS s
             FROM documents
+        ), sh AS (
+            -- hot-shingle guard, mirrors operators/dedup.drop_hot_shingles
+            SELECT doc, s FROM sh0
+            WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {HOT_DF})
+        ), sig AS (
+            -- map-reduce signature shape, mirrors minhash_signatures:
+            -- min per hash lane over the guarded exploded shingles
+            SELECT doc,
+                   [{", ".join(f"min({_sql_hash_family('s', i)})" for i in range(N_HASHES))}]
+                       AS sig
+            FROM sh GROUP BY doc
         ), banded AS (
             SELECT doc, sig, unnest({_sql_band_keys()}) AS band FROM sig
         ), cand AS (

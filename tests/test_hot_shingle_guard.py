@@ -1,0 +1,68 @@
+"""Hot-shingle skew guard (operators/dedup.drop_hot_shingles): a shingle
+present in more than max_df documents must vanish before the blocking join,
+and with no hot shingles the guard must be a no-op (same pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quackspark.operators import dedup as D
+
+
+def _toy_corpus(spark, n=40):
+    """n docs, each with unique content plus one universal boilerplate
+    phrase — the synthetic hot shingle ('common boilerplate footer' appears
+    in every doc)."""
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c common boilerplate footer")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_guard_drops_hot_shingle(spark):
+    df = _toy_corpus(spark)
+    sh = D._exploded_shingles(df, "text", "doc_id", 3)
+    guarded = D.drop_hot_shingles(sh, max_df=10)
+    left = {r["sh"] for r in guarded.select("sh").distinct().collect()}
+    # every doc contains 'common boilerplate footer' (and the two bridge
+    # shingles into it are unique per doc) — only the universal one dies
+    assert "common boilerplate footer" not in left
+    assert any("unique0a" in s for s in left)
+
+
+def test_guard_noop_below_cutoff(spark):
+    # near-identical docs (one token differs) → guaranteed band collisions
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta tail{i}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cutoff above every DF → identical pair sets with and without guard
+    with_guard = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            df, "text", "doc_id", threshold=0.0, max_shingle_df=100
+        ).collect()
+    }
+    without = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            df, "text", "doc_id", threshold=0.0, max_shingle_df=None
+        ).collect()
+    }
+    assert with_guard == without and len(with_guard) > 0
+
+
+def test_guard_bounds_candidate_pairs(spark):
+    """With the hot shingle gone, ngram blocking must produce no pair for
+    docs that share ONLY boilerplate — the d² blowup disappears."""
+    df = _toy_corpus(spark, n=30)
+    pairs = D.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.0, max_shingle_df=10
+    )
+    assert pairs.count() == 0  # only-boilerplate overlap → no block → no pair
+    unguarded = D.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.0, max_shingle_df=None
+    )
+    assert unguarded.count() == (30 * 29) // 2  # every pair met in the hot block
