@@ -25,6 +25,7 @@ def _modules():
         aggregates,
         datetimes,
         dedup,
+        dml,
         joins,
         jsonops,
         maths,
@@ -63,6 +64,7 @@ def _modules():
         subqueries,
         misc,
         dedup,
+        dml,
         pipeline,
         textops,
         simsearch,

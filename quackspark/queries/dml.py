@@ -1,0 +1,105 @@
+"""DML queries: UPDATE / DELETE as copy-on-write rewrites on managed
+tables (sqlfront._run_dml; reference statement enum
+duckdb.hpp:11969-11972, MVCC machinery duckdb-internal.hpp:10232).
+
+Each query materializes a managed table from fixture data, applies real
+UPDATE/DELETE statements through the SQL frontend (staging-table
+copy-on-write — see _swap_in), and returns the final table state. The
+oracle states the equivalent post-DML relation as a single SELECT
+(DuckDB's documented semantics: UPDATE touches rows where the predicate
+is TRUE, DELETE removes them); the *differential* check of DuckDB
+executing the identical statements lives in
+tests/test_sqlfront.py::test_update_delete_differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackspark import sqlfront
+from quackspark.queries._util import load_table
+
+
+def _fresh_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    import shutil
+    from urllib.parse import urlparse
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previous process may have left the managed location behind without a
+    # catalog entry (fresh derby metastore per session) — clear it
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.saveAsTable(
+        name
+    )
+
+
+def dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "dml_orders_upd"
+    _fresh_table(spark, sf_dir, name)
+    sqlfront.sql(
+        spark,
+        f"UPDATE {name} SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderstatus = 'F'",
+    )
+    return spark.table(name).orderBy("o_orderkey")
+
+
+def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "dml_orders_del"
+    _fresh_table(spark, sf_dir, name)
+    sqlfront.sql(spark, f"DELETE FROM {name} WHERE o_orderstatus = 'O'")
+    return spark.table(name).orderBy("o_orderkey")
+
+
+def dml_update_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-assignment UPDATE then DELETE, chained on one table."""
+    name = "dml_orders_chain"
+    _fresh_table(spark, sf_dir, name)
+    sqlfront.sql(
+        spark,
+        f"UPDATE {name} SET o_totalprice = round(o_totalprice, 0), "
+        "o_orderstatus = lower(o_orderstatus) WHERE o_orderkey % 2 = 0",
+    )
+    sqlfront.sql(spark, f"DELETE FROM {name} WHERE o_totalprice < 50000")
+    return spark.table(name).orderBy("o_orderkey")
+
+
+QUERIES = {
+    "dml_update": dml_update,
+    "dml_delete": dml_delete,
+    "dml_update_multi": dml_update_multi,
+}
+
+_BASE = (
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey <= 2000"
+)
+
+ORACLES = {
+    "dml_update": f"""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM ({_BASE}) ORDER BY o_orderkey
+    """,
+    "dml_delete": f"""
+        SELECT * FROM ({_BASE})
+        WHERE NOT coalesce(o_orderstatus = 'O', false)
+        ORDER BY o_orderkey
+    """,
+    "dml_update_multi": f"""
+        SELECT * FROM (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice, 0)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM ({_BASE})
+        ) WHERE NOT coalesce(o_totalprice < 50000, false)
+        ORDER BY o_orderkey
+    """,
+}

@@ -936,9 +936,90 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     return None
 
 
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+
+
+def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
+    """Copy-on-write commit: write the rewritten rows to a staging managed
+    table, then drop + rename. The staging write fully materializes before
+    the original is touched (no read-while-overwrite), and the data never
+    transits the driver — the same rewrite a Delta/Iceberg MERGE performs,
+    minus the transaction log. The reference's MVCC DML
+    (duckdb.hpp:11969-11972, version machinery duckdb-internal.hpp:10232)
+    gives row-level versioning; on plain parquet tables whole-table
+    copy-on-write is the honest equivalent, and real deployments wanting
+    concurrent DML should use a table format with a log."""
+    import shutil
+    from urllib.parse import urlparse
+
+    staging = f"{table}__cow_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    # clear an orphaned staging location from a crashed prior run (fresh
+    # metastore per session → DROP above may have been a no-op)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{staging.lower()}", ignore_errors=True)
+    new_df.write.saveAsTable(staging)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+
+def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """UPDATE / DELETE on managed tables as copy-on-write rewrites
+    (reference statement enum duckdb.hpp:11969-11972)."""
+    if m := _UPDATE_RE.match(duckdb_sql):
+        table, set_clause, pred = m.group(1), m.group(2), m.group(3)
+        schema = {f.name.lower(): f.dataType.simpleString()
+                  for f in spark.table(table).schema.fields}
+        assigns: dict[str, str] = {}
+        for item in _split_args(_tokens(set_clause)):
+            if len(item) < 3 or item[1] != "=":
+                raise UnsupportedSQL(f"UPDATE SET expects col = expr: {item}")
+            col = item[0].lower()
+            if col not in schema:
+                raise UnsupportedSQL(f"UPDATE column not in {table}: {col}")
+            assigns[col] = " ".join(item[2:])
+        # DuckDB updates rows where the predicate is TRUE (NULL → keep);
+        # the assigned expression is cast to the column's declared type
+        cond = f"({pred})" if pred else "TRUE"
+        select_items = []
+        for f in spark.table(table).schema.fields:
+            c = f.name
+            if c.lower() in assigns:
+                select_items.append(
+                    f"CASE WHEN {cond} THEN CAST(({assigns[c.lower()]}) AS "
+                    f"{schema[c.lower()]}) ELSE {c} END AS {c}"
+                )
+            else:
+                select_items.append(c)
+        new_df = spark.sql(
+            transpile(f"SELECT {', '.join(select_items)} FROM {table}", spark)
+        )
+        _swap_in(spark, table, new_df)
+        return spark.createDataFrame([(table,)], "updated string")
+    if m := _DELETE_RE.match(duckdb_sql):
+        table, pred = m.group(1), m.group(2)
+        # DELETE removes rows where pred is TRUE; NULL predicates keep the
+        # row — hence NOT coalesce(pred, false)
+        where = f"WHERE NOT coalesce(({pred}), false)" if pred else "WHERE false"
+        new_df = spark.sql(transpile(f"SELECT * FROM {table} {where}", spark))
+        _swap_in(spark, table, new_df)
+        return spark.createDataFrame([(table,)], "deleted string")
+    return None
+
+
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     """Entry point A: run DuckDB-dialect SQL on Spark."""
     handled = _run_statement(spark, duckdb_sql)
+    if handled is None:
+        handled = _run_dml(spark, duckdb_sql)
     if handled is None:
         handled = _run_recursive(spark, duckdb_sql)
     if handled is not None:

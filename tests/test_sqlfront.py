@@ -404,3 +404,41 @@ def test_strftime_iso_week_raises():
     for d in ("%G", "%V", "%U"):
         with pytest.raises(ValueError, match="unsupported strftime"):
             translate_format(f"%Y-{d}")
+
+
+def test_update_delete_differential(spark, duck):
+    """Copy-on-write UPDATE/DELETE vs DuckDB executing the IDENTICAL
+    statements on the same base table (reference DML enum
+    duckdb.hpp:11969-11972)."""
+    base = "SELECT n_nationkey AS k, n_name AS v, n_regionkey AS r FROM nation"
+    spark.sql("DROP TABLE IF EXISTS dml_cow")
+    sqlfront.sql(spark, f"CREATE TABLE dml_cow AS {base}")
+    duck.execute(f"CREATE OR REPLACE TABLE dml_cow AS {base}")
+    stmts = [
+        "UPDATE dml_cow SET v = lower(v) WHERE k % 3 = 0",
+        "UPDATE dml_cow SET r = r + 10, v = v || '!' WHERE r >= 2",
+        "DELETE FROM dml_cow WHERE k % 7 = 1",
+        "UPDATE dml_cow SET v = 'all'",       # no WHERE: every row
+    ]
+    try:
+        for s in stmts:
+            sqlfront.sql(spark, s)
+            duck.execute(s)
+        got = sorted(tuple(r) for r in spark.table("dml_cow").collect())
+        exp = sorted(duck.sql("SELECT * FROM dml_cow").fetchall())
+        assert got == exp and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_cow")
+        duck.execute("DROP TABLE IF EXISTS dml_cow")
+
+
+def test_delete_without_where_empties_table(spark):
+    spark.sql("DROP TABLE IF EXISTS dml_cow2")
+    sqlfront.sql(spark, "CREATE TABLE dml_cow2 AS SELECT 1 AS x")
+    try:
+        sqlfront.sql(spark, "DELETE FROM dml_cow2")
+        assert spark.table("dml_cow2").count() == 0
+        # schema survives the empty rewrite
+        assert spark.table("dml_cow2").columns == ["x"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_cow2")
