@@ -31,3 +31,51 @@ def test_query_matches_oracle(spark, name):
 def test_every_oracle_has_query():
     missing = set(_ORACLES) - set(_QUERIES)
     assert not missing
+
+
+# --- bounded-error oracles for the approximate family (VERDICT r1 #7):
+# sketches are engine-specific so no value-hash match is possible, but the
+# estimates must land within published error bounds of DuckDB's EXACT values.
+
+
+@pytest.fixture(scope="module")
+def _duck_exact():
+    import duckdb
+
+    d = duckdb.connect()
+    d.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    return d
+
+
+def test_approx_count_distinct_within_5pct(spark, _duck_exact):
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in _QUERIES["agg_approx_distinct"](spark, SF).collect()
+    }
+    exact = dict(
+        _duck_exact.sql(
+            "SELECT l_returnflag, count(DISTINCT l_partkey) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert got.keys() == exact.keys()
+    for k in exact:
+        rel = abs(got[k] - exact[k]) / exact[k]
+        assert rel <= 0.05, f"{k}: approx {got[k]} vs exact {exact[k]} ({rel:.1%})"
+
+
+def test_approx_quantile_within_1pct(spark, _duck_exact):
+    got = {
+        r["l_returnflag"]: r["approx_median"]
+        for r in _QUERIES["agg_approx_quantile"](spark, SF).collect()
+    }
+    exact = dict(
+        _duck_exact.sql(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert got.keys() == exact.keys()
+    for k in exact:
+        rel = abs(got[k] - exact[k]) / exact[k]
+        assert rel <= 0.01, f"{k}: approx {got[k]} vs exact {exact[k]} ({rel:.1%})"
