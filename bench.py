@@ -30,6 +30,42 @@ HEADLINE = [
 ]
 
 
+def bench_duckdb(names: list[str]) -> dict[str, float]:
+    """Time the DuckDB side of the same oracles on the same parquet —
+    keeps the README/VERDICT Spark-vs-DuckDB comparison reproducible
+    from the repo (VERDICT r1 #10). Same protocol: one warmup, median
+    of 3."""
+    import duckdb
+
+    from quackspark.entry import oracle_sql
+    from quackspark.session import TESTDATA_TABLES, table_path
+
+    osql = oracle_sql()
+    d = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = table_path(SF_DIR, t)
+        if os.path.exists(p):
+            d.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    times: dict[str, float] = {}
+    for name in names:
+        sql = osql.get(name)
+        if sql is None:
+            times[name] = -1.0  # rows-only query: no oracle to time
+            continue
+        try:
+            d.execute(sql).fetchall()  # warmup
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                d.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(statistics.median(runs), 4)
+        except Exception as exc:
+            print(f"bench --oracle: {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
+    return times
+
+
 def main() -> None:
     from quackspark.entry import queries
     from quackspark.session import get_session
@@ -52,6 +88,11 @@ def main() -> None:
         "pipeline_training_prep",
         "join_asof_backward",
         "dt_hypertable_rollup",
+        # events-heavy additions (VERDICT r1 #9): keep BENCH and
+        # CORRECTNESS covering the same surface
+        "sw_tumbling",
+        "window_range_interval_frame",
+        "json_extract_scalar",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
@@ -80,6 +121,16 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if "--oracle" in sys.argv:
+        duck = bench_duckdb(names)
+        covered = [n for n in names if times.get(n, -1) > 0 and duck.get(n, -1) > 0]
+        out["duckdb_queries"] = duck
+        out["duckdb_value"] = round(sum(duck[n] for n in covered), 4)
+        out["spark_value_on_covered"] = round(sum(times[n] for n in covered), 4)
+        if out["duckdb_value"] > 0:
+            out["ratio_spark_vs_duckdb"] = round(
+                out["spark_value_on_covered"] / out["duckdb_value"], 4
+            )
     print(json.dumps(out))
 
 
