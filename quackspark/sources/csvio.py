@@ -28,7 +28,7 @@ _READ_OPTS = {
     "null_padding": ("mode", lambda v: "PERMISSIVE" if v else "FAILFAST"),
     "ignore_errors": ("mode", lambda v: "DROPMALFORMED" if v else "FAILFAST"),
     "compression": ("compression", lambda v: v),
-    "skip": ("skipRows", lambda v: int(v)),
+    "comment": ("comment", lambda v: v),
     "sample_size": ("samplingRatio", lambda v: 1.0),  # spark samples by ratio
     "dateformat": ("dateFormat", translate_format),
     "timestampformat": ("timestampFormat", translate_format),
@@ -52,6 +52,13 @@ def read_csv(
     which at 100 TB is the difference between 0 and 1 extra full scans.
     """
     reader = spark.read
+    # Spark's CSV source cannot skip N arbitrary leading rows (only
+    # comment-prefixed ones); raising beats silently reading junk.
+    if options.pop("skip", 0):
+        raise ValueError(
+            "read_csv skip=N is unsupported on Spark; use comment='#' when "
+            "the preamble shares a prefix"
+        )
     spark_opts: dict[str, object] = {"header": options.pop("header", True)}
     for k, v in options.items():
         if k not in _READ_OPTS:
@@ -67,6 +74,30 @@ def read_csv(
     for k, v in spark_opts.items():
         reader = reader.option(k, v)
     return reader.csv(path)
+
+
+def read_csv_auto(spark: SparkSession, path: str, **options) -> DataFrame:
+    """DuckDB `read_csv_auto`: sniff the dialect from a bounded sample, then
+    scan with Spark's parallel CSV reader (reference sniffer,
+    duckdb-internal.hpp:39284-39360; see sources/sniffer.py).
+
+    Explicit options win over sniffed values — same precedence as the
+    reference (user options pin the sniffer's search space)."""
+    from quackspark.sources.sniffer import sniff_csv
+
+    sniffed = sniff_csv(path, sample_bytes=int(options.pop("sample_bytes", 65536)))
+    options.setdefault("delim", sniffed["delim"])
+    options.setdefault("quote", sniffed["quote"])
+    options.setdefault("header", sniffed["header"])
+    if sniffed["skip"]:
+        if sniffed["comment"] is None:
+            raise ValueError(
+                f"sniffed {sniffed['skip']} leading junk rows in {path!r} "
+                "with no shared comment prefix; Spark cannot skip them — "
+                "pass skip-cleaned input or an explicit dialect"
+            )
+        options.setdefault("comment", sniffed["comment"])
+    return read_csv(spark, path, **options)
 
 
 def copy_to(
@@ -108,7 +139,9 @@ def from_path(spark: SparkSession, path: str, **options) -> DataFrame:
         if base.endswith(ext):
             if ext == ".tsv":
                 options.setdefault("delim", "\t")
-            return read_csv(spark, path, **options)
+                return read_csv(spark, path, **options)
+            # replacement scans sniff like the reference's read_csv_auto
+            return read_csv_auto(spark, path, **options)
     if base.endswith((".parquet", ".parq")) or "*" in os.path.basename(base):
         return spark.read.parquet(path)
     if base.endswith((".json", ".jsonl", ".ndjson")):
