@@ -67,7 +67,9 @@ def dot_arrow(a: Column, b: Column, dim: int = DIM) -> Column:
         ax = np.vstack(x.to_numpy()).astype(np.float64)
         bx = np.vstack(y.to_numpy()).astype(np.float64)
         acc = np.zeros(ax.shape[0])
-        for i in range(dim):
+        # fold over the actual vector width (callers pass 8-dim multimodal
+        # feature vectors as well as 64-dim embeddings)
+        for i in range(ax.shape[1]):
             acc += ax[:, i] * bx[:, i]
         return pd.Series(acc)
 

@@ -126,6 +126,9 @@ def _register_compat_udfs(spark: SparkSession) -> None:
     sqlfront rewriter instead)."""
     if id(spark) in _UDFS_REGISTERED:
         return
+    import math
+    import unicodedata
+
     import pandas as pd
 
     from quackspark.functions.compat import _jaro_winkler_py
@@ -136,7 +139,28 @@ def _register_compat_udfs(spark: SparkSession) -> None:
             [_jaro_winkler_py(x, y) for x, y in zip(a, b)]
         )
 
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    @F.pandas_udf("double")
+    def _nextafter(a, b):
+        # IEEE-754 nextafter is bit-defined → Python math.nextafter is
+        # identical to the reference's libm call (compat.nextafter)
+        return pd.Series(
+            [
+                math.nextafter(float(x), float(y))
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ]
+        )
+
     spark.udf.register("jaro_winkler_similarity", _jw)
+    spark.udf.register("qs_nfc_normalize", _nfc)
+    spark.udf.register("qs_nextafter", _nextafter)
     _UDFS_REGISTERED.add(id(spark))
 
 
