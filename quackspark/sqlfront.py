@@ -52,7 +52,13 @@ _TOKEN = re.compile(
 
 
 def _tokens(sql: str) -> list[str]:
-    return [t for t in _TOKEN.findall(sql) if t.strip()]
+    # comments are dropped: the emitter re-joins tokens onto ONE line, so a
+    # surviving `--` token would comment out the rest of the query
+    return [
+        t
+        for t in _TOKEN.findall(sql)
+        if t.strip() and not t.startswith("--") and not t.startswith("/*")
+    ]
 
 
 def _is_string(tok: str) -> bool:
@@ -113,7 +119,7 @@ _RENAMES = {
     "list_sum": "aggregate_sum_placeholder",  # handled specially below
     "len": "size",
     "list_concat": "concat",
-    "list_prepend": "array_prepend",
+    "list_prepend": "array_prepend_placeholder",  # arg order swapped below
     "list_append": "array_append",
     "array_length": "size",
     "regexp_full_match": "rlike_full_placeholder",  # handled specially
@@ -484,6 +490,11 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
                 raise UnsupportedSQL("date_part over age(): year/month/day only")
             return _tokens(f"({j(args[1])}).{field}")
         return None
+    if low == "list_prepend" and len(args) == 2:
+        # DuckDB list_prepend(elem, list) ↔ Spark array_prepend(list, elem)
+        return _tokens(f"array_prepend(({j(args[1])}), ({j(args[0])}))")
+    if low == "struct_extract" and len(args) == 2 and _is_string(args[1][0]):
+        return _tokens(f"(({j(args[0])}).{_str_val(args[1][0])})")
     if low == "list_reduce" and len(args) == 2:
         l = j(args[0])
         return _tokens(
@@ -683,7 +694,17 @@ def _primary_start(toks: list[str], end: int) -> int:
             j -= 1
         if j > 0 and _IDENT.match(toks[j - 1]):
             j -= 1
-        return j
+        return _dotted_prefix_start(toks, j)
+    return _dotted_prefix_start(toks, j)
+
+
+def _dotted_prefix_start(toks: list[str], j: int) -> int:
+    """Extend a primary leftward over `alias.` qualification chains so
+    `q.embedding[i]` rewrites the whole dotted column, not just the last
+    identifier (otherwise the alias ends up qualifying the emitted
+    function: `q.element_at(...)`)."""
+    while j >= 2 and toks[j - 1] == "." and _IDENT.match(toks[j - 2]):
+        j -= 2
     return j
 
 
@@ -755,10 +776,154 @@ def _rewrite_subscripts(toks: list[str]) -> list[str]:
                 + b + [")", "-", "("] + a + [")", "+", "1", ")"]
             )
         elif len(parts) == 1:
-            new = ["element_at", "("] + prim + [",", "("] + parts[0] + [")", ")"]
+            if len(parts[0]) == 1 and _is_string(parts[0][0]):
+                # map subscript by string key — no numeric cast
+                new = ["element_at", "("] + prim + [",", parts[0][0], ")"]
+            else:
+                # Spark's array element_at wants INT (DuckDB subscripts
+                # accept BIGINT, e.g. list_position results) → explicit cast
+                new = (
+                    ["element_at", "("] + prim
+                    + [",", "CAST", "(", "("] + parts[0]
+                    + [")", "AS", "INT", ")", ")"]
+                )
         else:
             raise UnsupportedSQL("unsupported subscript form")
         toks = toks[:start] + new + toks[end + 1 :]
+    return toks
+
+
+def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
+    """Inline DuckDB's FROM-less "let binding" scalar subqueries:
+
+        (SELECT <sel over v1..vk> FROM (SELECT e1 AS v1, … ek AS vk) _x)
+        → (<sel with each standalone vi replaced by (ei)>)
+
+    DuckDB evaluates these per-row (correlated); Spark rejects correlated
+    scalar subqueries inside generators/LATERAL VIEW positions, so the
+    binding is macro-expanded instead. Innermost occurrences first so
+    nested bindings resolve."""
+
+    def find_one(ts: list[str]) -> tuple[int, int, list[str]] | None:
+        for i in range(len(ts) - 1):
+            if ts[i] != "(" or ts[i + 1].lower() != "select":
+                continue
+            depth, end = 0, -1
+            for j in range(i, len(ts)):
+                if ts[j] == "(":
+                    depth += 1
+                elif ts[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
+            if end < 0:
+                continue
+            body = ts[i + 2 : end]
+            # top-level FROM ( SELECT ... ) [alias] at the END of the group
+            d = 0
+            from_at = -1
+            for k, t in enumerate(body):
+                if t == "(":
+                    d += 1
+                elif t == ")":
+                    d -= 1
+                elif d == 0 and t.lower() == "from":
+                    from_at = k
+            if from_at < 0 or from_at + 1 >= len(body) or body[from_at + 1] != "(":
+                continue
+            tail = body[from_at + 1 :]
+            d2, inner_end = 0, -1
+            for k, t in enumerate(tail):
+                if t == "(":
+                    d2 += 1
+                elif t == ")":
+                    d2 -= 1
+                    if d2 == 0:
+                        inner_end = k
+                        break
+            if inner_end < 0:
+                continue
+            rest = tail[inner_end + 1 :]
+            if rest and not (len(rest) == 1 and _IDENT.match(rest[0])):
+                continue  # something after the derived table besides an alias
+            inner = tail[1:inner_end]
+            if not inner or inner[0].lower() != "select":
+                continue
+            inner_body = inner[1:]
+            # binding subquery must itself be FROM-less
+            d3 = 0
+            for t in inner_body:
+                if t == "(":
+                    d3 += 1
+                elif t == ")":
+                    d3 -= 1
+                elif d3 == 0 and t.lower() == "from":
+                    break
+            else:
+                sel = body[:from_at]
+                binds: dict[str, list[str]] = {}
+                ok = True
+                for arg in _split_args(inner_body):
+                    if len(arg) >= 3 and arg[-2].lower() == "as" and _IDENT.match(arg[-1]):
+                        binds[arg[-1].lower()] = arg[:-2]
+                    else:
+                        ok = False
+                if ok and binds:
+                    sub: list[str] = []
+                    for k, t in enumerate(sel):
+                        if (
+                            t.lower() in binds
+                            and (k == 0 or sel[k - 1] != ".")
+                            and (k + 1 >= len(sel) or sel[k + 1] != "(")
+                        ):
+                            sub.extend(["("] + binds[t.lower()] + [")"])
+                        else:
+                            sub.append(t)
+                    return i, end, ["("] + sub + [")"]
+        return None
+
+    while True:
+        hit = find_one(toks)
+        if hit is None:
+            return toks
+        i, end, repl = hit
+        toks = toks[:i] + repl + toks[end + 1 :]
+
+
+def _rewrite_bit_shifts(toks: list[str]) -> list[str]:
+    """DuckDB `a << n` / `a >> n` (reference bit ops duckdb-6.cpp operator
+    table) → Spark `shiftleft(a, n)` / `shiftright(a, n)` — Spark's parser
+    has no shift operators. Right operand: the next primary (literal,
+    identifier, or function-name + balanced parens)."""
+    while "<<" in toks or ">>" in toks:
+        i = toks.index("<<") if "<<" in toks else len(toks)
+        k = toks.index(">>") if ">>" in toks else len(toks)
+        i = min(i, k)
+        fn = "shiftleft" if toks[i] == "<<" else "shiftright"
+        start = _primary_start(toks, i)
+        # right primary: [ident] ( ... ) | single token
+        j = i + 1
+        if j < len(toks) and _IDENT.match(toks[j]) and j + 1 < len(toks) and toks[j + 1] == "(":
+            j += 1
+        if j < len(toks) and toks[j] == "(":
+            depth = 0
+            while j < len(toks):
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+        rhs_end = j + 1
+        # base keeps its width (simhash is 64-bit); shift amount must be INT
+        new = (
+            [fn, "(", "("] + toks[start:i]
+            + [")", ",", "CAST", "(", "("]
+            + toks[i + 1 : rhs_end] + [")", "AS", "INT", ")", ")"]
+        )
+        toks = toks[:start] + new + toks[rhs_end:]
     return toks
 
 
@@ -1418,6 +1583,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     sql = _rewrite_qualify(sql)
     toks = _tokens(sql)
     toks = _expand_macros(toks)
+    toks = _rewrite_let_subqueries(toks)
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
@@ -1425,6 +1591,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_json_arrows(toks)
+    toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)
     toks = _rewrite_typenames(toks)
     toks = _rewrite_using_sample(toks)

@@ -1,0 +1,60 @@
+"""Corpus-driven SQL frontend parity (VERDICT r1 #4).
+
+Every oracle SQL string in ``__spark_entry__.oracle_sql()`` is known-good
+DuckDB dialect (reference grammar duckdb-libpg_query.cpp); each must either
+transpile through ``Connection.sql`` and value-match DuckDB executing the
+identical text, or raise ``UnsupportedSQL`` honestly (the allowlist below —
+kept in ONE place so growth is visible).
+
+Runs at sf0.001 so the 157-query double-engine sweep stays fast; the
+sf0.01 sweep lives in tools/sqlfront_corpus_sweep.py.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+from quackspark.oracle import compare
+from quackspark.relation import Connection
+from quackspark.session import register_testdata_views
+from quackspark.sqlfront import UnsupportedSQL
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: the complete honest-failure list — anything else must MATCH
+EXPECTED_UNSUPPORTED = {
+    "misc_limit_percent",  # LIMIT n PERCENT needs a count pass (DataFrame API)
+    "str_bits_misc",  # BIT type has no Spark equivalent
+}
+
+
+def _corpus() -> dict[str, str]:
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.oracle_sql()
+
+
+_CORPUS = _corpus()
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    register_testdata_views(spark, SF_DIR)
+    return Connection(spark)
+
+
+@pytest.mark.parametrize("name", sorted(_CORPUS))
+def test_sqlfront_oracle_corpus(con, name):
+    sql = _CORPUS[name]
+    if name in EXPECTED_UNSUPPORTED:
+        with pytest.raises(UnsupportedSQL):
+            con.sql(sql)
+        return
+    df = con.sql(sql).df
+    probs = compare(df, sql, SF_DIR)
+    assert not probs, probs
