@@ -157,8 +157,32 @@ def misc_generic_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def misc_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SEQUENCE / nextval shim (reference duckdb-6.cpp:2012).
+
+    A sequence is inherently serial; the distributed shim assigns dense
+    unique BIGINTs via row_number over the statement's ORDER BY and
+    advances the driver-side cursor by the statement row count — the
+    monotonic-id-with-caveats posture documented in README/SCALE.md.
+    Values here are deterministic because the statement orders by
+    c_custkey."""
+    from quackspark import sqlfront
+    from quackspark.relation import Connection
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    con = Connection(spark)
+    sqlfront._SEQUENCES.pop("qs_seq", None)  # deterministic under re-runs
+    con.sql("CREATE SEQUENCE qs_seq START 1000 INCREMENT 5")
+    return con.sql(
+        "SELECT nextval('qs_seq') AS id, c_custkey, c_name FROM customer"
+        " WHERE c_custkey <= 200 ORDER BY c_custkey"
+    ).df
+
+
 QUERIES = {
     "misc_generic_funcs2": misc_generic_funcs2,
+    "misc_sequence_ids": misc_sequence_ids,
     "misc_values_scan": misc_values_scan,
     "misc_bernoulli_sample": misc_bernoulli_sample,
     "misc_reservoir_sample": misc_reservoir_sample,
@@ -170,6 +194,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the DuckDB-executable equivalent of the sequence shim's semantics
+    # (nextval cursor at 1000, step 5, assignment in c_custkey order)
+    "misc_sequence_ids": """
+        SELECT 1000 + 5 * (row_number() OVER (ORDER BY c_custkey) - 1) AS id,
+               c_custkey, c_name
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+    """,
     "misc_generic_funcs2": """
         SELECT n_nationkey,
                even((n_nationkey - 12) / 4.0) AS ev,

@@ -176,8 +176,34 @@ def str_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_regionkey")
 
 
+_STR_COLLATE_SQL = """
+        SELECT c_custkey,
+               c_mktsegment COLLATE NOCASE = 'automobile' AS is_auto,
+               ('CAFÉ-' || c_name) COLLATE NOACCENT = ('CAFE-' || c_name)
+                   AS acc_eq,
+               c_name COLLATE NOCASE.NOACCENT = upper(c_name) AS chain_eq
+        FROM customer WHERE c_custkey <= 300
+        ORDER BY c_name COLLATE NOCASE, c_custkey
+    """
+
+
+def str_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATE NOCASE / NOACCENT / chained collations (reference collation
+    binder; DuckDB ships these as built-ins). The collation attaches to the
+    comparison: sqlfront._rewrite_collate wraps BOTH operands in the
+    wrapper chain (lower / accent-translate), so the Spark plan stays pure
+    codegen'd expressions — runs the oracle text itself through the
+    frontend, the strongest parity statement."""
+    from quackspark.relation import Connection
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return Connection(spark).sql(_STR_COLLATE_SQL).df
+
+
 QUERIES = {
     "str_basic_funcs": str_basic_funcs,
+    "str_collate": str_collate,
     "str_bits_misc": str_bits_misc,
     "str_nfc_normalize": str_nfc_normalize,
     "str_concat_split": str_concat_split,
@@ -189,6 +215,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "str_collate": _STR_COLLATE_SQL,
     "str_nfc_normalize": """
         SELECT r_regionkey,
                nfc_normalize('cafe' || chr(769) || '-' || r_name) AS nfc,

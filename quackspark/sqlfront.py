@@ -692,10 +692,25 @@ def _primary_start(toks: list[str], end: int) -> int:
                 if depth == 0:
                     break
             j -= 1
-        if j > 0 and _IDENT.match(toks[j - 1]):
+        if (
+            j > 0
+            and _IDENT.match(toks[j - 1])
+            and toks[j - 1].lower() not in _NON_FUNCTION_KEYWORDS
+        ):
             j -= 1
         return _dotted_prefix_start(toks, j)
     return _dotted_prefix_start(toks, j)
+
+
+#: identifiers that can directly precede a parenthesized group without being
+#: the group's function name — keeps _primary_start from absorbing them
+_NON_FUNCTION_KEYWORDS = {
+    "select", "from", "where", "and", "or", "not", "on", "join", "when",
+    "then", "else", "end", "case", "by", "group", "order", "having", "limit",
+    "offset", "union", "except", "intersect", "all", "distinct", "as", "in",
+    "like", "ilike", "glob", "between", "is", "over", "partition", "values",
+    "exists", "qualify", "collate", "asc", "desc", "using",
+}
 
 
 def _dotted_prefix_start(toks: list[str], j: int) -> int:
@@ -1507,6 +1522,163 @@ def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
 #: the reference's bind-time inlining semantics
 _MACROS: dict[str, tuple[list[str], list[str]]] = {}
 
+#: sequence registry (reference CREATE SEQUENCE, duckdb-6.cpp:2012) —
+#: driver-side catalog state, like _MACROS. A sequence is an inherently
+#: serial construct; the shim assigns dense unique values via row_number
+#: over the statement's ORDER BY (or a monotonic id when unordered) and
+#: advances the cursor by the statement's row count at execution time.
+_SEQUENCES: dict[str, dict] = {}
+
+#: sequences referenced by the most recent transpile() — consumed by sql()
+#: to advance cursors after execution
+_PENDING_SEQ: list[str] = []
+
+
+def _rewrite_sequences(toks: list[str]) -> list[str]:
+    """`nextval('s')` / `currval('s')` (reference duckdb-6.cpp:2012).
+
+    nextval → `cur + inc * (row_number() OVER (ORDER BY <stmt order|monotonic
+    id>) - 1)`: dense, unique, resumable ids. Caveats vs the reference
+    (documented in README): assignment order follows the statement's ORDER BY
+    when present, else partition order (nondeterministic under retries) —
+    the same caveat every distributed id generator carries; and the cursor
+    advances by the full statement row count at execution, so concurrent
+    statements serialize through the driver."""
+    if not any(t.lower() in ("nextval", "currval") for t in toks):
+        return toks
+    # statement-level ORDER BY keys give the assignment order
+    order_keys: list[str] | None = None
+    depth = 0
+    for k in range(len(toks) - 1):
+        if toks[k] == "(":
+            depth += 1
+        elif toks[k] == ")":
+            depth -= 1
+        elif depth == 0 and toks[k].lower() == "order" and toks[k + 1].lower() == "by":
+            order_keys, _ = _peel_limit_offset(toks[k + 2 :])
+    order = " ".join(order_keys) if order_keys else "monotonically_increasing_id()"
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower()
+        if low in ("nextval", "currval") and i + 1 < len(toks) and toks[i + 1] == "(":
+            end = _find_call_end(toks, i + 1)
+            inner = toks[i + 2 : end]
+            if len(inner) != 1 or not _is_string(inner[0]):
+                raise UnsupportedSQL(f"{low} needs a literal sequence name")
+            name = _str_val(inner[0]).lower()
+            seq = _SEQUENCES.get(name)
+            if seq is None:
+                raise UnsupportedSQL(f"sequence {name!r} does not exist")
+            if low == "nextval":
+                if name in seen:
+                    raise UnsupportedSQL(
+                        f"sequence {name!r} referenced twice in one statement"
+                    )
+                seen.add(name)
+                _PENDING_SEQ.append(name)
+                out.extend(
+                    _tokens(
+                        f"CAST({seq['next']} + {seq['inc']} * (row_number()"
+                        f" OVER (ORDER BY {order}) - 1) AS BIGINT)"
+                    )
+                )
+            else:
+                if seq["last"] is None:
+                    raise UnsupportedSQL(
+                        f"currval: nextval('{name}') has not been called"
+                    )
+                out.extend(_tokens(f"CAST({seq['last']} AS BIGINT)"))
+            i = end + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def advance_sequences(n_rows: int) -> None:
+    """Advance every sequence consumed by the last transpile by n_rows."""
+    while _PENDING_SEQ:
+        seq = _SEQUENCES[_PENDING_SEQ.pop()]
+        if n_rows > 0:
+            seq["last"] = seq["next"] + seq["inc"] * (n_rows - 1)
+            seq["next"] += seq["inc"] * n_rows
+
+
+#: collation → expression wrapper (reference COLLATE binder; DuckDB ships
+#: NOCASE/NOACCENT/NFC as built-in collations)
+_COLLATION_WRAPPERS = {
+    "nocase": "lower",
+    "noaccent": "strip_accents",
+    "nfc": "qs_nfc_normalize",
+}
+
+_CMP_OPS = {"=", "<", ">", "<=", ">=", "<>", "!="}
+
+
+def _forward_primary_end(toks: list[str], j: int) -> int:
+    """End index (exclusive) of the primary starting at toks[j]: dotted
+    identifier chain, optional call parens, or a bare literal/group."""
+    if j >= len(toks):
+        raise UnsupportedSQL("operator with no right operand")
+    k = j
+    if _IDENT.match(toks[k]):
+        while k + 2 < len(toks) and toks[k + 1] == "." and _IDENT.match(toks[k + 2]):
+            k += 2
+        if k + 1 < len(toks) and toks[k + 1] == "(":
+            return _find_call_end(toks, k + 1) + 1
+        return k + 1
+    if toks[k] == "(":
+        return _find_call_end(toks, k) + 1
+    return k + 1  # literal
+
+
+def _rewrite_collate(toks: list[str]) -> list[str]:
+    """`expr COLLATE NOCASE[.NOACCENT…]` → wrapper functions on BOTH sides
+    of an adjacent comparison (collation attaches to the comparison in the
+    reference binder), or on the sort key alone in ORDER BY position."""
+    while any(t.lower() == "collate" for t in toks):
+        i = next(k for k, t in enumerate(toks) if t.lower() == "collate")
+        # parse the spec chain: IDENT (. IDENT)*
+        chain: list[str] = []
+        j = i + 1
+        if j >= len(toks) or not _IDENT.match(toks[j]):
+            raise UnsupportedSQL("COLLATE needs a collation name")
+        chain.append(toks[j].lower())
+        while j + 2 < len(toks) and toks[j + 1] == "." and _IDENT.match(toks[j + 2]):
+            chain.append(toks[j + 2].lower())
+            j += 2
+        for c in chain:
+            if c not in _COLLATION_WRAPPERS:
+                raise UnsupportedSQL(f"collation {c!r} not supported")
+
+        def wrap(expr: list[str]) -> list[str]:
+            for c in chain:
+                expr = [_COLLATION_WRAPPERS[c], "("] + expr + [")"]
+            return expr
+
+        start = _primary_start(toks, i)
+        left = wrap(toks[start:i])
+        after = j + 1
+        if after < len(toks) and toks[after] in _CMP_OPS:
+            # x COLLATE spec = y  → wrap(x) = wrap(y)
+            rhs_end = _forward_primary_end(toks, after + 1)
+            right = wrap(toks[after + 1 : rhs_end])
+            toks = (
+                toks[:start] + left + [toks[after]] + right + toks[rhs_end:]
+            )
+        elif start >= 2 and toks[start - 1] in _CMP_OPS:
+            # y = x COLLATE spec  → wrap(y) = wrap(x)
+            lstart = _primary_start(toks, start - 1)
+            other = wrap(toks[lstart : start - 1])
+            toks = (
+                toks[:lstart] + other + [toks[start - 1]] + left + toks[after:]
+            )
+        else:
+            toks = toks[:start] + left + toks[after:]
+    return toks
+
 _CREATE_MACRO = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(",
     re.IGNORECASE,
@@ -1582,7 +1754,10 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     toks = _tokens(sql)
+    _PENDING_SEQ.clear()
     toks = _expand_macros(toks)
+    toks = _rewrite_sequences(toks)
+    toks = _rewrite_collate(toks)
     toks = _rewrite_let_subqueries(toks)
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_star_modifiers(toks)
@@ -1817,6 +1992,26 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
                 [(spark.version,)], "library_version string"
             )
         raise UnsupportedSQL(f"PRAGMA {pragma}")
+    if m := re.match(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(\w+)(.*?);?\s*$",
+        duckdb_sql,
+        re.I | re.DOTALL,
+    ):
+        name, rest = m.group(1).lower(), m.group(2)
+        start = 1
+        inc = 1
+        if sm := re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", rest, re.I):
+            start = int(sm.group(1))
+        if im := re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", rest, re.I):
+            inc = int(im.group(1))
+        _SEQUENCES[name] = {"start": start, "inc": inc, "next": start, "last": None}
+        return spark.createDataFrame([(name,)], "sequence string")
+    if m := re.match(
+        r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", duckdb_sql, re.I
+    ):
+        _SEQUENCES.pop(m.group(1).lower(), None)
+        return spark.createDataFrame([(m.group(1).lower(),)], "dropped string")
     if m := _COPY_RE.match(duckdb_sql):
         src, path, opts = m.group(1), m.group(2), _parse_copy_options(m.group(3))
         if src.startswith("("):
@@ -1916,4 +2111,9 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
         handled = _run_recursive(spark, duckdb_sql)
     if handled is not None:
         return handled
-    return spark.sql(transpile(duckdb_sql, spark))
+    df = spark.sql(transpile(duckdb_sql, spark))
+    if _PENDING_SEQ:
+        # a sequence was consumed: advance its cursor by the statement's row
+        # count now (one extra execution — sequences are serial by nature)
+        advance_sequences(df.count())
+    return df
