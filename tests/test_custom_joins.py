@@ -122,3 +122,31 @@ def test_limit_percent_plan_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_positional_join_distributed(spark):
+    """VERDICT r1 "What's wrong" #3: positional join must not funnel
+    through a single-partition window. operators/positional.py enumerates
+    via range-sort + per-partition row_number + offset join."""
+    from quackspark.operators.positional import with_global_position
+    from quackspark.session import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    pos = with_global_position(li, [F.col("l_orderkey"), F.col("l_linenumber")])
+    plan = pos._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    n = li.count()
+    stats = pos.agg(
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+        F.count_distinct("pos").alias("nd"),
+    ).collect()[0]
+    assert (stats.mn, stats.mx, stats.nd) == (1, n, n)
+    # positions follow the requested order
+    head = pos.orderBy("pos").limit(5).collect()
+    want = li.orderBy("l_orderkey", "l_linenumber").limit(5).collect()
+    assert [(r.l_orderkey, r.l_linenumber) for r in head] == [
+        (r.l_orderkey, r.l_linenumber) for r in want
+    ]
