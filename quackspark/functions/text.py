@@ -71,6 +71,22 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     return out
 
 
+def word_chunks(toks: Column, size: int) -> Column:
+    """Consecutive ``size``-word chunks (space-joined), last chunk ragged —
+    the "paragraph" unit for chunk-level dedup on corpora without layout.
+    Empty array for empty documents (guards sequence(1, 0) descending)."""
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(size)).cast("int")
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda g: F.array_join(
+                F.slice(toks, (g - 1) * size + 1, size), " "
+            ),
+        )
+    )
+
+
 def stopword_hits(toks: Column, words: list[str]) -> Column:
     """Number of tokens that belong to `words` (lowercased exact match)."""
     arr = F.array(*[F.lit(w) for w in words])

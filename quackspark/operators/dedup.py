@@ -16,7 +16,7 @@ engine-native `hash()`, whose values are engine-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from quackspark.functions import text as T
@@ -367,4 +367,56 @@ def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias(f"band{b}")
             for b in range(4)
         ],
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, chunk_words: int = 8
+) -> DataFrame:
+    """Chunk-level (paragraph-style) dedup: split each document into
+    consecutive ``chunk_words``-word chunks, keep only each chunk's FIRST
+    occurrence corpus-wide (ordered by doc id, then position), and
+    reassemble the surviving text per document.
+
+    The paragraph-dedup stage of LLM training pipelines (Dolma/RefinedWeb
+    style), adapted to layout-free corpora by chunking on word count.
+    Scale shape: one shuffle keyed by chunk text (first-occurrence
+    window), one groupBy doc to reassemble — chunk keys are ~uniform
+    (hot chunks ARE the duplicates being removed, and the window reduces
+    them to one row each, so skew self-heals). No driver-side state.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc"), T.tokens(F.col(text_col)).alias("toks")
+    )
+    chunks = toked.select(
+        "doc",
+        F.posexplode(T.word_chunks(F.col("toks"), chunk_words)).alias(
+            "pos", "chunk"
+        ),
+    )
+    first = Window.partitionBy("chunk").orderBy("doc", "pos")
+    kept = (
+        chunks.withColumn("rk", F.row_number().over(first))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    reassembled = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = toked.select(
+        "doc",
+        F.ceil(F.size("toks") / F.lit(chunk_words)).cast("bigint").alias("n_chunks"),
+    )
+    return totals.join(reassembled, "doc", "left").select(
+        "doc",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )

@@ -55,8 +55,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(d, "text", "doc_id", max_distance=8).orderBy("d1", "d2")
 
 
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-style chunk dedup (operators/dedup.chunk_dedup): 8-word
+    chunks, first occurrence corpus-wide survives, text reassembled."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.chunk_dedup(d, "text", "doc_id", chunk_words=8).orderBy("doc")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_chunks": dedup_chunks,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -117,6 +125,35 @@ def _sql_simhash(toks: str) -> str:
 
 
 ORACLES = {
+    "dedup_chunks": f"""
+        WITH toked AS (
+            SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+        ), numbered AS (
+            SELECT doc, t,
+                   unnest(generate_series(1, CAST(ceil(len(t) / 8.0) AS INT)))
+                       AS g
+            FROM toked
+        ), ch AS (
+            SELECT doc, g - 1 AS pos,
+                   list_aggregate(t[(g - 1) * 8 + 1 : least(g * 8, len(t))],
+                                  'string_agg', ' ') AS chunk
+            FROM numbered
+        ), kept AS (
+            SELECT doc, pos, chunk,
+                   row_number() OVER (PARTITION BY chunk ORDER BY doc, pos)
+                       AS rk
+            FROM ch
+        ), re AS (
+            SELECT doc, count(*) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+            FROM kept WHERE rk = 1 GROUP BY doc
+        )
+        SELECT t.doc, CAST(ceil(len(t.t) / 8.0) AS BIGINT) AS n_chunks,
+               coalesce(re.n_kept, 0) AS n_kept,
+               coalesce(re.kept_text, '') AS kept_text
+        FROM toked t LEFT JOIN re ON re.doc = t.doc
+        ORDER BY t.doc
+    """,
     "dedup_exact": f"""
         SELECT md5(list_aggregate({_TOKS_LOWER}, 'string_agg', ' ')) AS fp,
                min(doc_id) AS survivor,

@@ -36,6 +36,7 @@ from quackspark.queries.textops import _sql_hits, _STOPWORDS
 
 _EST_THRESHOLD = 0.25
 _QUALITY_THRESHOLD = 0.5
+_SQL_SHINGLES3 = _sql_shingles(_TOKS, 3)
 
 
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +114,45 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the eval-decontamination stage of a
+    training-data pipeline): flag training documents sharing any 3-word
+    shingle with a held-out eval set (here: doc_id % 97 == 0).
+
+    Scale shape: the eval shingle set is benchmark-sized (small by
+    definition) → broadcast; the training side streams map-side through
+    the broadcast hash join — NO shuffle of the corpus. Overlap counts
+    aggregate per doc after the join, carrying only (doc_id) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_shingles(T.tokens(F.col("text")), 3))
+        ).alias("s"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = sh.filter(is_eval).select("s").distinct()
+    overlap = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "pipeline_contamination": pipeline_contamination,
     "pipeline_training_prep": pipeline_training_prep,
     "pipeline_source_mix": pipeline_source_mix,
 }
@@ -137,6 +176,26 @@ def _sql_quality() -> str:
 
 
 ORACLES = {
+    "pipeline_contamination": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({_SQL_SHINGLES3})) AS s
+            FROM documents
+        ), eval_sh AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+        ), overlap AS (
+            SELECT doc_id, count(*) AS n_overlap
+            FROM sh JOIN eval_sh USING (s)
+            WHERE doc_id % 97 <> 0
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(o.n_overlap, 0) AS n_overlap,
+               coalesce(o.n_overlap, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN overlap o ON o.doc_id = d.doc_id
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id
+    """,
     "pipeline_source_mix": f"""
         SELECT source,
                count(*) AS docs_kept,

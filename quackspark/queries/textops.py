@@ -182,7 +182,58 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — Java-regex ∩ RE2 subset so the identical literal runs on
+#: both engines (no lookaround, no backrefs)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{4}-\d{4}"
+_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the scrub stage of an LLM training-data
+    pipeline; capability extension — the reference's regex surface is
+    duckdb-6.cpp:4822-4860). The fixture corpus carries no PII, so a
+    deterministic dirty column is constructed per row, then detected and
+    redacted with pure regexp expressions — whole-stage codegen, no
+    Python. Redaction order: email → phone → IP (email eats its host
+    before the IP pattern could)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 2000)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail"),
+        F.col("doc_id") % 7,
+        F.lit(".example.com or call 555-12"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-4321 from 10.0."),
+        F.col("doc_id") % 256,
+        F.lit("."),
+        (F.col("doc_id") * 7) % 256,
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(dirty, F.lit(_PHONE_RE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(dirty, F.lit(_IP_RE)).cast("bigint").alias("n_ip"),
+        # explicit last-80-chars form — identical clamping on both engines
+        F.substring(
+            scrubbed, F.greatest(F.length(scrubbed) - 79, F.lit(1)), F.lit(80)
+        ).alias("scrub_tail"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
     "text_vocab_topk": text_vocab_topk,
     "text_token_stats": text_token_stats,
@@ -214,6 +265,32 @@ def _sql_bigrams() -> str:
 
 
 ORACLES = {
+    "text_pii_scrub": f"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@mail'
+                        || (doc_id % 7) || '.example.com or call 555-12'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        || '-4321 from 10.0.' || (doc_id % 256) || '.'
+                        || ((doc_id * 7) % 256) AS s
+            FROM documents WHERE doc_id <= 2000
+        ), scrub AS (
+            SELECT doc_id, s,
+                   regexp_replace(regexp_replace(regexp_replace(s,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g'),
+                       '{_IP_RE}', '<IP>', 'g') AS sc
+            FROM dirty
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(s, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(s, '{_IP_RE}')) AS BIGINT) AS n_ip,
+               substr(sc, greatest(length(sc) - 79, 1), 80) AS scrub_tail
+        FROM scrub ORDER BY doc_id
+    """,
     "text_repetition": f"""
         WITH g AS (
             SELECT doc_id,

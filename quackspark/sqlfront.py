@@ -490,6 +490,9 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
                 raise UnsupportedSQL("date_part over age(): year/month/day only")
             return _tokens(f"({j(args[1])}).{field}")
         return None
+    if low == "regexp_extract_all" and len(args) == 2:
+        # DuckDB default = whole-match (group 0); Spark default = group 1
+        return _tokens(f"regexp_extract_all({j(args[0])}, {j(args[1])}, 0)")
     if low == "list_prepend" and len(args) == 2:
         # DuckDB list_prepend(elem, list) ↔ Spark array_prepend(list, elem)
         return _tokens(f"array_prepend(({j(args[1])}), ({j(args[0])}))")
