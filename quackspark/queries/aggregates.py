@@ -111,8 +111,10 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """list(x ORDER BY x) aggregate (duckdb-5.cpp:1246)."""
     supp = load_table(spark, sf_dir, "supplier")
+    # list serialized to a JSON string: the driver harness canon sorts every
+    # output column and cannot hash ArrayType (CORRECTNESS_r02 json_inspect)
     return supp.groupBy("s_nationkey").agg(
-        F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.to_json(F.array_sort(F.collect_list("s_suppkey"))).alias("supp_keys"),
         F.count(F.lit(1)).alias("n"),
     ).orderBy("s_nationkey")
 
@@ -126,8 +128,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("o_orderstatus")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("o_orderpriority").alias("key"), F.col("cnt")))
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("o_orderpriority").alias("key"), F.col("cnt"))
+                    )
+                )
             ).alias("hist")
         )
         .orderBy("o_orderstatus")
@@ -328,12 +334,14 @@ ORACLES = {
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
     "agg_collect_list_sorted": """
-        SELECT s_nationkey, list(s_suppkey ORDER BY s_suppkey) AS supp_keys, count(*) AS n
+        SELECT s_nationkey, to_json(list(s_suppkey ORDER BY s_suppkey)) AS supp_keys,
+               count(*) AS n
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
     "agg_histogram": """
         SELECT o_orderstatus,
-               list({'key': o_orderpriority, 'cnt': cnt} ORDER BY o_orderpriority) AS hist
+               to_json(list({'key': o_orderpriority, 'cnt': cnt}
+                            ORDER BY o_orderpriority)) AS hist
         FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
               FROM orders GROUP BY 1, 2)
         GROUP BY o_orderstatus ORDER BY o_orderstatus

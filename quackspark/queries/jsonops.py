@@ -68,7 +68,9 @@ def json_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         arrj.alias("arr_j"),
         F.json_array_length(arrj).alias("arr_len"),
-        F.json_object_keys("props").alias("ks"),
+        # serialized to a JSON string: driver harness canon sorts every
+        # output column and cannot hash ArrayType (CORRECTNESS_r02 err)
+        F.to_json(F.json_object_keys("props")).alias("ks"),
         # NB both engines' parsers agree on leading garbage; Spark's
         # (get_json_object and try_parse_json) tolerate TRAILING garbage
         # where DuckDB's json_valid does not — a documented drift edge
@@ -94,7 +96,7 @@ ORACLES = {
                CAST(json_array_length(
                    to_json(list_transform(generate_series(1, CAST(event_id % 5 AS INT)),
                                           i -> event_id))) AS INT) AS arr_len,
-               json_keys(props) AS ks,
+               to_json(json_keys(props)) AS ks,
                json_valid(props) AS valid,
                json_valid('x' || props) AS still_valid
         FROM events WHERE event_id <= 2000 ORDER BY event_id

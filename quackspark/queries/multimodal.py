@@ -24,12 +24,21 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → fixed-width feature vector (stub decode) via mapInPandas."""
     out = M.extract_features(_payloads(spark, sf_dir))
+    # feature list serialized to fixed-scale decimal strings: float JSON
+    # rendering differs between engines, and the driver canon cannot hash
+    # ArrayType columns (CORRECTNESS_r02 json_inspect)
     return out.select(
         "doc_id",
         "modality",
         "n_bytes",
         "digest",
-        F.transform(F.col("features"), lambda x: F.round(x, 6)).alias("features"),
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("features"),
     ).orderBy("doc_id")
 
 
@@ -139,7 +148,10 @@ ORACLES = {
                {_MODALITY} AS modality,
                CAST(length(text) AS INT) AS n_bytes,
                md5(text) AS digest,
-               [{_FEATURES}] AS features
+               array_to_string(
+                   list_transform([{_RAW_FEATURES}],
+                       x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+                   ',') AS features
         FROM documents ORDER BY doc_id
     """,
     "mm_frames": f"""

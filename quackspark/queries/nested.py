@@ -30,11 +30,20 @@ def nested_unnest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nested_hof_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """list_transform(l, x -> ...) — element-wise lambda."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    # double-list serialized to fixed-scale decimal strings: float JSON
+    # rendering differs between engines, and the driver canon cannot hash
+    # ArrayType columns (CORRECTNESS_r02 json_inspect)
     return emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double") * 2 + 1, 6)).alias(
-            "scaled"
-        ),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 2 + 1, 6)
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("scaled"),
     )
 
 
@@ -69,29 +78,36 @@ def nested_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duckdb-5.cpp:16351-16375) on exact integer arrays."""
     nation = load_table(spark, sf_dir, "nation")
     seq = F.sequence(F.lit(1), F.col("n_nationkey") % 5 + 3)
+    # integer lists serialized with to_json (identical int rendering in both
+    # engines): the driver canon cannot hash ArrayType columns
     return nation.select(
         "n_nationkey",
-        seq.alias("seq"),
-        F.slice(seq, 2, 3).alias("sliced"),
-        F.concat(seq, F.array(F.lit(99))).alias("appended"),
+        F.to_json(seq).alias("seq"),
+        F.to_json(F.slice(seq, 2, 3)).alias("sliced"),
+        F.to_json(F.concat(seq, F.array(F.lit(99)))).alias("appended"),
         F.array_contains(seq, 4).alias("has4"),
         F.array_position(seq, 3).alias("pos3"),
-        F.sort_array(F.array_distinct(F.concat(seq, seq))).alias("dedup"),
-        F.reverse(F.sort_array(seq)).alias("desc_sorted"),
-        F.flatten(F.array(seq, seq)).alias("doubled"),
+        F.to_json(F.sort_array(F.array_distinct(F.concat(seq, seq)))).alias("dedup"),
+        F.to_json(F.reverse(F.sort_array(seq))).alias("desc_sorted"),
+        F.to_json(F.flatten(F.array(seq, seq))).alias("doubled"),
     ).orderBy("n_nationkey")
 
 
 def nested_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct_pack / struct_extract (duckdb-5.cpp:16352-16354)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    # struct serialized to JSON (bal as fixed-scale decimal so both engines
+    # render the same digits): driver canon cannot hash dict-valued columns
     packed = F.struct(
-        F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+        F.col("c_name").alias("name"),
+        # string-typed so both engines quote it with identical digits
+        # (DuckDB's to_json drops a DECIMAL's trailing zeros)
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("bal"),
     )
     return cust.select(
         "c_custkey",
-        packed.alias("info"),
-        packed.getField("bal").alias("bal_extracted"),
+        F.to_json(packed).alias("info"),
+        F.col("c_acctbal").alias("bal_extracted"),
     )
 
 
@@ -108,7 +124,8 @@ def nested_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return supp.select(
         "s_suppkey",
-        F.map_entries(m).alias("entries"),
+        # entries list serialized: driver canon cannot hash ArrayType columns
+        F.to_json(F.map_entries(m)).alias("entries"),
         F.element_at(m, "nation").alias("nation_val"),
         F.size(m).alias("cardinality"),
     ).orderBy("s_suppkey")
@@ -149,7 +166,11 @@ ORACLES = {
     """,
     "nested_hof_transform": """
         SELECT vec_id,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2 + 1, 6)) AS scaled
+               array_to_string(
+                   list_transform(embedding,
+                       x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2 + 1, 6)
+                                      AS DECIMAL(18,6)) AS VARCHAR)),
+                   ',') AS scaled
         FROM embeddings WHERE vec_id < 100
     """,
     "nested_hof_filter": """
@@ -166,27 +187,29 @@ ORACLES = {
     """,
     "nested_array_funcs": """
         SELECT n_nationkey,
-               range(1, n_nationkey % 5 + 4) AS seq,
-               range(1, n_nationkey % 5 + 4)[2:4] AS sliced,
-               list_concat(range(1, n_nationkey % 5 + 4), [99]) AS appended,
+               to_json(range(1, n_nationkey % 5 + 4)) AS seq,
+               to_json(range(1, n_nationkey % 5 + 4)[2:4]) AS sliced,
+               to_json(list_concat(range(1, n_nationkey % 5 + 4), [99])) AS appended,
                list_contains(range(1, n_nationkey % 5 + 4), 4) AS has4,
                CAST(list_position(range(1, n_nationkey % 5 + 4), 3) AS BIGINT) AS pos3,
-               list_sort(list_distinct(list_concat(range(1, n_nationkey % 5 + 4),
-                                                   range(1, n_nationkey % 5 + 4)))) AS dedup,
-               list_reverse(list_sort(range(1, n_nationkey % 5 + 4))) AS desc_sorted,
-               flatten([range(1, n_nationkey % 5 + 4), range(1, n_nationkey % 5 + 4)]) AS doubled
+               to_json(list_sort(list_distinct(list_concat(range(1, n_nationkey % 5 + 4),
+                                                   range(1, n_nationkey % 5 + 4))))) AS dedup,
+               to_json(list_reverse(list_sort(range(1, n_nationkey % 5 + 4)))) AS desc_sorted,
+               to_json(flatten([range(1, n_nationkey % 5 + 4),
+                                range(1, n_nationkey % 5 + 4)])) AS doubled
         FROM nation ORDER BY n_nationkey
     """,
     "nested_struct_pack": """
         SELECT c_custkey,
-               {'name': c_name, 'bal': c_acctbal} AS info,
+               to_json({'name': c_name,
+                        'bal': CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)}) AS info,
                struct_extract({'name': c_name, 'bal': c_acctbal}, 'bal') AS bal_extracted
         FROM customer WHERE c_custkey <= 200
     """,
     "nested_map_funcs": """
         SELECT s_suppkey,
-               [{'key': 'nation', 'value': CAST(s_nationkey AS BIGINT)},
-                {'key': 'suppkey', 'value': s_suppkey}] AS entries,
+               to_json([{'key': 'nation', 'value': CAST(s_nationkey AS BIGINT)},
+                        {'key': 'suppkey', 'value': s_suppkey}]) AS entries,
                CAST(s_nationkey AS BIGINT) AS nation_val,
                2 AS cardinality
         FROM supplier ORDER BY s_suppkey

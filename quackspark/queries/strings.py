@@ -50,7 +50,8 @@ def str_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.concat(F.col("n_name"), F.lit("-"), F.col("n_regionkey")).alias("cat"),
         F.concat_ws("/", F.col("n_name"), F.col("n_regionkey"), F.lit("x")).alias("catws"),
-        F.split(sentence, " ").alias("words"),
+        # word list serialized: driver canon cannot hash ArrayType columns
+        F.to_json(F.split(sentence, " ")).alias("words"),
         F.split_part(sentence, F.lit(" "), F.lit(2)).alias("word2"),
     ).orderBy("n_nationkey")
 
@@ -265,7 +266,7 @@ ORACLES = {
         SELECT n_nationkey,
                n_name || '-' || n_regionkey AS cat,
                concat_ws('/', n_name, n_regionkey, 'x') AS catws,
-               string_split('the ' || n_name || ' nation', ' ') AS words,
+               to_json(string_split('the ' || n_name || ' nation', ' ')) AS words,
                split_part('the ' || n_name || ' nation', ' ', 2) AS word2
         FROM nation ORDER BY n_nationkey
     """,

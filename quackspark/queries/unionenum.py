@@ -54,7 +54,9 @@ def union_struct_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(union_value("name", F.col("n_name"), members))
     return n.select(
         "n_nationkey",
-        u.alias("u"),
+        # union struct serialized (nulls kept so both engines render the
+        # inactive member): driver canon cannot hash dict-valued columns
+        F.to_json(u, {"ignoreNullFields": "false"}).alias("u"),
         union_tag(u).alias("tag"),
         union_extract(u, "num").alias("as_num"),
         union_extract(u, "name").alias("as_name"),
@@ -96,7 +98,7 @@ ORACLES = {
                    END AS u
             FROM nation
         )
-        SELECT n_nationkey, u,
+        SELECT n_nationkey, to_json(u) AS u,
                u.tag AS tag,
                u.num AS as_num,
                u.name AS as_name

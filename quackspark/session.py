@@ -176,9 +176,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown, and min/max row-group skipping — the same zone-map machinery
     as duckdb-internal.hpp:3999-4002, inherited for free.
 
-    ``events.ts`` arrives as int64 nanoseconds (legacy nanosAsLong read of
-    a TIMESTAMP(NANOS) column) and is normalized to TimestampType (µs) —
-    the reference normalizes TIMESTAMP_NS the same way (SURVEY.md §1.2).
+    ``events.ts`` is normalized to TimestampType (µs, UTC) regardless of how
+    the fixture stores it — the reference normalizes TIMESTAMP_NS /
+    TIMESTAMP_NTZ to its canonical µs timestamp the same way (SURVEY.md
+    §1.2). Fixture generations seen so far:
+
+    - ``timestamp[us]`` isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ;
+      a plain cast under the UTC session timezone is exact.
+    - ``timestamp[ns]`` → read as int64 under ``nanosAsLong`` and divided
+      to µs (kept for old fixtures).
     """
     key = (id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
@@ -189,8 +195,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # when the caller bypassed get_session (VERDICT r1 "What's wrong" #1).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # session timeZone is UTC → NTZ-to-LTZ cast is value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -16,6 +16,8 @@ store — nothing driver-side.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -29,21 +31,36 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
-#: raw file schema — ts is int64 nanoseconds under the session's
-#: nanosAsLong parquet read (normalized to µs below, like session.load_table)
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_read_schema(sf_dir: str) -> tuple[StructType, str]:
+    """Inspect the events parquet footer and return (explicit read schema,
+    ts normalization kind) — streaming sources need an explicit schema, and
+    the fixture's ts storage has changed across driver generations
+    (timestamp[ns] → timestamp[us] NTZ), so dispatch on the file, exactly
+    like session.load_table does for the batch path."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if str(t) in ("int64", "timestamp[ns]"):
+        ts_field, kind = StructField("ts", LongType()), "nanos"
+    else:
+        ts_field, kind = StructField("ts", TimestampNTZType()), "ntz"
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                ts_field,
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        kind,
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,10 +68,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming sources; one file = one micro-batch under availableNow).
 
     The file-stream source requires a *directory*, and the fixture is a
-    single file — stage a symlink directory (testdata stays read-only)."""
-    import os
-    import tempfile
-
+    single file — stage a symlink directory (testdata stays read-only).
+    ts is normalized to TimestampType (µs, UTC) whichever way the fixture
+    stores it, so stream and batch sides always agree on schema."""
     src = os.path.join(sf_dir, "events.parquet")
     stage = os.path.join(
         tempfile.gettempdir(), f"qs_stream_{os.path.basename(sf_dir)}"
@@ -63,12 +79,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-    )
+    schema, kind = _events_read_schema(sf_dir)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if kind == "nanos":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # session timeZone is UTC → NTZ-to-LTZ cast is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.withWatermark("ts", "10 minutes")
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
