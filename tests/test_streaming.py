@@ -130,6 +130,34 @@ def test_stream_static_enrichment_join(spark):
     assert _rows(got, ["c_mktsegment"]) == _rows(batch, ["c_mktsegment"])
 
 
+@pytest.mark.parametrize(
+    "name,transform",
+    [
+        ("source", lambda df: df),
+        ("tumbling", E.tumbling_counts),
+        ("sliding", E.sliding_counts),
+        ("session", E.session_windows),
+        ("dedup", lambda df: E.streaming_dedup(df, ["event_id"])),
+    ],
+)
+def test_stream_batch_schema_contract(spark, name, transform):
+    """The stream and batch sides of every streaming query must agree on
+    *schema*, not just rows — when the driver regenerated events.ts as
+    timestamp[us] NTZ, the old hardcoded nanos schema silently produced
+    1970 dates and one test failed via a wrong join instead of loudly
+    (VERDICT r2 item 9). Analysis-only: no execution."""
+    batch = transform(load_table(spark, SF, "events"))
+    stream = transform(E.stream_events(spark, SF))
+    # nullability differs benignly between a parquet batch scan and a
+    # file-stream source; the contract is column names + data types
+    s_shape = [(f.name, f.dataType) for f in stream.schema.fields]
+    b_shape = [(f.name, f.dataType) for f in batch.schema.fields]
+    assert s_shape == b_shape, (
+        f"{name}: stream schema {stream.schema.simpleString()} != "
+        f"batch schema {batch.schema.simpleString()}"
+    )
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     """foreachBatch arbitrary sink: per-batch parquet appends hold every row."""
     out = str(tmp_path / "sink")
