@@ -106,11 +106,10 @@ def misc_limit_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject — per-partition top-n heaps merged once.
     The previous global-window form funneled the whole table through a
     single task (VERDICT r1 "What's wrong" #2) — a scale-killer at 100×.
+    DuckDB floors the fractional row count (0.15% of 1000 → 1 row).
     """
-    import math
-
     o = load_table(spark, sf_dir, "orders")
-    n = math.ceil(o.count() * 0.1 / 100.0)
+    n = int(o.count() * 0.1 / 100.0)
     return (
         o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(n)
     )

@@ -381,6 +381,35 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
                 f"array_join({_sorted_collect(j(args[0]), j(key))}, {j(sep)})"
             )
         return None  # Spark 4 has string_agg
+    if low == "array_to_string" and len(args) == 2:
+        return _tokens(f"array_join({j(args[0])}, {j(args[1])})")
+    if low == "unicode" and len(args) == 1:
+        # DuckDB: codepoint of first char, -1 for '' (NULL passes through)
+        s = j(args[0])
+        return _tokens(f"(CASE WHEN ({s}) = '' THEN -1 ELSE ascii({s}) END)")
+    if low == "to_json" and len(args) == 1:
+        # DuckDB renders NULL struct fields; Spark drops them by default
+        return _tokens(f"to_json({j(args[0])}, map('ignoreNullFields', 'false'))")
+    if low == "get_bit" and len(args) == 2:
+        # BIT carrier is the '0'/'1' string (duckdb-6.cpp:6030): index is
+        # 0-based from the left, substring is 1-based
+        return _tokens(
+            f"CAST(substring({j(args[0])}, ({j(args[1])}) + 1, 1) AS INT)"
+        )
+    if low == "set_bit" and len(args) == 3:
+        b, i_, v = j(args[0]), j(args[1]), j(args[2])
+        return _tokens(
+            f"CONCAT(substring({b}, 1, ({i_})), CAST(({v}) AS STRING), "
+            f"substring({b}, ({i_}) + 2))"
+        )
+    if low == "bit_position":
+        # DuckDB scans with byte-alignment effects (needle padded into its
+        # own byte): '01' in '00100101' → 7, not the string-search 2.
+        # No faithful string-carrier form — refuse rather than drift.
+        raise UnsupportedSQL(
+            "bit_position: BIT byte-alignment semantics have no string-"
+            "carrier equivalent (use instr on the '0'/'1' form explicitly)"
+        )
     if low == "quantile_disc":
         return _tokens(f"percentile_approx({j(args[0])}, {j(args[1])}, 1000000)")
     if low == "sem":
@@ -968,7 +997,7 @@ def _rewrite_json_arrows(toks: list[str]) -> list[str]:
 #: DuckDB type name → Spark type name (bare names; parameterized ones pass
 #: through untouched). BIT and TIME have no Spark storage type — honest raise.
 _TYPE_RENAMES = {"varchar": "STRING", "blob": "BINARY", "ubigint": "DECIMAL(20,0)"}
-_TYPE_UNSUPPORTED = {"bit", "time"}
+_TYPE_UNSUPPORTED = {"time"}
 
 
 def _rewrite_typenames(toks: list[str]) -> list[str]:
@@ -1383,6 +1412,351 @@ def _peel_limit_offset(toks: list[str]) -> tuple[list[str], list[str]]:
     return toks, []
 
 
+def _strip_trailing_commas(toks: list[str]) -> list[str]:
+    """DuckDB tolerates trailing commas in SELECT/GROUP BY/ORDER BY lists
+    (friendly-SQL extension); Spark rejects them — drop a comma whose next
+    token closes the list."""
+    out: list[str] = []
+    for i, t in enumerate(toks):
+        if t == ",":
+            nxt = toks[i + 1].lower() if i + 1 < len(toks) else ""
+            if nxt in ("from", "where", "group", "order", "having",
+                       "limit", "window", ")", ""):
+                continue
+        out.append(t)
+    return out
+
+
+def _rewrite_bit_casts(toks: list[str]) -> list[str]:
+    """BIT emulation (reference type duckdb.hpp:932): the Spark carrier is
+    the '0'/'1' string itself, so `CAST(x AS BIT)` / `x::BIT` become
+    identity — get_bit/set_bit/bit_position then operate on the string
+    (translated in _emit_call_extra, mirroring duckdb-6.cpp:5993-6040)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() == "bit":
+            i += 2
+            continue
+        if t.lower() in ("cast", "try_cast") and i + 1 < len(toks) and toks[i + 1] == "(":
+            end = _find_call_end(toks, i + 1)
+            if end - 2 >= 0 and toks[end - 1].lower() == "bit" and toks[end - 2].lower() == "as":
+                out.extend(["("] + _rewrite_bit_casts(toks[i + 2 : end - 2]) + [")"])
+                i = end + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_limit_percent(toks: list[str], spark: SparkSession | None) -> list[str]:
+    """LIMIT n PERCENT (reference LIMIT_PERCENT operator duckdb-3.cpp:12535):
+    no single-pass Spark form exists, so do what the reference does —
+    count the child, then emit floor(count * n / 100) rows (floor verified
+    against DuckDB: 0.15% of 1000 → 1 row). The count pass is a
+    parquet-metadata count-star when the child is a bare scan; the
+    rewritten LIMIT keeps Spark's TakeOrderedAndProject plan
+    (queries/maths.misc_limit_percent is the DataFrame twin)."""
+    while True:
+        hit = None
+        for k, t in enumerate(toks):
+            if t.lower() == "percent" and k >= 2 and toks[k - 2].lower() == "limit":
+                hit = k
+                break
+        if hit is None:
+            return toks
+        if spark is None:
+            raise UnsupportedSQL(
+                "LIMIT n PERCENT needs a live session for the count pass"
+            )
+        pct = float(toks[hit - 1])
+        # enclosing query block: back to the unmatched '(' (or stmt start)
+        depth = 0
+        start = 0
+        for j in range(hit - 3, -1, -1):
+            if toks[j] == ")":
+                depth += 1
+            elif toks[j] == "(":
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+        child_sql = " ".join(toks[start : hit - 2])
+        n_child = spark.sql(transpile(child_sql, spark)).count()
+        n = int(n_child * pct / 100.0)
+        toks = toks[: hit - 1] + [str(n)] + toks[hit + 1 :]
+
+
+def _rewrite_columns_expr(toks: list[str], spark: SparkSession | None) -> list[str]:
+    """COLUMNS('regex') star-expression (DuckDB friendly SQL): expand to the
+    matching columns of the single plain table/view after FROM. DuckDB
+    regex-matches anywhere in the name (verified empirically: COLUMNS('key')
+    matches n_nationkey) → re.search."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.lower() == "columns"
+            and i + 3 < len(toks)
+            and toks[i + 1] == "("
+            and _is_string(toks[i + 2])
+            and toks[i + 3] == ")"
+        ):
+            if spark is None:
+                raise UnsupportedSQL("COLUMNS(regex) needs a live session")
+            pat = _str_val(toks[i + 2])
+            # the FROM of this query block: next depth-0 FROM + plain ident
+            depth = 0
+            table = None
+            for k in range(i + 4, len(toks)):
+                if toks[k] == "(":
+                    depth += 1
+                elif toks[k] == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and toks[k].lower() == "from":
+                    cand = toks[k + 1] if k + 1 < len(toks) else ""
+                    if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", cand):
+                        table = cand
+                    break
+            if table is None:
+                raise UnsupportedSQL(
+                    "COLUMNS(regex) supported only over a plain FROM table"
+                )
+            try:
+                cols = spark.table(table).columns
+            except Exception:
+                raise UnsupportedSQL(f"COLUMNS(regex): unknown table {table}")
+            matched = [c for c in cols if re.search(pat, c)]
+            if not matched:
+                raise UnsupportedSQL(f"COLUMNS({pat!r}) matched no columns")
+            expansion: list[str] = []
+            for n_, c in enumerate(matched):
+                if n_:
+                    expansion.append(",")
+                expansion.append(c)
+            out.extend(expansion)
+            i += 4
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_ASOF_INEQ = {">=": "DESC", ">": "DESC", "<=": "ASC", "<": "ASC"}
+
+
+def _rewrite_asof(sql: str) -> str:
+    """ASOF [LEFT] JOIN (reference: AsOfRef / PhysicalAsOfJoin — SQL surface
+    of the DataFrame operator in queries/joins.join_asof_*): rewritten to a
+    regular join + per-left-row best-match window:
+
+        SELECT items FROM L l ASOF JOIN R r ON eq AND l.ts >= r.ts [rest]
+        →
+        SELECT * EXCEPT (__qs_rn) FROM (
+          SELECT items, row_number() OVER (
+              PARTITION BY l.__qs_rid ORDER BY r.ts DESC) AS __qs_rn
+          FROM (SELECT *, monotonically_increasing_id() AS __qs_rid FROM L) l
+               JOIN R r ON eq AND l.ts >= r.ts
+        ) WHERE __qs_rn = 1 [rest]
+
+    Scale posture: the join itself is a plain (broadcastable/shuffleable)
+    join; the window partitions by a unique per-left-row id, so no single
+    partition collects more than one left row's candidates. Restrictions
+    (explicit select items, single join, no GROUP BY) raise UnsupportedSQL
+    pointing at the DataFrame API."""
+    if not re.search(r"\bASOF\b", sql, re.IGNORECASE):
+        return sql
+    toks = _tokens(sql)
+    low = [t.lower() for t in toks]
+    try:
+        a = low.index("asof")
+    except ValueError:
+        return sql
+    # join kind
+    j = a + 1
+    left_outer = False
+    if low[j] == "left":
+        left_outer = True
+        j += 1
+        if low[j] == "outer":
+            j += 1
+    if low[j] == "inner":
+        j += 1
+    if low[j] != "join":
+        raise UnsupportedSQL("ASOF supports [LEFT] JOIN only")
+    j += 1
+    # right ref: ident [alias] or (subquery) alias
+    if toks[j] == "(":
+        r_end = _find_call_end(toks, j)
+        r_table = " ".join(toks[j : r_end + 1])
+        j = r_end + 1
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", toks[j]):
+            raise UnsupportedSQL("ASOF JOIN subquery right side needs an alias")
+        r_alias = toks[j]
+        j += 1
+    else:
+        r_table = toks[j]
+        j += 1
+        r_alias = r_table
+        if low[j] not in ("on", "using") and re.fullmatch(
+            r"[A-Za-z_][A-Za-z_0-9]*", toks[j]
+        ):
+            r_alias = toks[j]
+            j += 1
+    if low[j] != "on":
+        raise UnsupportedSQL("ASOF JOIN requires an ON condition")
+    j += 1
+    # condition span until depth-0 clause keyword
+    depth = 0
+    cond_end = len(toks)
+    for k in range(j, len(toks)):
+        if toks[k] == "(":
+            depth += 1
+        elif toks[k] == ")":
+            depth -= 1
+        elif depth == 0 and low[k] in (
+            "where", "group", "order", "limit", "offset", "qualify",
+            "union", "intersect", "except", "window", "join", "asof",
+        ):
+            if low[k] in ("join", "asof"):
+                raise UnsupportedSQL("ASOF JOIN rewrite supports a single join")
+            cond_end = k
+            break
+    cond = toks[j:cond_end]
+    rest = toks[cond_end:]
+    # left side: back to the nearest depth-0 FROM
+    depth = 0
+    from_i = None
+    for k in range(a - 1, -1, -1):
+        if toks[k] == ")":
+            depth += 1
+        elif toks[k] == "(":
+            depth -= 1
+        elif depth == 0 and low[k] == "from":
+            from_i = k
+            break
+    if from_i is None:
+        raise UnsupportedSQL("ASOF JOIN: no FROM clause found")
+    left_span = toks[from_i + 1 : a]
+    if any(t.lower() == "join" for t in left_span):
+        raise UnsupportedSQL("ASOF JOIN rewrite supports a single join")
+    if len(left_span) >= 2 and re.fullmatch(
+        r"[A-Za-z_][A-Za-z_0-9]*", left_span[-1]
+    ) and left_span[-1].lower() not in ("select",):
+        l_alias = left_span[-1]
+        l_expr = " ".join(left_span[:-1])
+        if l_expr.lower().endswith(" as"):
+            l_expr = l_expr[:-3]
+    elif len(left_span) == 1:
+        l_alias = left_span[0]
+        l_expr = left_span[0]
+    else:
+        raise UnsupportedSQL("ASOF JOIN: unsupported left relation shape")
+    # locate the single inequality conjunct → right-side ts + direction
+    conjs: list[list[str]] = [[]]
+    depth = 0
+    for t in cond:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.lower() == "and":
+            conjs.append([])
+        else:
+            conjs[-1].append(t)
+    ineq = [(ci, c) for ci, c in enumerate(conjs) if any(x in _ASOF_INEQ for x in c)]
+    if len(ineq) != 1:
+        raise UnsupportedSQL("ASOF JOIN needs exactly one inequality in ON")
+    _, c = ineq[0]
+    op_i = next(i2 for i2, x in enumerate(c) if x in _ASOF_INEQ)
+    lhs, op, rhs = c[:op_i], c[op_i], c[op_i + 1 :]
+    # which operand references the right alias?
+    def _refs(span: list[str], alias: str) -> bool:
+        return any(
+            t.lower() == alias.lower() and i2 + 1 < len(span) and span[i2 + 1] == "."
+            for i2, t in enumerate(span)
+        )
+    if _refs(rhs, r_alias) and not _refs(lhs, r_alias):
+        right_ts, direction = " ".join(rhs), _ASOF_INEQ[op]
+    elif _refs(lhs, r_alias) and not _refs(rhs, r_alias):
+        flipped = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
+        right_ts, direction = " ".join(lhs), _ASOF_INEQ[flipped]
+    else:
+        raise UnsupportedSQL("ASOF JOIN: cannot attribute inequality sides")
+    # select items: explicit, no stars (SELECT * would leak __qs_rid)
+    sel_i = None
+    depth = 0
+    for k in range(from_i - 1, -1, -1):
+        if toks[k] == ")":
+            depth += 1
+        elif toks[k] == "(":
+            depth -= 1
+        elif depth == 0 and low[k] == "select":
+            sel_i = k
+            break
+    if sel_i is None:
+        raise UnsupportedSQL("ASOF JOIN: no SELECT found")
+    items = toks[sel_i + 1 : from_i]
+    if any(t == "*" for t in items):
+        raise UnsupportedSQL(
+            "ASOF JOIN rewrite needs explicit select columns "
+            "(or use the DataFrame API queries/joins.join_asof_*)"
+        )
+    if any(t.lower() in ("group", "having") for t in rest):
+        raise UnsupportedSQL(
+            "ASOF JOIN with GROUP BY — use the DataFrame API"
+        )
+    head = " ".join(toks[:sel_i])
+    items_s = " ".join(items)
+    cond_s = " ".join(cond)
+    # outer clauses see the subquery's output names: strip l./r. qualifiers
+    rest_clean: list[str] = []
+    k = 0
+    while k < len(rest):
+        if (
+            rest[k].lower() in (l_alias.lower(), r_alias.lower())
+            and k + 1 < len(rest)
+            and rest[k + 1] == "."
+        ):
+            k += 2
+            continue
+        rest_clean.append(rest[k])
+        k += 1
+    # a user WHERE applies AFTER best-match selection — merge it into the
+    # outer filter rather than emitting two WHERE clauses
+    extra_pred = ""
+    if rest_clean and rest_clean[0].lower() == "where":
+        d = 0
+        pend = len(rest_clean)
+        for k, t in enumerate(rest_clean[1:], 1):
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and t.lower() in ("order", "limit", "offset"):
+                pend = k
+                break
+        extra_pred = " AND (" + " ".join(rest_clean[1:pend]) + ")"
+        rest_clean = rest_clean[pend:]
+    rest_s = " ".join(rest_clean)
+    join_kw = "LEFT JOIN" if left_outer else "JOIN"
+    inner = (
+        f"SELECT {items_s}, row_number() OVER ("
+        f"PARTITION BY {l_alias}.__qs_rid ORDER BY {right_ts} {direction}"
+        f") AS __qs_rn "
+        f"FROM (SELECT *, monotonically_increasing_id() AS __qs_rid "
+        f"FROM {l_expr}) {l_alias} {join_kw} {r_table} {r_alias} ON {cond_s}"
+    )
+    return (
+        f"{head} SELECT * EXCEPT (__qs_rn) FROM ({inner}) __qs_asof "
+        f"WHERE __qs_rn = 1{extra_pred} {rest_s}"
+    ).strip()
+
+
 def _rewrite_qualify(sql: str) -> str:
     m = re.search(r"\bQUALIFY\b", sql, re.IGNORECASE)
     if not m:
@@ -1754,9 +2128,14 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     if _handle_create_macro(sql):
         return "SELECT 'macro registered' AS status"
     sql = _rewrite_replacement_scans(sql, spark)
+    sql = _rewrite_asof(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     toks = _tokens(sql)
+    toks = _strip_trailing_commas(toks)
+    toks = _rewrite_columns_expr(toks, spark)
+    toks = _rewrite_bit_casts(toks)
+    toks = _rewrite_limit_percent(toks, spark)
     _PENDING_SEQ.clear()
     toks = _expand_macros(toks)
     toks = _rewrite_sequences(toks)
@@ -1778,12 +2157,6 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_group_aliases(toks)
     toks = _rewrite_unnest(toks)
     toks = _rewrite_from_table_fns(toks)
-    for k, t in enumerate(toks):  # LIMIT n PERCENT — no single-pass Spark form
-        if t.lower() == "percent" and k >= 2 and toks[k - 2].lower() == "limit":
-            raise UnsupportedSQL(
-                "LIMIT n PERCENT needs a count pass — use the DataFrame API "
-                "(queries/maths.misc_limit_percent)"
-            )
     toks = _rewrite_calls(toks)
     return " ".join(_escape_spark_literal(t) for t in toks)
 
@@ -1912,6 +2285,80 @@ def _run_recursive(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     result = recursive_cte(base_df, step, union_all=union_all)
     result.createOrReplaceTempView(name)
     return spark.sql(transpile(tail, spark))
+
+
+def _run_union_by_name(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """UNION [ALL] BY NAME (DuckDB set-op extension): columns are matched
+    by name, missing ones filled with NULL — exactly Spark's
+    ``unionByName(allowMissingColumns=True)``, so the arms run through the
+    normal frontend and combine DataFrame-side. UNION BY NAME (no ALL)
+    deduplicates the combined result (verified against DuckDB)."""
+    toks = _tokens(duckdb_sql)
+    low = [t.lower() for t in toks]
+    # depth-0 boundaries of UNION [ALL] BY NAME
+    bounds: list[tuple[int, int, bool]] = []  # (start, end_exclusive, is_all)
+    depth = 0
+    for i, t in enumerate(low):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t == "union":
+            if low[i + 1 : i + 4] == ["all", "by", "name"]:
+                bounds.append((i, i + 4, True))
+            elif low[i + 1 : i + 3] == ["by", "name"]:
+                bounds.append((i, i + 3, False))
+    if not bounds:
+        return None
+    if low[0] == "with":
+        raise UnsupportedSQL(
+            "CTE over UNION BY NAME — inline the CTE or use the DataFrame API"
+        )
+    arms: list[list[str]] = []
+    flags: list[bool] = []
+    pos = 0
+    for s, e, is_all in bounds:
+        arms.append(toks[pos:s])
+        flags.append(is_all)
+        pos = e
+    arms.append(toks[pos:])
+    for arm in arms[1:]:
+        d = 0
+        for t in arm:
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and t.lower() in ("union", "intersect", "except"):
+                raise UnsupportedSQL(
+                    "mixed plain/BY NAME set operations — parenthesize the arms"
+                )
+    # trailing ORDER BY / LIMIT / OFFSET of the last arm bind the whole set-op
+    last = arms[-1]
+    d = 0
+    cut = len(last)
+    for k, t in enumerate(last):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and (
+            t.lower() in ("limit", "offset")
+            or (t.lower() == "order" and k + 1 < len(last) and last[k + 1].lower() == "by")
+        ):
+            cut = k
+            break
+    tail = " ".join(last[cut:])
+    arms[-1] = last[:cut]
+    acc = sql(spark, " ".join(arms[0]))
+    for arm, is_all in zip(arms[1:], flags):
+        acc = acc.unionByName(sql(spark, " ".join(arm)), allowMissingColumns=True)
+        if not is_all:
+            acc = acc.dropDuplicates()
+    if tail:
+        acc.createOrReplaceTempView("__qs_ubn")
+        return spark.sql(transpile(f"SELECT * FROM __qs_ubn {tail}", spark))
+    return acc
 
 
 def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
@@ -2112,6 +2559,8 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
         handled = _run_dml(spark, duckdb_sql)
     if handled is None:
         handled = _run_recursive(spark, duckdb_sql)
+    if handled is None and re.search(r"\bBY\s+NAME\b", duckdb_sql, re.I):
+        handled = _run_union_by_name(spark, duckdb_sql)
     if handled is not None:
         return handled
     df = spark.sql(transpile(duckdb_sql, spark))

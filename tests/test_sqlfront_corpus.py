@@ -24,10 +24,9 @@ from quackspark.sqlfront import UnsupportedSQL
 SF_DIR = "/root/testdata/sf0.001"
 
 #: the complete honest-failure list — anything else must MATCH
-EXPECTED_UNSUPPORTED = {
-    "misc_limit_percent",  # LIMIT n PERCENT needs a count pass (DataFrame API)
-    "str_bits_misc",  # BIT type has no Spark equivalent
-}
+#: (empty since round 3: LIMIT n PERCENT now runs the count pass in the
+#: frontend, BIT is emulated on the '0'/'1' string carrier)
+EXPECTED_UNSUPPORTED: set[str] = set()
 
 
 def _corpus() -> dict[str, str]:
