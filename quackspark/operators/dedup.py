@@ -30,15 +30,28 @@ def md5_int32(c: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
+#: multiply-add mixing constants for the MinHash family: h_i(x) =
+#: (A_i * lane_{i%4}(md5(x)) + B_i) mod (2^31 - 1). One md5 digest per
+#: shingle (the 4 substring slices CSE into a single evaluation), 16
+#: pairwise-independent hashes derived by universal hashing — 4× fewer
+#: md5 evaluations than the seed-grouped form this replaced (it was the
+#: dominant cost of the signature stage at sf0.1). Products stay under
+#: 2^63 in both engines: A_i < 2^31, lane < 2^32.
+_MERSENNE31 = 2_147_483_647
+_MIX_A = [(2654435761 * (i + 1)) % _MERSENNE31 for i in range(64)]
+_MIX_B = [(40503 * (i + 7) ** 2 + 1) % _MERSENNE31 for i in range(64)]
+
+
 def md5_hash_family(c: Column, i: int) -> Column:
-    """Hash i of the MinHash family, 4 hashes per md5 digest: md5 yields
-    128 bits = four 32-bit lanes, so seed-group s = i//4 computes one
-    digest and lane j = i%4 slices bits [32j, 32j+32). Identical digests
-    across the 4 lanes CSE inside whole-stage codegen → 4× fewer md5
-    evaluations than one digest per hash."""
-    s, j = divmod(i, 4)
-    hex_digest = F.md5(F.concat(F.lit(f"{s}|"), c).cast("binary"))
-    return F.conv(F.substring(hex_digest, 8 * j + 1, 8), 16, 10).cast("long")
+    """Hash i of the MinHash family (see _MIX_A note). The SQL twin is
+    queries/dedup._sql_hash_family — keep the formulas identical."""
+    j = i % 4
+    lane = F.conv(
+        F.substring(F.md5(c.cast("binary")), 8 * j + 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(
+        F.lit(_MIX_A[i]) * lane + F.lit(_MIX_B[i]), F.lit(_MERSENNE31)
+    )
 
 
 def minhash_signature(shingles: Column, n_hashes: int) -> Column:
@@ -146,25 +159,55 @@ def _exploded_shingles(
 #: (max DF is 7 at sf0.01, 25 at sf0.1).
 HOT_SHINGLE_DF = 1000
 
+#: hot-list detection runs on a deterministic 1/GUARD_SAMPLE_MOD document
+#: sample when the cutoff is large enough for the sampled count to be
+#: meaningful (max_df >= GUARD_SAMPLE_MIN_DF) — the DF pass then scans and
+#: shuffles only ~5% of the shingle stream instead of all of it
+#: (VERDICT r2 item 5: the full-stream DF count was most of the
+#: dedup_minhash_lsh r1→r2 cost).
+GUARD_SAMPLE_MOD = 20
+GUARD_SAMPLE_MIN_DF = 100
+
+
+def _doc_sample_pred(doc: Column, mod: int) -> Column:
+    """Deterministic, engine-neutral 1/mod document sample: first 8 hex
+    chars of md5(doc) as an int, mod ``mod`` — the same expression is
+    replayable in the DuckDB oracle (queries/dedup.py mirrors it)."""
+    h = F.conv(F.substring(F.md5(doc.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(mod)) == 0
+
 
 def drop_hot_shingles(
-    sh: DataFrame, max_df: int | None = HOT_SHINGLE_DF
+    sh: DataFrame,
+    max_df: int | None = HOT_SHINGLE_DF,
+    sample_mod: int = GUARD_SAMPLE_MOD,
 ) -> DataFrame:
     """Skew guard: drop shingles whose document frequency exceeds
     ``max_df`` from a ``(doc, sh)`` stream.
 
-    The DF count is one extra shuffle of the shingle stream (map-side
-    partial agg), but the hot *list* is tiny by construction — it comes
-    back as a broadcast anti-join, so the main stream is never
-    re-shuffled. This is the mitigation the reference can't need (its
-    single-process pairwise scan has no shuffle to skew) but a
-    1000-executor band join does."""
+    The hot list comes back as a broadcast anti-join, so the main stream
+    is never re-shuffled. When ``max_df`` is large enough
+    (≥ GUARD_SAMPLE_MIN_DF), its detection runs on a deterministic
+    1/``sample_mod`` document sample with the cutoff scaled to
+    ``max_df // sample_mod``: the doc filter pushes below the explode to
+    the scan, so the DF pass tokenizes and shuffles ~1/20 of the corpus.
+    A truly hot shingle (DF ≫ max_df) is caught with overwhelming
+    probability; borderline ones are a coin flip — acceptable for a
+    performance guard, and the SQL oracle mirrors the sampled semantics
+    exactly so correctness parity is unaffected. This is the mitigation
+    the reference can't need (its single-process pairwise scan has no
+    shuffle to skew) but a 1000-executor band join does."""
     if max_df is None:
         return sh
+    if sample_mod > 1 and max_df >= GUARD_SAMPLE_MIN_DF:
+        src = sh.filter(_doc_sample_pred(F.col("doc"), sample_mod))
+        cutoff = max_df // sample_mod
+    else:
+        src, cutoff = sh, max_df
     hot = (
-        sh.groupBy("sh")
+        src.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
+        .filter(F.col("df") > cutoff)
         .select("sh")
     )
     return sh.join(F.broadcast(hot), "sh", "left_anti")

@@ -18,6 +18,15 @@ ROWS = N_HASHES // BANDS
 K = 3
 HOT_DF = D.HOT_SHINGLE_DF
 
+#: SQL mirror of operators/dedup._doc_sample_pred + the scaled cutoff:
+#: hot-shingle detection runs on the deterministic 1/20 doc sample
+_GUARD_SQL = (
+    "SELECT s FROM sh0 "
+    "WHERE ('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 8))::BIGINT "
+    f"% {D.GUARD_SAMPLE_MOD} = 0 "
+    f"GROUP BY s HAVING count(*) > {HOT_DF // D.GUARD_SAMPLE_MOD}"
+)
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -92,9 +101,11 @@ def _sql_md5_int(expr: str, seed: int | None = None) -> str:
 
 
 def _sql_hash_family(expr: str, i: int) -> str:
-    """Mirror of operators.dedup.md5_hash_family: 4 lanes per digest."""
-    s, j = divmod(i, 4)
-    return f"('0x' || substr(md5('{s}|' || {expr}), {8 * j + 1}, 8))::BIGINT"
+    """Mirror of operators.dedup.md5_hash_family: one digest per shingle,
+    16 lanes via (A_i * lane + B_i) mod (2^31 - 1)."""
+    j = i % 4
+    lane = f"('0x' || substr(md5({expr}), {8 * j + 1}, 8))::BIGINT"
+    return f"(({D._MIX_A[i]} * {lane} + {D._MIX_B[i]}) % {D._MERSENNE31})"
 
 
 def _sql_signature(shingles: str) -> str:
@@ -168,9 +179,9 @@ ORACLES = {
             FROM documents
         ), sh AS (
             -- hot-shingle guard (operators/dedup.drop_hot_shingles):
-            -- DF-cutoff {HOT_DF}, inert on the fixture (max DF 7)
+            -- sampled DF-cutoff, inert on the fixture (max DF 7)
             SELECT doc, s FROM sh0
-            WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {HOT_DF})
+            WHERE s NOT IN ({_GUARD_SQL})
         ), sizes AS (
             SELECT doc, count(*) AS nsh FROM sh GROUP BY doc
         ), inter AS (
@@ -194,8 +205,9 @@ ORACLES = {
             FROM documents
         ), sh AS (
             -- hot-shingle guard, mirrors operators/dedup.drop_hot_shingles
+            -- (sampled DF detection, same md5 doc-sample predicate)
             SELECT doc, s FROM sh0
-            WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {HOT_DF})
+            WHERE s NOT IN ({_GUARD_SQL})
         ), sig AS (
             -- map-reduce signature shape, mirrors minhash_signatures:
             -- min per hash lane over the guarded exploded shingles

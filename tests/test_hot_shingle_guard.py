@@ -54,6 +54,30 @@ def test_guard_noop_below_cutoff(spark):
     assert with_guard == without and len(with_guard) > 0
 
 
+def test_guard_sampled_path_catches_hot_shingle(spark):
+    """With max_df >= GUARD_SAMPLE_MIN_DF the DF pass runs on the 1/20 doc
+    sample with a scaled cutoff: a truly hot shingle (every doc) must
+    still be caught, unique shingles must survive."""
+    df = _toy_corpus(spark, n=3000)
+    sh = D._exploded_shingles(df, "text", "doc_id", 3)
+    guarded = D.drop_hot_shingles(sh, max_df=1000)  # sampled: cutoff 50 on ~150 docs
+    left = {r["sh"] for r in guarded.select("sh").distinct().collect()}
+    assert "common boilerplate footer" not in left
+    assert any("unique0a" in s for s in left)
+
+
+def test_guard_sampled_vs_exact_same_verdict(spark):
+    """On the documents fixture the sampled guard and the exact guard must
+    both be inert (max DF 7 ≪ 1000) — identical surviving shingle sets."""
+    from quackspark.queries._util import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = D._exploded_shingles(d, "text", "doc_id", 3)
+    sampled = D.drop_hot_shingles(sh, max_df=1000)
+    exact = D.drop_hot_shingles(sh, max_df=1000, sample_mod=1)
+    assert sampled.count() == exact.count() == sh.count()
+
+
 def test_guard_bounds_candidate_pairs(spark):
     """With the hot shingle gone, ngram blocking must produce no pair for
     docs that share ONLY boilerplate — the d² blowup disappears."""
