@@ -86,6 +86,7 @@ def main() -> None:
         "text_fingerprint",
         "json_group_rollup",
         "pipeline_training_prep",
+        "pipeline_training_prep_recompute",
         "join_asof_backward",
         "dt_hypertable_rollup",
         # events-heavy additions (VERDICT r1 #9): keep BENCH and
