@@ -30,7 +30,21 @@ HEADLINE = [
 ]
 
 
-def bench_duckdb(names: list[str]) -> dict[str, float]:
+#: sf1-scale derived tables (tools/make_sf1.py) — present ⇒ bench both
+#: engines on 10× data to show fixed-cost amortization (VERDICT r2 item 7)
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1")
+
+#: queries that touch only the tables make_sf1.py scales
+SF1_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+]
+
+
+def bench_duckdb(names: list[str], sf_dir: str | None = None) -> dict[str, float]:
     """Time the DuckDB side of the same oracles on the same parquet —
     keeps the README/VERDICT Spark-vs-DuckDB comparison reproducible
     from the repo (VERDICT r1 #10). Same protocol: one warmup, median
@@ -43,7 +57,7 @@ def bench_duckdb(names: list[str]) -> dict[str, float]:
     osql = oracle_sql()
     d = duckdb.connect()
     for t in TESTDATA_TABLES:
-        p = table_path(SF_DIR, t)
+        p = table_path(sf_dir or SF_DIR, t)
         if os.path.exists(p):
             d.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     times: dict[str, float] = {}
@@ -64,6 +78,17 @@ def bench_duckdb(names: list[str]) -> dict[str, float]:
             print(f"bench --oracle: {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0
     return times
+
+
+def _drop_persisted(spark) -> None:
+    """Unpersist every lingering persisted RDD (localCheckpoint blocks from
+    the dedup/pipeline queries): without this, ~25 queries × 3 runs of
+    checkpointed partitions accumulate in the block manager and the late
+    bench sections degrade 5× from GC pressure (observed: sf1 q10 1.3s
+    fresh vs 14.3s late-session)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist()
 
 
 def main() -> None:
@@ -113,6 +138,7 @@ def main() -> None:
         except Exception as exc:  # one broken query must not sink the run
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0
+        _drop_persisted(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -132,6 +158,49 @@ def main() -> None:
             out["ratio_spark_vs_duckdb"] = round(
                 out["spark_value_on_covered"] / out["duckdb_value"], 4
             )
+
+    # fixed-cost amortization section: the same scan-heavy queries at 10×
+    # the rows, both engines, per-query ratios
+    if os.path.isdir(SF1_DIR):
+        s1: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            fn = qs[name]
+            try:
+                fn(spark, SF1_DIR).count()
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                s1[name] = round(statistics.median(runs), 4)
+            except Exception as exc:
+                print(f"bench sf1: {name} failed: {exc}", file=sys.stderr)
+                s1[name] = -1.0
+            _drop_persisted(spark)
+        d1 = bench_duckdb(SF1_QUERIES, sf_dir=SF1_DIR)
+        ratios = {
+            n: round(s1[n] / d1[n], 3)
+            for n in SF1_QUERIES
+            if s1.get(n, -1) > 0 and d1.get(n, -1) > 0
+        }
+        out["sf1"] = {
+            "spark_queries": s1,
+            "duckdb_queries": d1,
+            "per_query_ratio": ratios,
+            # wall-clock growth for 10× the rows — the amortization signal:
+            # Spark ~flat (fixed cost dominates), DuckDB ~linear
+            "spark_growth_10x": {
+                n: round(s1[n] / times[n], 3)
+                for n in SF1_QUERIES
+                if s1.get(n, -1) > 0 and times.get(n, -1) > 0
+            },
+        }
+        if "--oracle" in sys.argv:
+            out["sf1"]["duckdb_growth_10x"] = {
+                n: round(d1[n] / duck[n], 3)
+                for n in SF1_QUERIES
+                if d1.get(n, -1) > 0 and duck.get(n, -1) > 0
+            }
     print(json.dumps(out))
 
 

@@ -1,0 +1,77 @@
+"""Generate an sf1-scale copy of the TPC-H-ish tables (VERDICT r2 item 7).
+
+Purpose: demonstrate fixed-cost amortization. At sf0.1 most per-query
+Spark-vs-DuckDB ratios are dominated by Spark's ~0.3-1s fixed scheduling
+and codegen cost against scans DuckDB finishes in milliseconds; at 10×
+the data that constant should visibly collapse. The scaled tables are
+derived from the driver's own sf0.1 fixtures — lineitem and orders are
+replicated 10× with disjoint order keys (join fan-outs preserved: each
+customer simply has 10× orders), dimensions are copied as-is.
+
+Output: /root/repo/localdata/sf1/*.parquet (gitignored — ~500 MB of
+derived data; regenerate with this script). bench.py picks the directory
+up automatically and emits an "sf1" section.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "localdata", "sf1")
+COPIES = 10
+#: well above max o_orderkey at sf0.1 (~6e5 * 4) so replica key ranges
+#: stay disjoint
+KEY_STRIDE = 100_000_000
+
+
+def main() -> int:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    copy_as_is = ["region", "nation", "customer", "supplier", "part"]
+    for t in copy_as_is:
+        out = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(out):
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}' (FORMAT PARQUET)"
+            )
+        print(f"{t}: copied")
+
+    out = os.path.join(DST, "orders.parquet")
+    if not os.path.exists(out):
+        con.execute(f"""
+            COPY (
+                SELECT o_orderkey + i * {KEY_STRIDE} AS o_orderkey,
+                       o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                       o_orderpriority
+                FROM '{SRC}/orders.parquet', range({COPIES}) t(i)
+            ) TO '{out}' (FORMAT PARQUET)
+        """)
+    print("orders: replicated x", COPIES)
+
+    out = os.path.join(DST, "lineitem.parquet")
+    if not os.path.exists(out):
+        con.execute(f"""
+            COPY (
+                SELECT l_orderkey + i * {KEY_STRIDE} AS l_orderkey,
+                       l_partkey, l_suppkey, l_linenumber, l_quantity,
+                       l_extendedprice, l_discount, l_tax, l_returnflag,
+                       l_linestatus, l_shipdate
+                FROM '{SRC}/lineitem.parquet', range({COPIES}) t(i)
+            ) TO '{out}' (FORMAT PARQUET)
+        """)
+    print("lineitem: replicated x", COPIES)
+
+    n = con.execute(f"SELECT count(*) FROM '{DST}/lineitem.parquet'").fetchone()[0]
+    print(f"sf1 ready at {DST}: lineitem rows = {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
