@@ -180,7 +180,45 @@ def misc_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def misc_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (DuckDB friendly SQL; also reachable through the frontend's
+    `PIVOT ... ON ... USING` handler, sqlfront._run_pivot): DataFrame-API
+    form via groupBy().pivot() with an explicit sorted value list.
+    count(*) cells for empty groups coalesce to 0 like DuckDB's."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = sorted(
+        r[0] for r in o.select("o_orderpriority").distinct().collect()
+    )
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(v) for v in vals],
+    ).orderBy("o_orderstatus")
+
+
+def misc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (sqlfront._run_unpivot is the SQL path): DataFrame unpivot
+    to long form, NULL cells excluded to match DuckDB's default."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        (F.col("c_acctbal") * 2).alias("bal2x"),
+    )
+    return (
+        wide.unpivot("c_custkey", ["bal", "bal2x"], "metric", "val")
+        .filter(F.col("val").isNotNull())
+        .orderBy("c_custkey", "metric")
+    )
+
+
 QUERIES = {
+    "misc_pivot_counts": misc_pivot_counts,
+    "misc_unpivot": misc_unpivot,
     "misc_generic_funcs2": misc_generic_funcs2,
     "misc_sequence_ids": misc_sequence_ids,
     "misc_values_scan": misc_values_scan,
@@ -194,6 +232,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the reference's own friendly-PIVOT grammar IS the oracle text —
+    # proving the frontend and the DataFrame form agree with it
+    "misc_pivot_counts": """
+        PIVOT orders ON o_orderpriority USING count(*)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "misc_unpivot": """
+        UNPIVOT (SELECT c_custkey, c_acctbal AS bal, c_acctbal * 2 AS bal2x
+                 FROM customer WHERE c_custkey <= 500)
+        ON bal, bal2x INTO NAME metric VALUE val
+        ORDER BY c_custkey, metric
+    """,
     # the DuckDB-executable equivalent of the sequence shim's semantics
     # (nextval cursor at 1000, step 5, assignment in c_custkey order)
     "misc_sequence_ids": """

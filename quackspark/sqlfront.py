@@ -2287,6 +2287,159 @@ def _run_recursive(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     return spark.sql(transpile(tail, spark))
 
 
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _parse_pivot_source(
+    toks: list[str], i: int
+) -> tuple[str, int]:
+    """Parse `<ident>` or `(subquery)` starting at i; returns (sql, next)."""
+    if toks[i] == "(":
+        end = _find_call_end(toks, i)
+        return " ".join(toks[i + 1 : end]), end + 1
+    return toks[i], i + 1
+
+
+def _run_pivot(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """DuckDB friendly PIVOT (grammar: `PIVOT src ON col USING agg [AS a]
+    [, ...] [GROUP BY ...] [tail]`) compiled to a conditional aggregation —
+    the same lowering DuckDB itself performs. Column naming matches DuckDB:
+    sorted distinct values; `{value}` for a single agg, `{value}_{alias}`
+    for several. count(*) yields 0 for empty cells, other aggs NULL (both
+    verified against DuckDB).
+
+    Scale posture: the distinct-value probe is one small aggregation (the
+    ON column must be low-cardinality for a pivot to make sense); the
+    pivot itself is a single groupBy with N_values × N_aggs conditional
+    aggregates — one shuffle, map-side partials, no per-value passes."""
+    toks = _tokens(duckdb_sql)
+    low = [t.lower() for t in toks]
+    if not low or low[0] != "pivot":
+        return None
+    src, i = _parse_pivot_source(toks, 1)
+    if low[i] != "on":
+        raise UnsupportedSQL("PIVOT requires ON <column>")
+    on_col = toks[i + 1]
+    i += 2
+    if i < len(low) and low[i] == "using":
+        i += 1
+    else:
+        raise UnsupportedSQL("PIVOT requires USING <aggregate>")
+    # aggregate list: expr [AS alias] (, ...)
+    aggs: list[tuple[str, str | None]] = []
+    while i < len(toks):
+        depth = 0
+        start = i
+        alias = None
+        while i < len(toks):
+            t, lo = toks[i], low[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and lo in ("group", "order", "limit", ","):
+                break
+            elif depth == 0 and lo == "as":
+                alias = toks[i + 1]
+                break
+            i += 1
+        expr = " ".join(toks[start : i if alias is None else i - 0])
+        if alias is not None:
+            expr = " ".join(toks[start:i])
+            i += 2  # skip AS alias
+        aggs.append((expr, alias))
+        if i < len(toks) and toks[i] == ",":
+            i += 1
+            continue
+        break
+    group_cols: list[str] = []
+    if i < len(low) and low[i] == "group":
+        i += 2
+        while i < len(toks) and low[i] not in ("order", "limit"):
+            if toks[i] != ",":
+                group_cols.append(toks[i])
+            i += 1
+    tail = " ".join(toks[i:])
+    src_spark = transpile(src, spark) if " " in src else src
+    src_df = spark.sql(f"SELECT * FROM ({src_spark})") if " " in src else spark.table(src)
+    if not group_cols:
+        used = {t.lower() for a, _ in aggs for t in _tokens(a)}
+        group_cols = [
+            c for c in src_df.columns if c.lower() != on_col.lower() and c.lower() not in used
+        ]
+    vals = sorted(
+        r[0]
+        for r in spark.sql(
+            f"SELECT DISTINCT {on_col} FROM ({src_spark}) __qs_pv"
+        ).collect()
+        if r[0] is not None
+    )
+    items: list[str] = list(group_cols)
+    for v in vals:
+        for expr, alias in aggs:
+            name = f"{v}_{alias}" if alias else str(v)
+            cond = f"{on_col} = {_sql_literal(v)}"
+            m = re.fullmatch(r"(\w+)\s*\(\s*(.*?)\s*\)", expr, re.DOTALL)
+            if not m:
+                raise UnsupportedSQL(f"PIVOT USING must be agg(expr): {expr}")
+            fn, arg = m.group(1), m.group(2)
+            if fn.lower() == "count" and arg == "*":
+                e = f"count(CASE WHEN {cond} THEN 1 END)"
+            else:
+                e = f"{fn}(CASE WHEN {cond} THEN {transpile(arg, spark)} END)"
+            items.append(f"{e} AS `{name}`")
+    built = (
+        f"SELECT {', '.join(items)} FROM ({src_spark}) __qs_pivot "
+        f"GROUP BY {', '.join(group_cols)} "
+        + (transpile(tail, spark) if tail else "")
+    )
+    return spark.sql(built)
+
+
+def _run_unpivot(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """DuckDB friendly UNPIVOT (`UNPIVOT src ON c1, c2 ... INTO NAME n
+    VALUE v [tail]`) → Spark stack() lateral view; NULL cells excluded,
+    matching DuckDB's default."""
+    toks = _tokens(duckdb_sql)
+    low = [t.lower() for t in toks]
+    if not low or low[0] != "unpivot":
+        return None
+    src, i = _parse_pivot_source(toks, 1)
+    if low[i] != "on":
+        raise UnsupportedSQL("UNPIVOT requires ON <columns>")
+    i += 1
+    on_cols: list[str] = []
+    while i < len(toks) and low[i] != "into":
+        if toks[i] != ",":
+            on_cols.append(toks[i])
+        i += 1
+    if low[i : i + 2] != ["into", "name"]:
+        raise UnsupportedSQL("UNPIVOT requires INTO NAME <n> VALUE <v>")
+    name_col = toks[i + 2]
+    if low[i + 3] != "value":
+        raise UnsupportedSQL("UNPIVOT requires INTO NAME <n> VALUE <v>")
+    val_col = toks[i + 4]
+    tail = " ".join(toks[i + 5 :])
+    src_spark = transpile(src, spark) if " " in src else src
+    src_df = spark.sql(f"SELECT * FROM ({src_spark})") if " " in src else spark.table(src)
+    others = [c for c in src_df.columns if c.lower() not in {c2.lower() for c2 in on_cols}]
+    stack_args = ", ".join(f"'{c}', {c}" for c in on_cols)
+    sel = ", ".join([*others, name_col, val_col])
+    built = (
+        f"SELECT {sel} FROM ({src_spark}) __qs_unpivot "
+        f"LATERAL VIEW stack({len(on_cols)}, {stack_args}) __qs_s "
+        f"AS {name_col}, {val_col} "
+        f"WHERE {val_col} IS NOT NULL "
+        + (transpile(tail, spark) if tail else "")
+    )
+    return spark.sql(built)
+
+
 def _run_union_by_name(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     """UNION [ALL] BY NAME (DuckDB set-op extension): columns are matched
     by name, missing ones filled with NULL — exactly Spark's
@@ -2483,6 +2636,96 @@ _DELETE_RE = re.compile(
 )
 
 
+class TransactionError(ValueError):
+    """Raised for transaction-protocol violations (BEGIN inside a
+    transaction, COMMIT/ROLLBACK without one) — mirroring the reference's
+    TransactionException (duckdb-internal.hpp:10232 MVCC machinery)."""
+
+
+#: active-transaction state: None = autocommit; else
+#: {"snapshots": {table_lower: snapshot_table_name}}
+_TXN: dict | None = None
+
+_BEGIN_RE = re.compile(r"^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$", re.I)
+_COMMIT_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.I)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.I)
+_INSERT_TARGET_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z_0-9]*)", re.I)
+
+
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+
+
+def _txn_keep_original(spark: SparkSession, table: str) -> bool:
+    """Inside a transaction, the first write to ``table`` renames the
+    original to its snapshot instead of dropping it (the staging copy is
+    already fully materialized at this point — see _swap_in). Returns True
+    when the original was preserved."""
+    if _TXN is None:
+        return False
+    key = table.lower()
+    if key in _TXN["snapshots"]:
+        return False  # already snapshotted earlier in this transaction
+    snap = f"{table}__txn_snapshot"
+    _drop_table_and_location(spark, snap)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {snap}")
+    _TXN["snapshots"][key] = snap
+    return True
+
+
+def _txn_snapshot_copy(spark: SparkSession, table: str) -> None:
+    """Snapshot ``table`` by full copy — used before in-place appends
+    (INSERT), where the rename trick can't apply."""
+    if _TXN is None:
+        return
+    key = table.lower()
+    if key in _TXN["snapshots"]:
+        return
+    snap = f"{table}__txn_snapshot"
+    _drop_table_and_location(spark, snap)
+    spark.table(table).write.saveAsTable(snap)
+    _TXN["snapshots"][key] = snap
+
+
+def _run_txn(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """BEGIN / COMMIT / ROLLBACK (reference: DuckTransaction,
+    duckdb-internal.hpp:10232). Single-session shim over the copy-on-write
+    DML layer: BEGIN opens a snapshot scope; the first write to each table
+    preserves its pre-transaction state; ROLLBACK restores every snapshot,
+    COMMIT discards them. Reads inside the transaction see its own writes
+    (same connection-local view as the reference). NOT cross-session MVCC
+    — concurrent writers need a table format with a log (README/SCALE.md
+    documents the posture); DDL is out of scope and autocommits."""
+    global _TXN
+    if _BEGIN_RE.match(duckdb_sql):
+        if _TXN is not None:
+            raise TransactionError("cannot start a transaction within a transaction")
+        _TXN = {"snapshots": {}}
+        return spark.createDataFrame([("BEGIN",)], "status string")
+    if _COMMIT_RE.match(duckdb_sql):
+        if _TXN is None:
+            raise TransactionError("no transaction is active")
+        for snap in _TXN["snapshots"].values():
+            _drop_table_and_location(spark, snap)
+        _TXN = None
+        return spark.createDataFrame([("COMMIT",)], "status string")
+    if _ROLLBACK_RE.match(duckdb_sql):
+        if _TXN is None:
+            raise TransactionError("no transaction is active")
+        for table, snap in _TXN["snapshots"].items():
+            _drop_table_and_location(spark, table)
+            spark.sql(f"ALTER TABLE {snap} RENAME TO {table}")
+        _TXN = None
+        return spark.createDataFrame([("ROLLBACK",)], "status string")
+    return None
+
+
 def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     """Copy-on-write commit: write the rewritten rows to a staging managed
     table, then drop + rename. The staging write fully materializes before
@@ -2504,7 +2747,10 @@ def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     if wh:
         shutil.rmtree(f"{wh}/{staging.lower()}", ignore_errors=True)
     new_df.write.saveAsTable(staging)
-    spark.sql(f"DROP TABLE {table}")
+    # inside a transaction the first write keeps the original as the
+    # rollback snapshot (rename, not drop) — see _txn_keep_original
+    if not _txn_keep_original(spark, table):
+        spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 
 
@@ -2554,6 +2800,12 @@ def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
 
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     """Entry point A: run DuckDB-dialect SQL on Spark."""
+    handled = _run_txn(spark, duckdb_sql)
+    if handled is not None:
+        return handled
+    if _TXN is not None and (m := _INSERT_TARGET_RE.match(duckdb_sql)):
+        # in-place append: snapshot by copy before the insert runs
+        _txn_snapshot_copy(spark, m.group(1))
     handled = _run_statement(spark, duckdb_sql)
     if handled is None:
         handled = _run_dml(spark, duckdb_sql)
@@ -2561,6 +2813,10 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
         handled = _run_recursive(spark, duckdb_sql)
     if handled is None and re.search(r"\bBY\s+NAME\b", duckdb_sql, re.I):
         handled = _run_union_by_name(spark, duckdb_sql)
+    if handled is None and re.match(r"\s*PIVOT\b", duckdb_sql, re.I):
+        handled = _run_pivot(spark, duckdb_sql)
+    if handled is None and re.match(r"\s*UNPIVOT\b", duckdb_sql, re.I):
+        handled = _run_unpivot(spark, duckdb_sql)
     if handled is not None:
         return handled
     df = spark.sql(transpile(duckdb_sql, spark))

@@ -246,6 +246,37 @@ CASES.update(
             WHERE (n_nationkey, n_regionkey) IN ((1, 1), (2, 1))
             ORDER BY n_nationkey
         """,
+        # --- friendly PIVOT / UNPIVOT (sqlfront._run_pivot/_run_unpivot) ---
+        "pivot_count": """
+            PIVOT orders ON o_orderpriority USING count(*)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "pivot_two_aggs_aliased": """
+            PIVOT orders ON o_orderstatus USING sum(o_totalprice) AS s, count(*) AS c
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "pivot_subquery_source": """
+            PIVOT (SELECT o_orderstatus, o_orderpriority FROM orders
+                   WHERE o_orderkey < 5000)
+            ON o_orderpriority USING count(*)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "pivot_implicit_group": """
+            PIVOT (SELECT o_orderstatus, o_orderpriority FROM orders)
+            ON o_orderpriority USING count(*) ORDER BY o_orderstatus
+        """,
+        "pivot_sparse_cells_null": """
+            PIVOT (SELECT o_orderstatus, o_orderpriority, o_totalprice
+                   FROM orders WHERE o_orderkey < 30)
+            ON o_orderpriority USING sum(o_totalprice)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "unpivot_into_long": """
+            UNPIVOT (SELECT o_orderkey, o_totalprice AS a, o_totalprice * 2 AS b
+                     FROM orders WHERE o_orderkey < 100)
+            ON a, b INTO NAME metric VALUE val
+            ORDER BY o_orderkey, metric
+        """,
         # --- ASOF JOIN (rewritten to join + per-left-row window; right
         # side deduped to unique ts so best-match ties can't differ) ---
         "asof_backward": """
