@@ -167,7 +167,82 @@ def pipeline_training_prep_recompute(spark: SparkSession, sf_dir: str) -> DataFr
     return pipeline_training_prep(spark, sf_dir, checkpoint_survivors=False)
 
 
+_PACK_TOKENS = 1024
+#: md5-bucket split bounds out of 100: <90 train, <95 val, else test
+_SPLIT_BOUNDS = (90, 95)
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): every document
+    assigned to a fixed 1024-token pack by deterministic contiguous fill
+    in doc_id order — exactly oracled because the assignment is a pure
+    function of the exclusive token prefix sum."""
+    from quackspark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(counted, "n_tokens", "doc_id", _PACK_TOKENS).orderBy(
+        "doc_id"
+    )
+
+
+def pipeline_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack rollup of the packing assignment: docs per pack, tokens
+    per pack, and the fill ratio a trainer sees per window."""
+    from quackspark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(counted, "n_tokens", "doc_id", _PACK_TOKENS)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("pack_tokens") / F.lit(_PACK_TOKENS), 6),
+        )
+        .orderBy("pack_id")
+    )
+
+
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5 bucket of doc_id out of
+    100 → <90 train, <95 val, else test. Engine-portable, reproducible,
+    pushdown-friendly (per-row predicate, like pipeline_source_mix);
+    rolled up per (split, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _SPLIT_BOUNDS[0], "train")
+        .when(bucket < _SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "text")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 QUERIES = {
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_pack_stats": pipeline_pack_stats,
+    "pipeline_split": pipeline_split,
     "pipeline_contamination": pipeline_contamination,
     "pipeline_training_prep": pipeline_training_prep,
     "pipeline_training_prep_recompute": pipeline_training_prep_recompute,
@@ -193,6 +268,56 @@ def _sql_quality() -> str:
 
 
 ORACLES = {
+    "pipeline_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               cum_before // {_PACK_TOKENS} AS pack_id,
+               cum_before % {_PACK_TOKENS} AS offset_in_pack
+        FROM c ORDER BY doc_id
+    """,
+    "pipeline_pack_stats": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT cum_before // {_PACK_TOKENS} AS pack_id,
+               count(*) AS n_docs,
+               sum(n_tokens) AS pack_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE) / {_PACK_TOKENS}, 6)
+                   AS fill_ratio
+        FROM c GROUP BY 1 ORDER BY pack_id
+    """,
+    "pipeline_split": f"""
+        SELECT CASE
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 < {_SPLIT_BOUNDS[0]} THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 < {_SPLIT_BOUNDS[1]} THEN 'val'
+                   ELSE 'test'
+               END AS split,
+               source,
+               count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1, 2 ORDER BY split, source
+    """,
     "pipeline_contamination": f"""
         WITH sh AS (
             SELECT doc_id,
