@@ -34,13 +34,20 @@ HEADLINE = [
 #: engines on 10× data to show fixed-cost amortization (VERDICT r2 item 7)
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1")
 
-#: queries that touch only the tables make_sf1.py scales
+#: queries that touch only the tables make_sf1.py scales — the 5
+#: scan-heavy TPC-H headliners plus the documents/events-heavy pipeline
+#: operators (the 100 TB-relevant ones)
 SF1_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "dedup_minhash_lsh",
+    "pipeline_training_prep",
+    "text_fingerprint",
+    "sw_session",
+    "dt_hypertable_rollup",
 ]
 
 

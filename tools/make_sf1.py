@@ -68,8 +68,38 @@ def main() -> int:
         """)
     print("lineitem: replicated x", COPIES)
 
+    out = os.path.join(DST, "documents.parquet")
+    if not os.path.exists(out):
+        # per-replica text perturbation: replicas are NEAR-duplicates
+        # (clusters of 10), not exact copies — the realistic shape for the
+        # dedup/pipeline operators at 10×
+        con.execute(f"""
+            COPY (
+                SELECT doc_id + i * {KEY_STRIDE} AS doc_id,
+                       text || ' rep' || i AS text,
+                       lang, source
+                FROM '{SRC}/documents.parquet', range({COPIES}) t(i)
+            ) TO '{out}' (FORMAT PARQUET)
+        """)
+    print("documents: replicated x", COPIES, "(perturbed near-dups)")
+
+    out = os.path.join(DST, "events.parquet")
+    if not os.path.exists(out):
+        # replicas shifted 30 days apart: 10× events over a 10× timeline,
+        # same user population — sessions/rollups scale in window count
+        con.execute(f"""
+            COPY (
+                SELECT event_id + i * {KEY_STRIDE} AS event_id,
+                       ts + INTERVAL (i * 30) DAY AS ts,
+                       user_id, event_type, value, props
+                FROM '{SRC}/events.parquet', range({COPIES}) t(i)
+            ) TO '{out}' (FORMAT PARQUET)
+        """)
+    print("events: replicated x", COPIES, "(time-shifted)")
+
     n = con.execute(f"SELECT count(*) FROM '{DST}/lineitem.parquet'").fetchone()[0]
-    print(f"sf1 ready at {DST}: lineitem rows = {n}")
+    nd = con.execute(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
+    print(f"sf1 ready at {DST}: lineitem rows = {n}, documents = {nd}")
     return 0
 
 
