@@ -1891,7 +1891,73 @@ def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
         from_path(spark, path).createOrReplaceTempView(view)
         return f"FROM {view}"
 
-    return _PATH_SCAN.sub(sub, sql)
+    sql = _PATH_SCAN.sub(sub, sql)
+    return _READ_FN.sub(lambda m: _sub_read_fn(m, spark), sql)
+
+
+_READ_FN = re.compile(
+    r"\bFROM\s+read_(csv_auto|csv|json_auto|json|ndjson_auto|ndjson|parquet)"
+    r"\s*\(\s*('[^']+'|\[[^\]]*\])\s*(?:,([^()]*))?\)",
+    re.IGNORECASE,
+)
+
+
+def _parse_read_options(opts: str | None) -> dict:
+    """key=value named parameters of the read_* table functions: quoted
+    strings, booleans, and numbers."""
+    out: dict = {}
+    if not opts:
+        return out
+    for part in opts.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise UnsupportedSQL(f"read_* option must be key=value: {part!r}")
+        k, v = (x.strip() for x in part.split("=", 1))
+        if v.startswith("'") and v.endswith("'"):
+            out[k.lower()] = v[1:-1]
+        elif v.lower() in ("true", "false"):
+            out[k.lower()] = v.lower() == "true"
+        else:
+            try:
+                out[k.lower()] = int(v)
+            except ValueError:
+                out[k.lower()] = float(v)
+    return out
+
+
+def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
+    """`FROM read_csv('x.csv', delim=';')` / read_json / read_parquet
+    table functions (reference JSON/CSV extension surface; multi-file
+    lists supported) → temp view over the matching Spark reader."""
+    if spark is None:
+        raise UnsupportedSQL("read_* table function needs a SparkSession")
+    from quackspark.sources.csvio import read_csv, read_csv_auto
+
+    kind = m.group(1).lower()
+    pathspec = m.group(2)
+    options = _parse_read_options(m.group(3))
+    if pathspec.startswith("["):
+        paths = re.findall(r"'([^']+)'", pathspec)
+        if not paths:
+            raise UnsupportedSQL(f"read_{kind}: empty path list")
+    else:
+        paths = [pathspec.strip("'")]
+    if kind == "csv":
+        df = read_csv(spark, paths[0] if len(paths) == 1 else paths, **options)
+    elif kind == "csv_auto":
+        df = read_csv_auto(spark, paths[0], **options)
+    elif kind == "parquet":
+        df = spark.read.parquet(*paths)
+    else:  # json / json_auto / ndjson — newline-delimited JSON
+        reader = spark.read
+        if options.get("columns"):
+            raise UnsupportedSQL("read_json columns= not supported; rely on inference")
+        df = reader.json(*paths)
+    view = "qs_read_" + re.sub(r"[^A-Za-z0-9]", "_", f"{kind}_{paths[0]}")[-60:]
+    df.createOrReplaceTempView(view)
+    return f"FROM {view}"
 
 
 #: scalar macros (CREATE MACRO, reference ScalarMacroFunction

@@ -162,3 +162,41 @@ def test_attach_detach_database(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM extdb.att_region").collect()[0]["n"] == 5
     sqlfront.sql(spark, "DETACH extdb")
     assert "extdb" not in [d.name for d in spark.catalog.listDatabases()]
+
+
+def test_read_table_functions_differential(spark, tmp_path):
+    """`FROM read_csv/read_json/read_parquet(...)` table functions
+    (sqlfront._sub_read_fn) vs DuckDB executing the identical text on the
+    identical files — options, auto-sniff, and multi-file lists."""
+    import duckdb
+
+    from quackspark.oracle import _rows_to_normed
+    from quackspark.relation import Connection
+
+    csv = str(tmp_path / "t.csv")
+    with open(csv, "w") as f:
+        f.write("a;b;c\n1;x;2.5\n2;y;3.5\n3;z;4.5\n")
+    jsonl = str(tmp_path / "t.jsonl")
+    with open(jsonl, "w") as f:
+        f.write('{"k": 1, "s": "aa"}\n{"k": 2, "s": "bb"}\n')
+    pq1, pq2 = str(tmp_path / "p1.parquet"), str(tmp_path / "p2.parquet")
+    duckdb.sql("SELECT 1 AS v UNION ALL SELECT 2").write_parquet(pq1)
+    duckdb.sql("SELECT 3 AS v").write_parquet(pq2)
+
+    con = Connection(spark)
+    d = duckdb.connect()
+    cases = [
+        f"SELECT a, b, c FROM read_csv('{csv}', delim=';', header=true) ORDER BY a",
+        f"SELECT a, b FROM read_csv_auto('{csv}') ORDER BY a",
+        f"SELECT k, s FROM read_json('{jsonl}') ORDER BY k",
+        f"SELECT v FROM read_parquet(['{pq1}', '{pq2}']) ORDER BY v",
+    ]
+    for q in cases:
+        got = con.sql(q).df
+        s_cols, s_rows = list(got.columns), [tuple(r) for r in got.collect()]
+        cur = d.execute(q)
+        d_cols = [x[0] for x in cur.description]
+        assert sorted(s_cols) == sorted(d_cols), q
+        assert _rows_to_normed(s_cols, s_rows) == _rows_to_normed(
+            d_cols, cur.fetchall()
+        ), q

@@ -130,6 +130,35 @@ def test_stream_static_enrichment_join(spark):
     assert _rows(got, ["c_mktsegment"]) == _rows(batch, ["c_mktsegment"])
 
 
+def test_incremental_micro_batches(spark, tmp_path):
+    """True incremental processing: the events table split into 4 parquet
+    slices, streamed with maxFilesPerTrigger=1 → 4 real micro-batches with
+    state carried across them. The windowed aggregate in complete mode
+    must equal the batch aggregate over the union — exercising watermark
+    state across batches, which the single-file availableNow path never
+    does."""
+    import pyspark.sql.functions as F
+
+    batch = load_table(spark, SF, "events")
+    src_dir = str(tmp_path / "slices")
+    # deterministic 4-way slice by event_id; one file per slice
+    for i in range(4):
+        batch.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    got = E.run_to_memory(E.tumbling_counts(stream), "t_incr")
+    want = E.tumbling_counts(batch)
+    assert _rows(got, ["w_start", "event_type"]) == _rows(
+        want, ["w_start", "event_type"]
+    )
+
+
 @pytest.mark.parametrize(
     "name,transform",
     [
