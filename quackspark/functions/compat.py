@@ -121,6 +121,61 @@ def _jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
     return jaro + prefix * 0.1 * (1 - jaro)
 
 
+def _damerau_py(s1: str | None, s2: str | None) -> int | None:
+    """TRUE Damerau-Levenshtein (unrestricted, with the alphabet table) —
+    DuckDB's damerau_levenshtein (duckdb-6.cpp:6021 family): verified
+    against it on transposition-heavy cases ('ca'→'abc' = 2, where the
+    restricted OSA variant says 3)."""
+    if s1 is None or s2 is None:
+        return None
+    len1, len2 = len(s1), len(s2)
+    maxdist = len1 + len2
+    da: dict[str, int] = {}
+    d = [[0] * (len2 + 2) for _ in range(len1 + 2)]
+    d[0][0] = maxdist
+    for i in range(len1 + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(len2 + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, len1 + 1):
+        db = 0
+        for j in range(1, len2 + 1):
+            k = da.get(s2[j - 1], 0)
+            ell = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[len1 + 1][len2 + 1]
+
+
+def damerau_levenshtein(a: Column | str, b: Column | str) -> Column:
+    """Vectorized (Arrow) pandas UDF — the DP has no expression form."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("long")
+    def _dl(s1, s2):
+        import pandas as pd
+
+        return pd.Series(
+            [_damerau_py(x, y) for x, y in zip(s1, s2)], dtype="object"
+        )
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _dl(a, b)
+
+
 def jaro_winkler(a: Column | str, b: Column | str) -> Column:
     """Vectorized (Arrow) pandas UDF — the DP loop has no expression form."""
     import pandas as pd  # noqa: F401

@@ -131,12 +131,18 @@ def _register_compat_udfs(spark: SparkSession) -> None:
 
     import pandas as pd
 
-    from quackspark.functions.compat import _jaro_winkler_py
+    from quackspark.functions.compat import _damerau_py, _jaro_winkler_py
 
     @F.pandas_udf("double")
     def _jw(a, b):
         return pd.Series(
             [_jaro_winkler_py(x, y) for x, y in zip(a, b)]
+        )
+
+    @F.pandas_udf("long")
+    def _dl(a, b):
+        return pd.Series(
+            [_damerau_py(x, y) for x, y in zip(a, b)], dtype="object"
         )
 
     @F.pandas_udf("string")
@@ -159,6 +165,7 @@ def _register_compat_udfs(spark: SparkSession) -> None:
         )
 
     spark.udf.register("jaro_winkler_similarity", _jw)
+    spark.udf.register("damerau_levenshtein", _dl)
     spark.udf.register("qs_nfc_normalize", _nfc)
     spark.udf.register("qs_nextafter", _nextafter)
     _UDFS_REGISTERED.add(id(spark))

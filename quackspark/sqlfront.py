@@ -108,6 +108,8 @@ def _split_args(toks: list[str]) -> list[list[str]]:
 _RENAMES = {
     "string_split": "split",
     "string_split_regex": "split",
+    "str_split_regex": "split",
+    "regexp_split_to_array": "split",
     "list_transform": "transform",
     "list_filter": "filter",
     "list_contains": "array_contains",
@@ -383,6 +385,79 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         return None  # Spark 4 has string_agg
     if low == "array_to_string" and len(args) == 2:
         return _tokens(f"array_join({j(args[0])}, {j(args[1])})")
+    if low in ("string_split", "str_split", "string_to_array") and len(args) == 2:
+        # DuckDB splits on the LITERAL separator; Spark split() is regex —
+        # \Q...\E-quote the separator so '.' and '|' behave
+        # single backslash here: _escape_spark_literal doubles it at emit
+        return _tokens(
+            f"split({j(args[0])}, concat('\\Q', {j(args[1])}, '\\E'), -1)"
+        )
+    if low == "list_unique" and len(args) == 1:
+        # count of distinct non-NULL elements (verified vs DuckDB)
+        return _tokens(
+            f"size(array_distinct(filter({j(args[0])}, x -> x IS NOT NULL)))"
+        )
+    if low == "list_reverse_sort" and len(args) == 1:
+        return _tokens(f"sort_array({j(args[0])}, false)")
+    if low == "array_slice" and len(args) == 3:
+        a1, a2, a3 = j(args[0]), j(args[1]), j(args[2])
+        return _tokens(f"slice({a1}, {a2}, ({a3}) - ({a2}) + 1)")
+    if low == "editdist3":
+        return _tokens(f"levenshtein({', '.join(j(a) for a in args)})")
+    if low == "to_base" and len(args) == 2:
+        return _tokens(f"conv({j(args[0])}, 10, {j(args[1])})")
+    if low in ("hamming", "mismatches") and len(args) == 2:
+        a1, a2 = j(args[0]), j(args[1])
+        return _tokens(
+            f"aggregate(zip_with(split({a1}, ''), split({a2}, ''), "
+            f"(x, y) -> CAST(x != y AS INT)), 0, (acc, x) -> acc + x)"
+        )
+    if low in ("left", "right") and len(args) == 2:
+        # DuckDB: negative n drops |n| chars from the other end; Spark
+        # returns '' — emit the dual form
+        s, n = j(args[0]), j(args[1])
+        if low == "left":
+            neg = f"substring({s}, 1, greatest(length({s}) + ({n}), 0))"
+        else:
+            neg = f"substring({s}, least(-({n}), length({s})) + 1)"
+        return _tokens(
+            f"(CASE WHEN ({n}) >= 0 THEN {low}({s}, {n}) ELSE {neg} END)"
+        )
+    if low == "format" and args and _is_string(args[0][0]) and len(args[0]) == 1:
+        # fmt-style '{}' / '{0}' templates, literal format strings only
+        fmt = _str_val(args[0][0])
+        parts = re.split(r"\{(\d*)\}", fmt)
+        pieces: list[str] = []
+        auto = 0
+        for idx, piece in enumerate(parts):
+            if idx % 2 == 0:
+                if piece:
+                    pieces.append(_quote(piece))
+            else:
+                argno = int(piece) if piece else auto
+                if not piece:
+                    auto += 1
+                if argno + 1 >= len(args):
+                    raise UnsupportedSQL(f"format: missing argument {{{piece}}}")
+                pieces.append(f"CAST({j(args[argno + 1])} AS STRING)")
+        return _tokens(f"concat({', '.join(pieces) or _quote('')})")
+    if low == "format":
+        raise UnsupportedSQL("format() supports literal format strings only")
+    if low == "md5_number":
+        raise UnsupportedSQL(
+            "md5_number returns a 128-bit HUGEINT with no Spark carrier — "
+            "use md5_number_lower/md5_number_upper"
+        )
+    if low in ("md5_number_lower", "md5_number_upper") and len(args) == 1:
+        # DuckDB: little-endian uint64 of the digest's second (lower) /
+        # first (upper) 8 bytes; reverse the byte pairs then conv. Result
+        # can exceed BIGINT → DECIMAL(20,0) carrier.
+        off = 17 if low.endswith("lower") else 1
+        h = f"md5({j(args[0])})"
+        rev = ", ".join(
+            f"substring({h}, {off + 2 * k}, 2)" for k in range(7, -1, -1)
+        )
+        return _tokens(f"CAST(conv(concat({rev}), 16, 10) AS DECIMAL(20,0))")
     if low == "unicode" and len(args) == 1:
         # DuckDB: codepoint of first char, -1 for '' (NULL passes through)
         s = j(args[0])

@@ -1,0 +1,76 @@
+"""Function-surface differential tests (round-3 gap sweep): each statement
+runs through the SQL frontend AND DuckDB executing identical text — the
+long tail of DuckDB functions a migrating user calls (reference catalog
+registration duckdb-6.cpp:5993-6040).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quackspark.oracle import compare
+from quackspark.relation import Connection
+from quackspark.session import register_testdata_views
+from quackspark.sqlfront import UnsupportedSQL
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    register_testdata_views(spark, SF)
+    return Connection(spark)
+
+
+CASES = {
+    "list_append": "SELECT n_nationkey, list_append([1,2], n_nationkey) AS l "
+                   "FROM nation ORDER BY n_nationkey LIMIT 5",
+    "list_prepend": "SELECT list_prepend(0, [1,2]) AS l",
+    "array_length": "SELECT array_length([1,2,3]) AS n",
+    "list_unique": "SELECT list_unique([1,1,2,3,3]) AS n",
+    "list_value": "SELECT list_value(1, 2, 3) AS l",
+    "list_reverse_sort": "SELECT list_reverse_sort([3,1,2]) AS l",
+    "array_slice_3arg": "SELECT array_slice([1,2,3,4], 2, 3) AS l",
+    "regexp_extract_all": "SELECT n_nationkey, regexp_extract_all(n_name, '[AEIOU]') AS vs "
+                          "FROM nation ORDER BY n_nationkey LIMIT 5",
+    # literal-separator splits: '.'/'|' are the regression cases — Spark
+    # split() is regex, DuckDB splits literally (\\Q quoting in the emit)
+    "string_split_dot": "SELECT string_split('a.b.c', '.') AS l",
+    "string_split_pipe": "SELECT string_split('a|b|c', '|') AS l",
+    "string_to_array": "SELECT string_to_array('a,b,c', ',') AS l",
+    "str_split_regex": "SELECT str_split_regex('a1b22c', '[0-9]+') AS l",
+    "damerau_levenshtein": "SELECT damerau_levenshtein('abc', 'acb') AS d",
+    "damerau_transposition": "SELECT damerau_levenshtein('ca', 'abc') AS d",
+    "editdist3": "SELECT editdist3('kitten', 'sitting') AS d",
+    "hamming": "SELECT hamming('karolin', 'kathrin') AS h",
+    "mismatches": "SELECT mismatches('abcd', 'abdd') AS h",
+    "jaccard": "SELECT round(jaccard('abc', 'abd'), 4) AS j",
+    "format_auto": "SELECT format('{}-{}', 1, 'x') AS s",
+    "format_positional": "SELECT format('{1} then {0}', 'a', 'b') AS s",
+    "printf": "SELECT printf('%d/%s', 7, 'y') AS s",
+    "to_base": "SELECT to_base(255, 16) AS h",
+    "from_base64": "SELECT from_base64('YWJj') AS b",
+    "left_right_negative": "SELECT left(n_name, -3) AS l, right(n_name, -3) AS r "
+                           "FROM nation ORDER BY n_nationkey LIMIT 5",
+    "md5_number_halves": "SELECT CAST(md5_number_lower('abc') AS VARCHAR) AS lo, "
+                         "CAST(md5_number_upper('abc') AS VARCHAR) AS hi",
+    "century": "SELECT century(DATE '1999-06-01') AS c",
+    "epoch_ms": "SELECT epoch_ms(TIMESTAMP '2020-01-01 00:00:01') AS ms",
+    "make_timestamp": "SELECT make_timestamp(2020, 2, 29, 12, 30, 15.5) AS t",
+    "last_day": "SELECT last_day(DATE '2020-02-10') AS d",
+    "monthname": "SELECT monthname(DATE '2020-02-10') AS m",
+    "dayname": "SELECT dayname(DATE '2020-02-10') AS m",
+    "weekofyear": "SELECT weekofyear(DATE '2020-02-10') AS w",
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_fn_differential(con, name):
+    sql = CASES[name]
+    probs = compare(con.sql(sql).df, sql, SF)
+    assert not probs, f"{name}:\n" + "\n".join(probs)
+
+
+def test_md5_number_refused(con):
+    with pytest.raises(UnsupportedSQL):
+        con.sql("SELECT md5_number('abc')")
