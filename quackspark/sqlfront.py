@@ -376,13 +376,61 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             return _tokens(_sorted_collect(j([*x]), j(key)))
         inner = ", ".join(j(a) for a in args)
         return _tokens(f"collect_list({inner})")
-    if low == "string_agg" and len(args) == 2:
-        sep, key = _split_order_by(args[1])
+    if low in ("string_agg", "listagg", "group_concat") and len(args) in (1, 2):
+        if len(args) == 2:
+            x, sep_arg = args[0], args[1]
+            sep, key = _split_order_by(sep_arg)
+        else:
+            # 1-arg form (default ',' separator), ORDER BY rides on the value
+            x, key = _split_order_by(args[0])
+            sep = ["','"]
         if key is not None:
             return _tokens(
-                f"array_join({_sorted_collect(j(args[0]), j(key))}, {j(sep)})"
+                f"array_join({_sorted_collect(j(x), j(key))}, {j(sep)})"
             )
-        return None  # Spark 4 has string_agg
+        if low == "string_agg" and len(args) == 2:
+            return None  # Spark 4 has string_agg
+        return _tokens(f"string_agg({j(x)}, {j(sep)})")
+    if low in ("first", "last", "any_value") and len(args) == 1:
+        x, key = _split_order_by(args[0])
+        if key is not None:
+            # ordered first/last: sorted-collect then take an end
+            # (any_value with an order is first by definition)
+            pos = "-1" if low == "last" else "1"
+            return _tokens(
+                f"element_at({_sorted_collect(j(x), j(key))}, {pos})"
+            )
+    if low == "bitstring_agg" and len(args) == 3:
+        # BIT carrier is the '0'/'1' string: bit (x - lo), counted from
+        # the left, set per distinct value → 63-bit BIGINT mask, then
+        # reverse(bin()) padded to width (verified vs DuckDB)
+        x, lo, hi = j(args[0]), j(args[1]), j(args[2])
+        if (
+            re.fullmatch(r"-?\d+", lo)
+            and re.fullmatch(r"-?\d+", hi)
+            and int(hi) - int(lo) + 1 > 63
+        ):
+            raise UnsupportedSQL("bitstring_agg range wider than 63 bits")
+        mask = (
+            f"sum(DISTINCT shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({x}) - ({lo}) AS INT)))"
+        )
+        return _tokens(
+            f"rpad(reverse(bin({mask})), CAST(({hi}) - ({lo}) + 1 AS INT), '0')"
+        )
+    if low in ("fsum", "sumkahan", "kahan_sum", "favg") and len(args) == 1:
+        # Kahan-compensated sums: exact on ≤6-dp inputs, which the
+        # micro-unit integer sum reproduces bit-for-bit (_util.dsum twin)
+        x = j(args[0])
+        s = f"(CAST(sum(CAST(round(({x}) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)"
+        if low == "favg":
+            return _tokens(f"({s} / count({x}))")
+        return _tokens(s)
+    if low == "mad":
+        raise UnsupportedSQL(
+            "mad needs nested median aggregates — compute "
+            "median(abs(x - m)) against a scalar-subquery median explicitly"
+        )
     if low == "array_to_string" and len(args) == 2:
         return _tokens(f"array_join({j(args[0])}, {j(args[1])})")
     if low in ("string_split", "str_split", "string_to_array") and len(args) == 2:
@@ -1832,6 +1880,56 @@ def _rewrite_asof(sql: str) -> str:
     ).strip()
 
 
+_WIN_EXCLUDE_NOOP = re.compile(r"\s+EXCLUDE\s+NO\s+OTHERS", re.I)
+_WIN_EXCLUDE_CUR = re.compile(
+    r"(\w+)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)",
+    re.I,
+)
+_WIN_EXCLUDE_OTHER = re.compile(r"\bEXCLUDE\s+(GROUP|TIES)\b", re.I)
+
+
+def _rewrite_window_exclude(sql: str) -> str:
+    """Window frame EXCLUDE (DuckDB frame extension, SQL:2016): Spark has
+    no frame-exclusion clause. NO OTHERS is the default → stripped;
+    EXCLUDE CURRENT ROW rewrites arithmetically for sum/count/avg
+    (full-frame aggregate minus the current row's contribution); GROUP
+    and TIES have no faithful arithmetic form → precise refusal."""
+    if not re.search(r"\bEXCLUDE\b", sql, re.I):
+        return sql
+    sql = _WIN_EXCLUDE_NOOP.sub("", sql)
+    if m := _WIN_EXCLUDE_OTHER.search(sql):
+        raise UnsupportedSQL(f"window frame EXCLUDE {m.group(1).upper()}")
+
+    def sub(m: re.Match) -> str:
+        fn, x, frame = m.group(1).lower(), m.group(2), m.group(3)
+        if fn == "sum":
+            return f"(sum({x}) OVER ({frame}) - coalesce({x}, 0))"
+        if fn == "count":
+            if x.strip() == "*":
+                return f"(count(*) OVER ({frame}) - 1)"
+            return (
+                f"(count({x}) OVER ({frame}) - "
+                f"CASE WHEN ({x}) IS NULL THEN 0 ELSE 1 END)"
+            )
+        if fn == "avg":
+            return (
+                f"((sum({x}) OVER ({frame}) - coalesce({x}, 0)) / "
+                f"nullif(count({x}) OVER ({frame}) - "
+                f"CASE WHEN ({x}) IS NULL THEN 0 ELSE 1 END, 0))"
+            )
+        raise UnsupportedSQL(
+            f"window EXCLUDE CURRENT ROW with {fn} — only sum/count/avg "
+            f"have an arithmetic rewrite"
+        )
+
+    out = _WIN_EXCLUDE_CUR.sub(sub, sql)
+    if re.search(r"\bEXCLUDE\s+CURRENT\s+ROW\b", out, re.I):
+        raise UnsupportedSQL(
+            "window EXCLUDE CURRENT ROW in an unrecognized frame shape"
+        )
+    return out
+
+
 def _rewrite_qualify(sql: str) -> str:
     m = re.search(r"\bQUALIFY\b", sql, re.IGNORECASE)
     if not m:
@@ -2269,6 +2367,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     if _handle_create_macro(sql):
         return "SELECT 'macro registered' AS status"
     sql = _rewrite_replacement_scans(sql, spark)
+    sql = _rewrite_window_exclude(sql)
     sql = _rewrite_asof(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)

@@ -61,6 +61,39 @@ CASES = {
     "monthname": "SELECT monthname(DATE '2020-02-10') AS m",
     "dayname": "SELECT dayname(DATE '2020-02-10') AS m",
     "weekofyear": "SELECT weekofyear(DATE '2020-02-10') AS w",
+    # --- aggregate family (round-3 batch 2) ---
+    "first_ordered": "SELECT n_regionkey, first(n_name ORDER BY n_nationkey) AS f "
+                     "FROM nation GROUP BY 1 ORDER BY 1",
+    "last_ordered": "SELECT n_regionkey, last(n_name ORDER BY n_nationkey) AS f "
+                    "FROM nation GROUP BY 1 ORDER BY 1",
+    "bitstring_agg_full": "SELECT CAST(bitstring_agg(n_nationkey % 8, 0, 7) AS VARCHAR) "
+                          "AS b FROM nation",
+    "bitstring_agg_sparse": "SELECT CAST(bitstring_agg(n_nationkey % 5, 0, 9) AS VARCHAR) "
+                            "AS b FROM nation",
+    "fsum": "SELECT round(fsum(c_acctbal), 4) AS s FROM customer",
+    "favg": "SELECT round(favg(c_acctbal), 4) AS a FROM customer",
+    "listagg_ordered": "SELECT n_regionkey, listagg(n_name, ',' ORDER BY n_nationkey) "
+                       "AS s FROM nation GROUP BY 1 ORDER BY 1",
+    "group_concat_default_sep": "SELECT n_regionkey, "
+                                "group_concat(n_name ORDER BY n_nationkey) AS s "
+                                "FROM nation GROUP BY 1 ORDER BY 1",
+    "quantile_cont_list": "SELECT l_returnflag, "
+                          "list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), "
+                          "x -> round(x, 6)) AS qs FROM lineitem GROUP BY 1 ORDER BY 1",
+    # --- window frame EXCLUDE (arithmetic rewrite) ---
+    "window_exclude_sum": "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_nationkey "
+                          "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) "
+                          "AS s FROM nation ORDER BY n_nationkey",
+    "window_exclude_count": "SELECT n_nationkey, count(*) OVER (ORDER BY n_nationkey "
+                            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) "
+                            "AS c FROM nation ORDER BY n_nationkey",
+    "window_exclude_avg": "SELECT n_nationkey, round(avg(n_regionkey) OVER "
+                          "(ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+                          "EXCLUDE CURRENT ROW), 6) AS a FROM nation ORDER BY n_nationkey",
+    "window_exclude_no_others": "SELECT n_nationkey, sum(n_nationkey) OVER "
+                                "(ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND "
+                                "1 FOLLOWING EXCLUDE NO OTHERS) AS s "
+                                "FROM nation ORDER BY n_nationkey",
 }
 
 
@@ -74,3 +107,16 @@ def test_fn_differential(con, name):
 def test_md5_number_refused(con):
     with pytest.raises(UnsupportedSQL):
         con.sql("SELECT md5_number('abc')")
+
+
+def test_window_exclude_group_refused(con):
+    with pytest.raises(UnsupportedSQL):
+        con.sql(
+            "SELECT sum(n_nationkey) OVER (ORDER BY n_regionkey "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM nation"
+        )
+
+
+def test_mad_refused(con):
+    with pytest.raises(UnsupportedSQL):
+        con.sql("SELECT mad(c_acctbal) FROM customer")
