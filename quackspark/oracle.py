@@ -48,6 +48,10 @@ def _norm_cell(v):
         return bool(v)
     if isinstance(v, Decimal):
         return float(v)
+    import uuid as _uuid
+
+    if isinstance(v, _uuid.UUID):  # DuckDB UUID vs Spark's string carrier
+        return str(v)
     if hasattr(v, "asDict"):  # pyspark Row (struct) — check before tuple:
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple, np.ndarray)):

@@ -613,7 +613,53 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             )
         if unit in ("year", "years", "y"):
             return _tokens(f"(year({b}) - year({a}))")
+        if unit in ("hour", "hours", "minute", "minutes", "second", "seconds"):
+            per = {"h": 3600_000_000, "m": 60_000_000, "s": 1_000_000}[unit[0]]
+            return _tokens(
+                f"CAST(floor(unix_micros(CAST(({b}) AS TIMESTAMP)) / {per}) - "
+                f"floor(unix_micros(CAST(({a}) AS TIMESTAMP)) / {per}) AS BIGINT)"
+            )
+        if unit in ("millisecond", "milliseconds", "ms"):
+            return _tokens(
+                f"((unix_micros(CAST(({b}) AS TIMESTAMP)) - "
+                f"unix_micros(CAST(({a}) AS TIMESTAMP))) div 1000)"
+            )
+        if unit in ("microsecond", "microseconds", "us"):
+            return _tokens(
+                f"(unix_micros(CAST(({b}) AS TIMESTAMP)) - "
+                f"unix_micros(CAST(({a}) AS TIMESTAMP)))"
+            )
         raise UnsupportedSQL(f"date_diff unit {unit!r}")
+    if low in ("date_sub", "datesub") and len(args) == 3 and _is_string(args[0][0]):
+        # complete-unit count (vs date_diff's boundary crossings) —
+        # Spark's timestampdiff counts complete units too
+        unit = _str_val(args[0][0]).lower().rstrip("s").upper()
+        if unit not in ("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+                        "HOUR", "MINUTE", "SECOND"):
+            raise UnsupportedSQL(f"date_sub unit {unit!r}")
+        return _tokens(
+            f"timestampdiff({unit}, CAST(({j(args[1])}) AS TIMESTAMP), "
+            f"CAST(({j(args[2])}) AS TIMESTAMP))"
+        )
+    if low == "isoyear" and len(args) == 1:
+        return _tokens(f"extract(YEAROFWEEK FROM {j(args[0])})")
+    if low == "row":
+        # DuckDB row() builds an UNNAMED struct (fields serialize with
+        # empty names and are not addressable); Spark structs need names —
+        # v1..vN, the names DuckDB docs use for unnamed fields. Values are
+        # identical; only the unobservable names differ.
+        fields = ", ".join(
+            f"'v{k + 1}', ({j(a)})" for k, a in enumerate(args)
+        )
+        return _tokens(f"named_struct({fields})")
+    if low == "struct_insert":
+        raise UnsupportedSQL(
+            "struct_insert — rebuild the struct with named_struct/struct_pack"
+        )
+    if low == "timezone" and len(args) == 2:
+        # timezone(tz, ts_ntz): interpret the naive ts in tz, shown in the
+        # (UTC) session zone — to_utc_timestamp under the UTC session
+        return _tokens(f"to_utc_timestamp({j(args[1])}, {j(args[0])})")
     if low == "age" and len(args) == 2:
         # Postgres/DuckDB age(a, b): field-wise later-minus-earlier with
         # day borrow from the earlier month (functions/compat.age_parts).
@@ -1061,6 +1107,31 @@ def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
         toks = toks[:i] + repl + toks[end + 1 :]
 
 
+def _rewrite_date_interval_arith(toks: list[str]) -> list[str]:
+    """`DATE 'lit' ± INTERVAL …` yields TIMESTAMP in DuckDB but DATE in
+    Spark — wrap the date literal so both engines return the timestamp."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            toks[i].lower() == "date"
+            and i + 2 < len(toks)
+            and _is_string(toks[i + 1])
+            and toks[i + 2] in ("+", "-")
+            and any(
+                x.lower() == "interval" for x in toks[i + 3 : i + 9]
+            )
+        ):
+            out.extend(
+                ["CAST", "(", "DATE", toks[i + 1], "AS", "TIMESTAMP", ")"]
+            )
+            i += 2
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_bit_shifts(toks: list[str]) -> list[str]:
     """DuckDB `a << n` / `a >> n` (reference bit ops duckdb-6.cpp operator
     table) → Spark `shiftleft(a, n)` / `shiftright(a, n)` — Spark's parser
@@ -1119,7 +1190,18 @@ def _rewrite_json_arrows(toks: list[str]) -> list[str]:
 
 #: DuckDB type name → Spark type name (bare names; parameterized ones pass
 #: through untouched). BIT and TIME have no Spark storage type — honest raise.
-_TYPE_RENAMES = {"varchar": "STRING", "blob": "BINARY", "ubigint": "DECIMAL(20,0)"}
+_TYPE_RENAMES = {
+    "varchar": "STRING",
+    "blob": "BINARY",
+    "ubigint": "DECIMAL(20,0)",
+    # unsigned ints carried one size up; HUGEINT as max-precision decimal;
+    # UUID as its canonical lowercase-hyphenated string form
+    "utinyint": "SMALLINT",
+    "usmallint": "INT",
+    "uinteger": "BIGINT",
+    "hugeint": "DECIMAL(38,0)",
+    "uuid": "STRING",
+}
 _TYPE_UNSUPPORTED = {"time"}
 
 
@@ -1352,6 +1434,21 @@ def _rewrite_from_table_fns(toks: list[str]) -> list[str]:
         ):
             end = _find_call_end(toks, i + 2)
             args = _split_args(toks[i + 3 : end])
+            if any(
+                x.lower() in ("timestamp", "date", "interval")
+                for a in args
+                for x in a
+            ):
+                # temporal series: Spark sequence() is inclusive like
+                # generate_series; explode keeps it distributed enough
+                # (series sizes are window counts, not fact tables)
+                inner2 = [x for a in args[:-1] for x in a + [","]] + args[-1]
+                out.extend(
+                    [t, "(", "SELECT", "explode", "(", "sequence", "("]
+                    + inner2 + [")", ")", "AS", low, ")"]
+                )
+                i = end + 1
+                continue
             if low == "generate_series":
                 if len(args) == 1:
                     args = [["0"], args[0]]
@@ -1562,12 +1659,32 @@ def _rewrite_bit_casts(toks: list[str]) -> list[str]:
         if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() == "bit":
             i += 2
             continue
+        if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() == "uuid":
+            # UUID canonicalizes to lowercase in DuckDB; string carrier
+            # must match — wrap the left primary in lower(CAST(.. AS STRING))
+            start = _primary_start(out, len(out))
+            prim = out[start:]
+            del out[start:]
+            out.extend(
+                ["lower", "(", "CAST", "(", *prim, "AS", "STRING", ")", ")"]
+            )
+            i += 2
+            continue
         if t.lower() in ("cast", "try_cast") and i + 1 < len(toks) and toks[i + 1] == "(":
             end = _find_call_end(toks, i + 1)
-            if end - 2 >= 0 and toks[end - 1].lower() == "bit" and toks[end - 2].lower() == "as":
-                out.extend(["("] + _rewrite_bit_casts(toks[i + 2 : end - 2]) + [")"])
-                i = end + 1
-                continue
+            if end - 2 >= 0 and toks[end - 2].lower() == "as":
+                typ = toks[end - 1].lower()
+                if typ == "bit":
+                    out.extend(["("] + _rewrite_bit_casts(toks[i + 2 : end - 2]) + [")"])
+                    i = end + 1
+                    continue
+                if typ == "uuid":
+                    inner = _rewrite_bit_casts(toks[i + 2 : end - 2])
+                    out.extend(
+                        ["lower", "(", "CAST", "(", *inner, "AS", "STRING", ")", ")"]
+                    )
+                    i = end + 1
+                    continue
         out.append(t)
         i += 1
     return out
@@ -2388,6 +2505,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_json_arrows(toks)
+    toks = _rewrite_date_interval_arith(toks)
     toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)
     toks = _rewrite_typenames(toks)

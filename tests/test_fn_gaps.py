@@ -80,6 +80,23 @@ CASES = {
     "quantile_cont_list": "SELECT l_returnflag, "
                           "list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), "
                           "x -> round(x, 6)) AS qs FROM lineitem GROUP BY 1 ORDER BY 1",
+    # --- datetime / type batch (round-3 batch 3) ---
+    "date_diff_us": "SELECT date_diff('microseconds', TIMESTAMP '2020-01-01 00:00:00', "
+                    "TIMESTAMP '2020-01-01 00:00:01.5') AS d",
+    "date_diff_hour": "SELECT date_diff('hour', TIMESTAMP '2020-01-01 03:59:00', "
+                      "TIMESTAMP '2020-01-01 05:01:00') AS d",
+    "date_sub_month": "SELECT date_sub('month', DATE '2020-01-15', DATE '2020-03-01') AS d",
+    "date_sub_day": "SELECT date_sub('day', DATE '2020-01-15', DATE '2020-03-01') AS d",
+    "date_plus_interval": "SELECT DATE '2020-01-31' + INTERVAL 1 MONTH AS d",
+    "isoyear": "SELECT isoyear(DATE '2021-01-01') AS y",
+    "timezone_convert": "SELECT timezone('America/New_York', "
+                        "TIMESTAMP '2020-01-01 05:00:00') AS t",
+    "generate_series_timestamps": "SELECT * FROM generate_series("
+                                  "TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-02', "
+                                  "INTERVAL 6 HOUR)",
+    "uuid_cast": "SELECT 'A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11'::UUID AS u",
+    "hugeint_mod": "SELECT 12345678901234567890123::HUGEINT % 97 AS h",
+    "utinyint_cast": "SELECT 200::UTINYINT AS u",
     # --- window frame EXCLUDE (arithmetic rewrite) ---
     "window_exclude_sum": "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_nationkey "
                           "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) "
