@@ -2985,11 +2985,17 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
 
 
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+RETURNING\s+(.*?))?\s*;?\s*$",
     re.I | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+RETURNING\s+(.*?))?\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+_INSERT_RETURNING_RE = re.compile(
+    r"^(\s*INSERT\s+INTO\s+.*?)\s+RETURNING\s+(.*?)\s*;?\s*$",
     re.I | re.DOTALL,
 )
 
@@ -3114,9 +3120,19 @@ def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
 
 def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     """UPDATE / DELETE on managed tables as copy-on-write rewrites
-    (reference statement enum duckdb.hpp:11969-11972)."""
+    (reference statement enum duckdb.hpp:11969-11972), with RETURNING
+    (post-image for UPDATE, deleted rows for DELETE — DuckDB semantics).
+    The RETURNING result materializes (eager localCheckpoint) BEFORE the
+    staging swap so it can't observe the rewritten table."""
+    if re.search(r"\bUPDATE\b.*\bFROM\b|\bDELETE\b.*\bUSING\b", duckdb_sql, re.I | re.S) \
+            and (duckdb_sql.lstrip()[:6].upper() in ("UPDATE", "DELETE")):
+        raise UnsupportedSQL(
+            "UPDATE ... FROM / DELETE ... USING need row identity for the "
+            "join rewrite — stage the join into a temp view and use a "
+            "plain predicate, or a table format with a log"
+        )
     if m := _UPDATE_RE.match(duckdb_sql):
-        table, set_clause, pred = m.group(1), m.group(2), m.group(3)
+        table, set_clause, pred, returning = m.groups()
         schema = {f.name.lower(): f.dataType.simpleString()
                   for f in spark.table(table).schema.fields}
         assigns: dict[str, str] = {}
@@ -3130,6 +3146,14 @@ def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         # DuckDB updates rows where the predicate is TRUE (NULL → keep);
         # the assigned expression is cast to the column's declared type
         cond = f"({pred})" if pred else "TRUE"
+
+        def applied(c: str) -> str:
+            if c.lower() in assigns:
+                return (
+                    f"CAST(({assigns[c.lower()]}) AS {schema[c.lower()]}) AS {c}"
+                )
+            return c
+
         select_items = []
         for f in spark.table(table).schema.fields:
             c = f.name
@@ -3143,17 +3167,61 @@ def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         new_df = spark.sql(
             transpile(f"SELECT {', '.join(select_items)} FROM {table}", spark)
         )
+        ret_df = None
+        if returning:
+            post = ", ".join(applied(f.name) for f in spark.table(table).schema.fields)
+            ret_df = spark.sql(transpile(
+                f"SELECT {returning} FROM (SELECT {post} FROM {table} "
+                f"WHERE coalesce({cond}, false)) __qs_ret", spark
+            )).localCheckpoint(eager=True)
         _swap_in(spark, table, new_df)
-        return spark.createDataFrame([(table,)], "updated string")
+        return ret_df if ret_df is not None else spark.createDataFrame(
+            [(table,)], "updated string"
+        )
     if m := _DELETE_RE.match(duckdb_sql):
-        table, pred = m.group(1), m.group(2)
+        table, pred, returning = m.groups()
         # DELETE removes rows where pred is TRUE; NULL predicates keep the
         # row — hence NOT coalesce(pred, false)
         where = f"WHERE NOT coalesce(({pred}), false)" if pred else "WHERE false"
         new_df = spark.sql(transpile(f"SELECT * FROM {table} {where}", spark))
+        ret_df = None
+        if returning:
+            kept = f"coalesce(({pred}), false)" if pred else "TRUE"
+            ret_df = spark.sql(transpile(
+                f"SELECT {returning} FROM (SELECT * FROM {table} "
+                f"WHERE {kept}) __qs_ret", spark
+            )).localCheckpoint(eager=True)
         _swap_in(spark, table, new_df)
-        return spark.createDataFrame([(table,)], "deleted string")
+        return ret_df if ret_df is not None else spark.createDataFrame(
+            [(table,)], "deleted string"
+        )
     return None
+
+
+def _run_insert_returning(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """INSERT INTO t VALUES/SELECT ... RETURNING items (DuckDB RETURNING
+    clause): execute the insert, then evaluate the RETURNING projection
+    over the inserted rows (re-derived from the source expression —
+    deterministic sources only, which VALUES/SELECT on our immutable
+    inputs are)."""
+    m = _INSERT_RETURNING_RE.match(duckdb_sql)
+    if m is None:
+        return None
+    insert_part, ret = m.groups()
+    tm = _INSERT_TARGET_RE.match(insert_part)
+    if tm is None:
+        raise UnsupportedSQL("INSERT RETURNING: unsupported target form")
+    table = tm.group(1)
+    rest = insert_part[tm.end():].strip()
+    if rest.startswith("("):
+        raise UnsupportedSQL(
+            "INSERT with a column list + RETURNING — use full-column inserts"
+        )
+    sql(spark, insert_part)
+    src_sql = f"SELECT * FROM ({rest})" if rest.upper().startswith("VALUES") else rest
+    src = spark.sql(transpile(src_sql, spark)).toDF(*spark.table(table).columns)
+    src.createOrReplaceTempView("__qs_ins_ret")
+    return spark.sql(transpile(f"SELECT {ret} FROM __qs_ins_ret", spark))
 
 
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
@@ -3164,6 +3232,9 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     if _TXN is not None and (m := _INSERT_TARGET_RE.match(duckdb_sql)):
         # in-place append: snapshot by copy before the insert runs
         _txn_snapshot_copy(spark, m.group(1))
+    handled = _run_insert_returning(spark, duckdb_sql)
+    if handled is not None:
+        return handled
     handled = _run_statement(spark, duckdb_sql)
     if handled is None:
         handled = _run_dml(spark, duckdb_sql)

@@ -129,3 +129,37 @@ def test_protocol_violations(spark):
     with pytest.raises(sqlfront.TransactionError):
         sqlfront.sql(spark, "BEGIN TRANSACTION")
     sqlfront.sql(spark, "COMMIT")
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        "UPDATE {t} SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderstatus = 'F' RETURNING o_orderkey, o_totalprice",
+        "DELETE FROM {t} WHERE o_orderkey < 50 RETURNING *",
+        "INSERT INTO {t} VALUES (9999, 'X', 5.5), (9998, 'Y', 6.5) "
+        "RETURNING o_orderkey, o_totalprice * 10 AS big",
+    ],
+    ids=["update_returning", "delete_returning", "insert_returning"],
+)
+def test_dml_returning_differential(spark, stmt):
+    """RETURNING on UPDATE/DELETE/INSERT: both the returned rows and the
+    final table state must match DuckDB executing the identical text."""
+    name = "txn_ret"
+    _fresh(spark, name)
+    d = _duck_fresh(name)
+    got = sorted(tuple(r) for r in sqlfront.sql(spark, stmt.format(t=name)).collect())
+    want = sorted(d.execute(stmt.format(t=name)).fetchall())
+    assert got == want
+    assert _rows(spark, name) == _duck_rows(d, name)
+
+
+def test_update_from_refused(spark):
+    name = "txn_updfrom"
+    _fresh(spark, name)
+    with pytest.raises(sqlfront.UnsupportedSQL):
+        sqlfront.sql(
+            spark,
+            f"UPDATE {name} SET o_totalprice = 0 FROM {name} b "
+            f"WHERE {name}.o_orderkey = b.o_orderkey",
+        )
