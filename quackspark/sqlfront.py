@@ -433,10 +433,51 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         )
     if low == "array_to_string" and len(args) == 2:
         return _tokens(f"array_join({j(args[0])}, {j(args[1])})")
+    if low in ("len", "length") and len(args) == 1 and _is_string(args[0][0]) \
+            and len(args[0]) == 1:
+        # polymorphic len: a string literal argument is definitely not a
+        # list — route to length() (the blanket len→size rename assumes
+        # the corpus's list-heavy usage)
+        return _tokens(f"length({j(args[0])})")
+    if low == "repeat" and len(args) == 2 and args[0] and (
+        args[0][0] == "[" or args[0][0].lower() in ("array", "list_value")
+    ):
+        # repeat(list, n) flattens in DuckDB; bracket-literal lists are
+        # detectable at transpile time
+        return _tokens(f"flatten(array_repeat({j(args[0])}, {j(args[1])}))")
+    if low == "charindex" and len(args) == 2:
+        # charindex(needle, haystack) — instr has the reverse arg order
+        return _tokens(f"instr({j(args[1])}, {j(args[0])})")
+    if low == "list_zip" and len(args) == 2:
+        # longest-wins zip with NULL padding in both engines; DuckDB names
+        # the struct fields list_1/list_2
+        a1, a2 = j(args[0]), j(args[1])
+        return _tokens(
+            f"zip_with({a1}, {a2}, (x, y) -> "
+            f"named_struct('list_1', x, 'list_2', y))"
+        )
+    if low == "list_any_value" and len(args) == 1:
+        return _tokens(
+            f"element_at(filter({j(args[0])}, x -> x IS NOT NULL), 1)"
+        )
+    if low == "list_where" and len(args) == 2:
+        l_, m_ = j(args[0]), j(args[1])
+        return _tokens(
+            f"transform(filter(zip_with({l_}, {m_}, "
+            f"(x, m) -> named_struct('x', x, 'm', m)), s -> s.m), s -> s.x)"
+        )
+    if low == "list_select" and len(args) == 2:
+        return _tokens(
+            f"transform({j(args[1])}, i -> element_at({j(args[0])}, CAST(i AS INT)))"
+        )
     if low in ("string_split", "str_split", "string_to_array") and len(args) == 2:
         # DuckDB splits on the LITERAL separator; Spark split() is regex —
-        # \Q...\E-quote the separator so '.' and '|' behave
+        # \Q...\E-quote the separator so '.' and '|' behave. Empty
+        # separator splits to characters with no trailing empty (Spark's
+        # default limit does exactly that).
         # single backslash here: _escape_spark_literal doubles it at emit
+        if _is_string(args[1][0]) and _str_val(args[1][0]) == "" and len(args[1]) == 1:
+            return _tokens(f"split({j(args[0])}, '')")
         return _tokens(
             f"split({j(args[0])}, concat('\\Q', {j(args[1])}, '\\E'), -1)"
         )
@@ -1105,6 +1146,96 @@ def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
             return toks
         i, end, repl = hit
         toks = toks[:i] + repl + toks[end + 1 :]
+
+
+def _rewrite_pg_operators(toks: list[str]) -> list[str]:
+    """Postgres-style operators DuckDB inherits (duckdb-libpg_query.cpp
+    operator table): `**`/`^` power (Spark's `^` is XOR — must rewrite),
+    `~`/`!~`/`~*`/`!~*` regex match, `~~` family LIKE/ILIKE, `^@`
+    starts_with, postfix `!` factorial. The tokenizer splits each into
+    single-char tokens; an adjacent `!=` lexes as one token, so a lone
+    `!` after a primary is factorial (Postgres rule)."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+
+    def take_left() -> list[str]:
+        start = _primary_start(out, len(out))
+        left = out[start:]
+        del out[start:]
+        return left
+
+    def binop(i2: int, mid: list[str], *, neg: bool = False,
+              ci: bool = False) -> int:
+        left = take_left()
+        rend = _forward_primary_end(toks, i2)
+        right = toks[i2:rend]
+        if ci:
+            right = ["concat", "(", "'(?i)'", ","] + right + [")"]
+        body = ["("] + left + mid + right + [")"]
+        if neg:
+            body = ["(", "NOT"] + body + [")"]
+        out.extend(body)
+        return rend
+
+    def fncall(i2: int, fn: str) -> int:
+        left = take_left()
+        rend = _forward_primary_end(toks, i2)
+        out.extend([fn, "("] + left + [","] + toks[i2:rend] + [")"])
+        return rend
+
+    def after_primary() -> bool:
+        """True when the previous emitted token ends a primary — separates
+        binary/postfix uses from prefix `~` (bitwise NOT, same in Spark)."""
+        if not out:
+            return False
+        p = out[-1]
+        if p.lower() in _NON_FUNCTION_KEYWORDS:
+            return False  # `SELECT ~x` / `WHERE ~x` — prefix position
+        return p in (")", "]") or _is_string(p) or bool(
+            re.fullmatch(r"[A-Za-z_0-9.]+", p)
+        )
+
+    while i < n:
+        t = toks[i]
+        n1 = toks[i + 1] if i + 1 < n else ""
+        n2 = toks[i + 2] if i + 2 < n else ""
+        n3 = toks[i + 3] if i + 3 < n else ""
+        if t in ("~", "^") and not after_primary():
+            # prefix position: `~x` is bitwise NOT in both engines
+            out.append(t)
+            i += 1
+            continue
+        if t == "*" and n1 == "*":
+            i = fncall(i + 2, "power")
+        elif t == "^" and n1 == "@":
+            i = fncall(i + 2, "startswith")
+        elif t == "^":
+            i = fncall(i + 1, "power")
+        elif t == "!" and n1 == "~" and n2 == "~" and n3 == "*":
+            i = binop(i + 4, ["ILIKE"], neg=True)
+        elif t == "!" and n1 == "~" and n2 == "~":
+            i = binop(i + 3, ["LIKE"], neg=True)
+        elif t == "!" and n1 == "~" and n2 == "*":
+            i = binop(i + 3, ["RLIKE"], neg=True, ci=True)
+        elif t == "!" and n1 == "~":
+            i = binop(i + 2, ["RLIKE"], neg=True)
+        elif t == "~" and n1 == "~" and n2 == "*":
+            i = binop(i + 3, ["ILIKE"])
+        elif t == "~" and n1 == "~":
+            i = binop(i + 2, ["LIKE"])
+        elif t == "~" and n1 == "*":
+            i = binop(i + 2, ["RLIKE"], ci=True)
+        elif t == "~":
+            i = binop(i + 1, ["RLIKE"])
+        elif t == "!" and after_primary():
+            left = take_left()
+            out.extend(["factorial", "("] + left + [")"])
+            i += 1
+        else:
+            out.append(t)
+            i += 1
+    return out
 
 
 def _rewrite_date_interval_arith(toks: list[str]) -> list[str]:
@@ -2505,6 +2636,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_json_arrows(toks)
+    toks = _rewrite_pg_operators(toks)
     toks = _rewrite_date_interval_arith(toks)
     toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)

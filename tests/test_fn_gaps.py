@@ -61,6 +61,28 @@ CASES = {
     "monthname": "SELECT monthname(DATE '2020-02-10') AS m",
     "dayname": "SELECT dayname(DATE '2020-02-10') AS m",
     "weekofyear": "SELECT weekofyear(DATE '2020-02-10') AS w",
+    # --- Postgres-operator family (round-3 batch 4) ---
+    "power_doublestar": "SELECT 2 ** 10 AS p",
+    "power_caret": "SELECT 3 ^ 4 AS p",
+    "factorial_postfix": "SELECT 5! AS f",
+    "like_tilde2": "SELECT n_nationkey FROM nation WHERE n_name ~~ '%IA%' ORDER BY 1",
+    "ilike_tilde2star": "SELECT n_nationkey FROM nation WHERE n_name ~~* '%ia%' ORDER BY 1",
+    "not_like_tilde": "SELECT n_nationkey FROM nation WHERE n_name !~~ '%IA%' ORDER BY 1",
+    "regex_tilde": "SELECT n_nationkey FROM nation WHERE n_name ~ '^A' ORDER BY 1",
+    # (`~*` case-insensitive regex is Postgres-only — this DuckDB build
+    # lacks it; the frontend still translates it for pasted PG queries)
+    "not_regex_tilde": "SELECT n_nationkey FROM nation WHERE n_name !~ '^A' ORDER BY 1",
+    "startswith_caret_at": "SELECT n_nationkey FROM nation WHERE n_name ^@ 'AL' ORDER BY 1",
+    "bitwise_not_prefix": "SELECT ~5 AS x, xor(5, 3) AS y",
+    "len_string_literal": "SELECT len('abc') AS l",
+    "empty_sep_split": "SELECT string_split('abc', '') AS l",
+    "list_any_value": "SELECT list_any_value([NULL, 3, 4]) AS v",
+    "list_where": "SELECT list_where([1,2,3], [true,false,true]) AS l",
+    "list_select": "SELECT list_select([10,20,30], [1,3]) AS l",
+    "list_reduce": "SELECT list_reduce([1,2,3,4], (a, b) -> a + b) AS s",
+    "cbrt": "SELECT round(cbrt(27.0), 6) AS c",
+    "gamma": "SELECT round(gamma(5), 6) AS g",
+    "lgamma": "SELECT round(lgamma(5), 6) AS g",
     # --- aggregate family (round-3 batch 2) ---
     "first_ordered": "SELECT n_regionkey, first(n_name ORDER BY n_nationkey) AS f "
                      "FROM nation GROUP BY 1 ORDER BY 1",
