@@ -26,6 +26,7 @@ def _modules():
         datetimes,
         dedup,
         dml,
+        frontend,
         joins,
         jsonops,
         maths,
@@ -65,6 +66,7 @@ def _modules():
         misc,
         dedup,
         dml,
+        frontend,
         pipeline,
         textops,
         simsearch,
