@@ -150,3 +150,28 @@ def test_positional_join_distributed(spark):
     assert [(r.l_orderkey, r.l_linenumber) for r in head] == [
         (r.l_orderkey, r.l_linenumber) for r in want
     ]
+
+
+def test_pack_sequences_distributed(spark):
+    """Sequence packing's prefix sum must use the distributed enumerate
+    (per-partition window keyed by spark_partition_id + broadcast offsets),
+    never a single-partition global window — and the assignment must be a
+    correct exclusive cumsum (verified against a driver-side replay)."""
+    from quackspark.operators.packing import pack_sequences
+    from quackspark.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counted = d.select(
+        "doc_id", (F.col("doc_id") % 7 + 1).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(counted, "n_tokens", "doc_id", 50)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
+        for r in packed.collect()
+    )
+    acc = 0
+    for doc_id, n, pack_id, off in rows:
+        assert pack_id == acc // 50 and off == acc % 50, (doc_id, acc)
+        acc += n
