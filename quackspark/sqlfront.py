@@ -3356,8 +3356,48 @@ def _run_insert_returning(spark: SparkSession, duckdb_sql: str) -> DataFrame | N
     return spark.sql(transpile(f"SELECT {ret} FROM __qs_ins_ret", spark))
 
 
+def _split_statements(script: str) -> list[str]:
+    """Split a script on top-level semicolons (string-literal aware)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(script):
+        ch = script[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(script) and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p for p in (x.strip() for x in parts) if p]
+
+
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
-    """Entry point A: run DuckDB-dialect SQL on Spark."""
+    """Entry point A: run DuckDB-dialect SQL on Spark. Multi-statement
+    scripts run sequentially; the last statement's result is returned
+    (the reference's Connection::Query behaves the same,
+    duckdb-7.cpp:3375)."""
+    stmts = _split_statements(duckdb_sql)
+    if len(stmts) > 1:
+        result: DataFrame | None = None
+        for s in stmts:
+            result = sql(spark, s)
+        assert result is not None
+        return result
+    duckdb_sql = stmts[0] if stmts else duckdb_sql
     handled = _run_txn(spark, duckdb_sql)
     if handled is not None:
         return handled

@@ -341,3 +341,36 @@ REFUSALS = {
 def test_honest_refusal(con, name):
     with pytest.raises(UnsupportedSQL):
         con.sql(REFUSALS[name])
+
+
+def test_multi_statement_script(con, spark):
+    """Semicolon-separated scripts run sequentially, last result returned
+    (Connection::Query parity, duckdb-7.cpp:3375)."""
+    df = con.sql(
+        "CREATE OR REPLACE TEMP VIEW __qs_script_v AS "
+        "SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 5; "
+        "SELECT n_regionkey, count(*) AS c FROM __qs_script_v "
+        "GROUP BY 1 ORDER BY 1;"
+    ).df
+    got = [tuple(r) for r in df.collect()]
+    import duckdb
+
+    d = duckdb.connect()
+    d.execute(
+        "CREATE VIEW nation AS SELECT * FROM "
+        f"'{SF}/nation.parquet'"
+    )
+    d.execute(
+        "CREATE TEMP VIEW __qs_script_v AS "
+        "SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 5"
+    )
+    want = d.execute(
+        "SELECT n_regionkey, count(*) AS c FROM __qs_script_v "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert got == want
+
+
+def test_semicolon_inside_string_not_split(con):
+    df = con.sql("SELECT 'a;b' AS s; SELECT 'x;y' AS s").df
+    assert [tuple(r) for r in df.collect()] == [("x;y",)]
