@@ -448,6 +448,10 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
     if low == "charindex" and len(args) == 2:
         # charindex(needle, haystack) — instr has the reverse arg order
         return _tokens(f"instr({j(args[1])}, {j(args[0])})")
+    if low == "map" and len(args) == 2:
+        # DuckDB's two-argument map takes (key_list, value_list); Spark's
+        # variadic map() would read them as one key-value pair
+        return _tokens(f"map_from_arrays({j(args[0])}, {j(args[1])})")
     if low == "list_zip" and len(args) == 2:
         # longest-wins zip with NULL padding in both engines; DuckDB names
         # the struct fields list_1/list_2
@@ -967,10 +971,12 @@ def _dotted_prefix_start(toks: list[str], j: int) -> int:
 
 def _rewrite_struct_literals(toks: list[str]) -> list[str]:
     """DuckDB `{'k': expr, …}` struct literals (reference grammar
-    duckdb-libpg_query.cpp struct ctor) → Spark `named_struct('k', expr, …)`.
+    duckdb-libpg_query.cpp struct ctor) → Spark `named_struct('k', expr, …)`;
+    `MAP {'k': v, …}` map literals → Spark `map('k', v, …)`.
     """
     while "{" in toks:
         i = toks.index("{")
+        is_map = i > 0 and toks[i - 1].lower() == "map"
         depth, end = 0, -1
         for j in range(i, len(toks)):
             if toks[j] == "{":
@@ -989,7 +995,10 @@ def _rewrite_struct_literals(toks: list[str]) -> list[str]:
                 parts.extend([arg[0], ","] + arg[2:] + [","])
             else:
                 raise UnsupportedSQL(f"struct literal entry needs 'k': expr: {arg}")
-        toks = toks[:i] + ["named_struct", "("] + parts[:-1] + [")"] + toks[end + 1 :]
+        if is_map:
+            toks = toks[: i - 1] + ["map", "("] + parts[:-1] + [")"] + toks[end + 1 :]
+        else:
+            toks = toks[:i] + ["named_struct", "("] + parts[:-1] + [")"] + toks[end + 1 :]
     return toks
 
 

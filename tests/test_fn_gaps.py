@@ -83,6 +83,18 @@ CASES = {
     "cbrt": "SELECT round(cbrt(27.0), 6) AS c",
     "gamma": "SELECT round(gamma(5), 6) AS g",
     "lgamma": "SELECT round(lgamma(5), 6) AS g",
+    # --- MAP constructors (round-3 batch 5) ---
+    "map_literal": "SELECT MAP {'a': 1, 'b': 2} AS m",
+    "map_from_lists": "SELECT map(['a','b'], [1,2]) AS m",
+    "map_keys_values": "SELECT map_keys(map(['a','b'], [1,2])) AS ks, "
+                       "map_values(map(['a','b'], [1,2])) AS vs",
+    "map_cardinality": "SELECT cardinality(map(['a','b'], [1,2])) AS n",
+    "struct_literal_unchanged": "SELECT {'x': 1, 'y': 'z'} AS s",
+    "offset_without_limit": "SELECT n_nationkey FROM nation "
+                            "ORDER BY n_nationkey OFFSET 20",
+    "in_list_null_semantics": "SELECT 3 IN (1, 2, NULL) AS a, 1 IN (1, NULL) AS b",
+    "interval_string_form": "SELECT TIMESTAMP '2020-01-01' + INTERVAL '3 days' AS t",
+    "concat_number_coercion": "SELECT 'x' || 5 AS s, 5 || 'x' AS s2",
     # --- aggregate family (round-3 batch 2) ---
     "first_ordered": "SELECT n_regionkey, first(n_name ORDER BY n_nationkey) AS f "
                      "FROM nation GROUP BY 1 ORDER BY 1",
