@@ -1,0 +1,106 @@
+"""Distributed connected components over a candidate-pair edge list —
+the missing last stage of near-duplicate dedup: LSH/SimHash emit
+*pairs*, but the drop decision needs *clusters* (one survivor per
+connected component of the similarity graph).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed as
+pure DataFrame groupBy+join rounds — no collect_list of neighborhoods,
+so a hub node with millions of candidate edges never materializes its
+adjacency as one array. Converges in O(log^2 n) rounds; near-dup
+similarity graphs (small, dense clusters) typically converge in 2-3.
+
+Reference parity note: the reference has no graph operator — DuckDB
+users run this as a recursive CTE (WITH RECURSIVE registration,
+/root/reference/duckdb-8.cpp CTE machinery; our oracle does exactly
+that). A recursive CTE enumerates (node, reachable-label) pairs and is
+quadratic on long chains; the star-contraction form is the 100 TB
+shape: each round is one int-pair shuffle bounded by |E|.
+
+Scale posture: every round is (a) groupBy(u).min — partial-agg
+friendly, (b) an equi-join of the edge list against the per-node min —
+both on long keys. Convergence is checked with a count+checksum
+aggregate (one tiny action per round), not a driver-side edge
+collection. Skewed hubs self-heal: large-star immediately rewires all
+larger neighbors of a hub to the hub's min, collapsing the star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Orient every edge (big, small), dropping self-loops + dupes."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node n: attach every strictly-larger neighbor to
+    min(neighborhood(n) + {n})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    return _canon(
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Edges arrive oriented (u > v). For each u: link every smaller
+    neighbor, and u itself, to the min of the smaller neighborhood."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    linked = e.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = m.select("u", F.col("m").alias("v"))
+    return _canon(linked.union(self_link))
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) pair DataFrame -> (node, comp) where ``comp`` is the
+    minimum node id of the node's connected component. Only nodes that
+    appear in at least one edge are returned (callers union singletons
+    back with comp = own id; see queries/dedup.dedup_cluster_components).
+    """
+    e = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    e = e.localCheckpoint(eager=True)  # cut lineage before iterating
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover - synthetic graphs converge in <5 rounds
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # at the fixpoint the edge set is a star forest: u -> root(v)
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    return nodes.union(roots).distinct()

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quackspark.operators import components as C
 from quackspark.operators import dedup as D
 from quackspark.queries._util import load_table
 
@@ -71,8 +72,38 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.chunk_dedup(d, "text", "doc_id", chunk_words=8).orderBy("doc")
 
 
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: MinHash-LSH candidate pairs → connected
+    components (operators/components.py, alternating large/small-star)
+    → one survivor (min doc_id) per component, singletons included.
+    The oracle computes the same components with a recursive CTE
+    (min-label propagation), so the differential check verifies the
+    graph contraction itself, not just row counts."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", k=K, n_hashes=N_HASHES, bands=BANDS, threshold=0.25
+    )
+    cc = C.connected_components(pairs, "d1", "d2")
+    docs = d.select(F.col("doc_id").alias("doc"))
+    lab = docs.join(cc, docs["doc"] == cc["node"], "left").select(
+        "doc", F.coalesce("comp", "doc").alias("comp")
+    )
+    sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lab.join(sizes, "comp")
+        .select(
+            "doc",
+            "comp",
+            (F.col("doc") == F.col("comp")).cast("int").alias("is_survivor"),
+            "cluster_size",
+        )
+        .orderBy("doc")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cluster_components": dedup_cluster_components,
     "dedup_chunks": dedup_chunks,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -262,3 +293,34 @@ ORACLES = {
         FROM documents ORDER BY doc
     """,
 }
+
+# Connected components over the SAME minhash pair query, as a recursive
+# CTE doing min-label propagation: seed (node, node); a label c flows
+# across edge t->s only when c < s (any c >= s can never lower s's min,
+# and the true component min is < every other member, so it propagates
+# unobstructed). The DISTINCT semantics of recursive UNION bound the
+# state to (node, label) pairs -> guaranteed termination. This is the
+# single-node idiom our operators/components.py star-contraction
+# replaces at scale (quadratic on chains vs O(log^2 n) rounds).
+ORACLES["dedup_cluster_components"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT d1, d2 FROM ({ORACLES["dedup_minhash_lsh"]}) _mp
+    ), edges AS (
+        SELECT d1 AS s, d2 AS t FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ), reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, r.comp
+        FROM reach r JOIN edges e ON e.t = r.node
+        WHERE r.comp < e.s
+    ), cc AS (
+        SELECT node AS doc, min(comp) AS comp FROM reach GROUP BY node
+    ), sz AS (
+        SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp
+    )
+    SELECT cc.doc, cc.comp,
+           CAST(cc.doc = cc.comp AS INT) AS is_survivor,
+           sz.cluster_size
+    FROM cc JOIN sz USING (comp) ORDER BY doc
+"""
