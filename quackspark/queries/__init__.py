@@ -27,6 +27,7 @@ def _modules():
         dedup,
         dml,
         frontend,
+        fts,
         joins,
         jsonops,
         maths,
@@ -67,6 +68,7 @@ def _modules():
         dedup,
         dml,
         frontend,
+        fts,
         pipeline,
         textops,
         simsearch,
