@@ -1,0 +1,112 @@
+"""Distributed Lloyd k-means over an embedding column — the codebook
+trainer the IVF index (operators/simsearch.py::ivf_topk) slots in, and
+the corpus-bucketing primitive for embedding-space data curation
+(cluster-then-sample, domain balancing).
+
+The reference has no clustering operator; its users export vectors and
+cluster outside the engine. Here each Lloyd round is two shuffles,
+both partial-agg friendly:
+  1. assignment: corpus ⨯ broadcast(K centroids) → argmin squared-L2
+     (min-of-struct, tie → lowest centroid id) — a map-side projection
+     plus one groupBy(vec) min;
+  2. update: posexplode to (cluster, dim) cells → order-independent
+     exact mean (queries/_util.davg long-scaled path) → rebuild the
+     centroid arrays with an array_sort(collect_list(struct)) — K×DIM
+     rows total, trivially small however large the corpus.
+
+Determinism contract (what lets the DuckDB oracle replay it
+bit-for-bit): seed centroids are the K smallest-id vectors; distances
+fold left in dimension order (same shape as simsearch._sql_dot); means
+go through the scaled-long exact path; ties break on centroid id.
+
+At 100 TB: the corpus is scanned once per round (cache/checkpoint the
+projected (id, vec) frame between rounds if iterating deeply); the
+only all-data shuffle is the per-vector argmin groupBy, keyed by vec
+id — uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from quackspark.queries._util import davg
+
+__all__ = ["sqdist", "kmeans_assign"]
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2, folded left in dimension order (float jitter-free
+    across engines: identical op sequence)."""
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding) ⨯ broadcast(cluster, cent) → per-vector
+    argmin; keeps the embedding for the next update step."""
+    j = vecs.crossJoin(F.broadcast(cents))
+    j = j.withColumn("d2", sqdist(F.col("embedding"), F.col("cent")))
+    return (
+        j.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d2").alias("d"), F.col("cluster").alias("c"))).alias(
+                "m"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("m.c").alias("cluster"),
+            F.col("m.d").alias("d2"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroid = exact per-dimension mean of the members."""
+    cells = assigned.select(
+        "cluster", F.posexplode("embedding").alias("i", "x")
+    )
+    # cast BEFORE the scaled-long mean: float*int stays float otherwise,
+    # and the two engines' float rounding would diverge
+    means = cells.groupBy("cluster", "i").agg(
+        davg(F.col("x").cast("double")).alias("m")
+    )
+    return means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("cent")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Run `iters` Lloyd rounds from the deterministic seed (the K
+    smallest-id vectors) and return (vec_id, cluster, d2) — the final
+    assignment with its squared distance."""
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("embedding").alias("cent"),
+        )
+    )
+    assigned = _assign(vecs, cents)
+    for _ in range(iters - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    return assigned.select("vec_id", "cluster", F.round("d2", 6).alias("d2"))

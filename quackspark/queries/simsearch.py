@@ -10,8 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quackspark.operators import kmeans as KM
 from quackspark.operators import simsearch as S
-from quackspark.queries._util import load_table
+from quackspark.queries._util import load_table, o_davg
 
 K = 5
 N_QUERIES = 5
@@ -58,8 +59,21 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(e, threshold=THRESHOLD).orderBy("d1", "d2")
 
 
+N_KMEANS = 8
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd rounds (operators/kmeans.py) — the IVF
+    codebook trainer as a first-class query. The oracle replays the
+    identical seed, fold order, exact-mean path, and tie-break, so the
+    differential check verifies the whole iteration, not one round."""
+    e = _load(spark, sf_dir)
+    return KM.kmeans_assign(e, k=N_KMEANS, iters=2).orderBy("vec_id")
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_kmeans": sim_kmeans,
     "sim_srp_lsh_topk": sim_srp_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
@@ -206,3 +220,48 @@ ORACLES = {
         ORDER BY d1, d2
     """,
 }
+
+
+# --- k-means oracle: replay both Lloyd rounds in SQL ---
+
+
+def _sql_sqdist(a: str, b: str, dim: int = S.DIM) -> str:
+    """Mirror of operators/kmeans.sqdist: left fold in dimension order."""
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> {t} * {t})), (x, y) -> x + y)"
+    )
+
+
+def _sql_km_assign(cent_cte: str) -> str:
+    return f"""
+        SELECT vec_id, embedding, cluster, d2 FROM (
+            SELECT vec_id, embedding, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rk
+            FROM (SELECT e.vec_id, e.embedding, c.cluster,
+                         {_sql_sqdist("e.embedding", "c.cent")} AS d2
+                  FROM embeddings e CROSS JOIN {cent_cte} c) _d
+        ) _r WHERE rk = 1
+    """
+
+
+ORACLES["sim_kmeans"] = f"""
+    WITH seed AS (
+        SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
+        FROM embeddings ORDER BY vec_id LIMIT {N_KMEANS}
+    ), a1 AS ({_sql_km_assign("seed")}
+    ), cent2 AS (
+        SELECT cluster, list(m ORDER BY i) AS cent FROM (
+            SELECT cluster, i, {o_davg("CAST(embedding[i] AS DOUBLE)")} AS m
+            FROM (SELECT cluster, embedding,
+                         unnest(generate_series(1, {S.DIM})) AS i
+                  FROM a1) _c
+            GROUP BY cluster, i
+        ) _m GROUP BY cluster
+    ), a2 AS ({_sql_km_assign("cent2")})
+    SELECT vec_id, cluster, round(d2, 6) AS d2
+    FROM a2 ORDER BY vec_id
+"""
