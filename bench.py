@@ -126,6 +126,10 @@ def main() -> None:
         "sw_tumbling",
         "window_range_interval_frame",
         "json_extract_scalar",
+        # round-3 additions: graph contraction, FTS scoring, Lloyd rounds
+        "dedup_cluster_components",
+        "fts_bm25_topk",
+        "sim_kmeans",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -45,11 +45,17 @@ def bm25_topk(
     """Top-k documents by BM25 score for a fixed bag of query terms.
     Ties (and cross-engine float jitter) are neutralized by ranking on
     the 6-dp rounded score with the doc id as tiebreak."""
-    toks = T.tokens(F.lower(F.col(text_col)))
-    feat = df.select(
+    # two-step projection: materialize the token array ONCE — Catalyst's
+    # CollapseProject keeps an expensive alias referenced 4+ times in its
+    # own stage, so the regex split never re-evaluates per tf column
+    base = df.select(
         F.col(id_col).alias("doc"),
-        F.size(toks).alias("dl"),
-        *[_tf(toks, t).alias(f"tf_{t}") for t in terms],
+        T.tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    feat = base.select(
+        "doc",
+        F.size("toks").alias("dl"),
+        *[_tf(F.col("toks"), t).alias(f"tf_{t}") for t in terms],
     )
     stats = feat.agg(
         F.count(F.lit(1)).alias("n"),

@@ -2758,31 +2758,34 @@ def _run_recursive(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     ]
     if len(recursive) > 1:
         raise UnsupportedSQL("multiple self-referencing CTEs")
-    for n, c, b in ctes:
-        if recursive and n == recursive[0][0]:
-            continue
-        df = spark.sql(transpile(" ".join(b), spark))
-        if c:
-            df = df.toDF(*c)
-        df.createOrReplaceTempView(n)
+    rec_name = recursive[0][0] if recursive else None
+    # materialize the CTE list IN DECLARATION ORDER: plain CTEs may
+    # precede the self-referencing one (feeding its base/step) or follow
+    # it (consuming its fixpoint) — both directions must resolve
+    for n, cols, body in ctes:
+        if n == rec_name:
+            base_toks, step_toks, union_all = _split_top_level_union(body)
+            base_df = spark.sql(transpile(" ".join(base_toks), spark))
+            if cols:
+                base_df = base_df.toDF(*cols)
+            out_cols = cols or base_df.columns
+
+            def step(frontier: DataFrame) -> DataFrame:
+                frontier.createOrReplaceTempView(n)
+                out = spark.sql(transpile(" ".join(step_toks), spark))
+                return out.toDF(*out_cols)
+
+            result = recursive_cte(base_df, step, union_all=union_all)
+            result.createOrReplaceTempView(n)
+        else:
+            df = spark.sql(transpile(" ".join(body), spark))
+            if cols:
+                df = df.toDF(*cols)
+            df.createOrReplaceTempView(n)
     if not recursive:
         return spark.sql(transpile(tail, spark)) if tail else None
-    name, cols, body = recursive[0]
-    base_toks, step_toks, union_all = _split_top_level_union(body)
     if not tail:
-        tail = f"SELECT * FROM {name}"
-
-    base_df = spark.sql(transpile(" ".join(base_toks), spark))
-    if cols:
-        base_df = base_df.toDF(*cols)
-
-    def step(frontier: DataFrame) -> DataFrame:
-        frontier.createOrReplaceTempView(name)
-        out = spark.sql(transpile(" ".join(step_toks), spark))
-        return out.toDF(*cols) if cols else out.toDF(*base_df.columns)
-
-    result = recursive_cte(base_df, step, union_all=union_all)
-    result.createOrReplaceTempView(name)
+        tail = f"SELECT * FROM {rec_name}"
     return spark.sql(transpile(tail, spark))
 
 
