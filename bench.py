@@ -171,7 +171,19 @@ def main() -> None:
             )
 
     # fixed-cost amortization section: the same scan-heavy queries at 10×
-    # the rows, both engines, per-query ratios
+    # the rows, both engines, per-query ratios. localdata/ is gitignored
+    # (derived data), so regenerate on demand — ~60 s once per checkout.
+    if not os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_NO_SF1") != "1":
+        import subprocess
+
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "make_sf1.py")
+        try:
+            subprocess.run([sys.executable, tool], check=True, timeout=600,
+                           stdout=sys.stderr)
+        except Exception as exc:
+            print(f"bench: sf1 generation failed ({exc}); skipping sf1 section",
+                  file=sys.stderr)
     if os.path.isdir(SF1_DIR):
         s1: dict[str, float] = {}
         for name in SF1_QUERIES:

@@ -45,6 +45,73 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: train a bigram model ON the corpus
+    itself (one groupBy per n-gram order), then score each document by
+    its mean bigram log-probability ln(c(w1 w2)/c(w1 ·)). Low scores =
+    incoherent/boilerplate text — the standard pretraining quality gate.
+
+    Determinism contract: per-position log-probs are re-collected and
+    folded in position order (array_sort on (pos, lp) structs), so the
+    sum never depends on Spark's partial-agg order and the oracle can
+    replay it with `list(lp ORDER BY pos)` + the same left fold.
+
+    Scale shape (100 TB): bigram/first-word count tables are vocab-sized
+    (tiny vs corpus) — broadcast them; the per-doc re-collect groups by
+    doc_id, a uniform key. One pass to count, one to score.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        F.col("doc_id").alias("doc"),
+        T.tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    n = F.size("t")
+    pairs = toked.where(n >= 2).select(
+        "doc",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice(F.col("t"), 2, n - 1).alias("w2"),
+            )
+        ).alias("pos", "p"),
+    )
+    bg = pairs.select(
+        "doc",
+        "pos",
+        F.col("p.w1").alias("w1"),
+        F.concat_ws(" ", "p.w1", "p.w2").alias("b"),
+    )
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    w1c = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    scored = (
+        bg.join(F.broadcast(bgc), "b")
+        .join(F.broadcast(w1c), "w1")
+        .select(
+            "doc",
+            "pos",
+            F.log(F.col("cb").cast("double") / F.col("cw")).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda s: s["lp"]
+        ).alias("lps")
+    )
+    out = toked.join(agg, "doc", "left").select(
+        "doc",
+        F.coalesce(F.size("lps"), F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.coalesce(
+                F.aggregate("lps", F.lit(0.0), lambda a, x: a + x)
+                / F.size("lps"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return out.orderBy("doc")
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, punctuation ratio, digit ratio,
     type-token ratio → composite score in [0,1]."""
@@ -236,6 +303,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_bigram_logprob": text_bigram_logprob,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
     "text_vocab_topk": text_vocab_topk,
@@ -416,3 +484,33 @@ ORACLES = {
         GROUP BY source, lang ORDER BY source, lang
     """,
 }
+
+
+# bigram LM scoring oracle: identical counts, identical position-ordered
+# left fold (the Spark side's array_sort(collect_list(struct)) + aggregate)
+ORACLES["text_bigram_logprob"] = f"""
+    WITH toked AS (
+        SELECT doc_id AS doc, {_SQL_TOKS_LOWER} AS t FROM documents
+    ), bg AS (
+        SELECT doc, i AS pos, t[i] AS w1, t[i] || ' ' || t[i+1] AS b
+        FROM (SELECT doc, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toked WHERE len(t) >= 2) _e
+    ), bgc AS (
+        SELECT b, count(*) AS cb FROM bg GROUP BY b
+    ), w1c AS (
+        SELECT w1, count(*) AS cw FROM bg GROUP BY w1
+    ), scored AS (
+        SELECT doc, pos, ln(CAST(cb AS DOUBLE) / cw) AS lp
+        FROM bg JOIN bgc USING (b) JOIN w1c USING (w1)
+    ), agg AS (
+        SELECT doc, list(lp ORDER BY pos) AS lps FROM scored GROUP BY doc
+    )
+    SELECT t.doc,
+           coalesce(len(lps), 0) AS n_bigrams,
+           round(coalesce(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps),
+                           (x, y) -> x + y) / len(lps),
+               0.0), 6) AS avg_logprob
+    FROM toked t LEFT JOIN agg ON agg.doc = t.doc
+    ORDER BY t.doc
+"""
