@@ -124,6 +124,61 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_FRAC = 0.4  # target corpus size as a fraction of the input
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM α-sampling
+    scheme, α = 0.5): per-source keep-rates are DERIVED from the data —
+    share(s) = sqrt(n_s) / Σ_t sqrt(n_t), so small sources are
+    up-weighted relative to their raw frequency — then applied as the
+    same deterministic md5-bucket predicate as pipeline_source_mix.
+
+    Determinism: sqrt is IEEE-exact, the only float SUM (Σ sqrt(n_t))
+    folds over a source-sorted array, and the final keep threshold is an
+    integer floor — bit-identical on both engines, no rand().
+
+    Scale shape: source counts are one tiny agg; the per-source rate
+    table is a handful of rows crossJoin-broadcast back; the keep
+    decision is a per-row predicate that pushes into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    stats = cnt.agg(
+        F.sum("n").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n"))),
+                lambda s: F.sqrt(s["n"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssum"),
+    )
+    rated = cnt.crossJoin(F.broadcast(stats))
+    target = F.floor(F.lit(_TEMP_FRAC) * F.col("n_total")).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        target * F.sqrt(F.col("n").cast("double")) / F.col("ssum") / F.col("n"),
+    )
+    rates = rated.select(
+        "source", "n", F.floor(F.lit(256.0) * rate).cast("int").alias("thr")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    kept = d.join(F.broadcast(rates), "source").filter(bucket < F.col("thr"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.first("thr").alias("thr"),
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (the eval-decontamination stage of a
     training-data pipeline): flag training documents sharing any 3-word
@@ -247,6 +302,7 @@ QUERIES = {
     "pipeline_training_prep": pipeline_training_prep,
     "pipeline_training_prep_recompute": pipeline_training_prep_recompute,
     "pipeline_source_mix": pipeline_source_mix,
+    "pipeline_temperature_mix": pipeline_temperature_mix,
 }
 
 
@@ -392,3 +448,31 @@ ORACLES = {
 # identical result → identical oracle (materialization strategy is not
 # observable in the output)
 ORACLES["pipeline_training_prep_recompute"] = ORACLES["pipeline_training_prep"]
+
+
+# temperature mix oracle: identical sqrt/fold/floor arithmetic — the only
+# float sum (Σ sqrt n_t) folds over the source-sorted list on both sides
+ORACLES["pipeline_temperature_mix"] = f"""
+    WITH cnt AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), stats AS (
+        SELECT sum(n) AS n_total,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(CAST(n AS DOUBLE) ORDER BY source),
+                                  x -> sqrt(x))),
+                   (a, b) -> a + b) AS ssum
+        FROM cnt
+    ), rates AS (
+        SELECT source, n,
+               CAST(floor(256.0 * least(1.0,
+                   CAST(floor({_TEMP_FRAC} * n_total) AS DOUBLE)
+                   * sqrt(CAST(n AS DOUBLE)) / ssum / n)) AS INT) AS thr
+        FROM cnt CROSS JOIN stats
+    )
+    SELECT d.source, r.n AS n_docs, r.thr AS thr,
+           count(*) AS docs_kept,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS tokens_kept
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < r.thr
+    GROUP BY d.source, r.n, r.thr ORDER BY d.source
+"""
