@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from quackspark.queries._util import davg
 
-__all__ = ["sqdist", "kmeans_assign"]
+__all__ = ["sqdist", "kmeans_fit", "kmeans_assign"]
 
 
 def sqdist(a: Column, b: Column) -> Column:
@@ -85,7 +85,7 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     *,
     vec_col: str = "embedding",
@@ -93,9 +93,10 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 2,
 ) -> DataFrame:
-    """Run `iters` Lloyd rounds from the deterministic seed (the K
-    smallest-id vectors) and return (vec_id, cluster, d2) — the final
-    assignment with its squared distance."""
+    """Train the codebook: `iters` Lloyd rounds from the deterministic
+    seed (the K smallest-id vectors). Returns (cluster, cent) — the
+    centroids the final assignment runs against (feed this straight
+    into simsearch.ivf_topk's `codebook=`)."""
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     cents = (
         vecs.orderBy("vec_id")
@@ -105,8 +106,23 @@ def kmeans_assign(
             F.col("embedding").alias("cent"),
         )
     )
-    assigned = _assign(vecs, cents)
     for _ in range(iters - 1):
-        cents = _update(assigned)
-        assigned = _assign(vecs, cents)
-    return assigned.select("vec_id", "cluster", F.round("d2", 6).alias("d2"))
+        cents = _update(_assign(vecs, cents))
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Run `iters` Lloyd rounds and return (vec_id, cluster, d2) — the
+    final assignment with its squared distance."""
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cents = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    return _assign(vecs, cents).select(
+        "vec_id", "cluster", F.round("d2", 6).alias("d2")
+    )

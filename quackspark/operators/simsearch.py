@@ -259,24 +259,34 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     k: int = 5,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions the corpus into cells;
     queries probe only the `nprobe` nearest cells and rerank exactly.
 
-    The codebook here is the deterministic seed choice (the first
+    The default codebook is the deterministic seed choice (the first
     `n_centroids` corpus vectors by id) so the differential oracle can
-    replay it bit-for-bit; a k-means refinement of the same codebook slots
-    in without changing any of the plumbing below. Scale shape: the
-    codebook is aggregated to ONE row and broadcast, so cell assignment is
-    a map-side higher-order-function projection — zero shuffle of the
-    corpus; the probe join shuffles on cell ids (candidate lists), exactly
-    like an IVF index probe. Assignment order uses raw (unrounded) cosine
-    with centroid-id tiebreak, identical fold order on both engines."""
+    replay it bit-for-bit; pass `codebook=` a (cluster, cent) frame —
+    e.g. operators/kmeans.kmeans_fit — for a trained quantizer with the
+    same plumbing. Scale shape: the codebook is aggregated to ONE row
+    and broadcast, so cell assignment is a map-side higher-order-function
+    projection — zero shuffle of the corpus; the probe join shuffles on
+    cell ids (candidate lists), exactly like an IVF index probe.
+    Assignment order uses raw (unrounded) cosine with centroid-id
+    tiebreak, identical fold order on both engines."""
     cid = F.col(id_col)
-    cents = corpus.filter(cid < n_centroids).agg(
+    if codebook is None:
+        cents_src = corpus.filter(cid < n_centroids).select(
+            cid.alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    else:
+        cents_src = codebook.select(
+            F.col("cluster").alias("cid"), F.col("cent").alias("cvec")
+        )
+    cents = cents_src.agg(
         F.array_sort(
             F.collect_list(
-                F.struct(cid.alias("cid"), F.col(vec_col).alias("cvec"))
+                F.struct(F.col("cid").alias("cid"), F.col("cvec").alias("cvec"))
             )
         ).alias("__cents")
     )

@@ -71,9 +71,25 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.kmeans_assign(e, k=N_KMEANS, iters=2).orderBy("vec_id")
 
 
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED quantizer: the two-round Lloyd codebook
+    (operators/kmeans.kmeans_fit) feeds ivf_topk's `codebook=` — the
+    full train-then-probe composition, end-to-end oracled."""
+    e = _load(spark, sf_dir)
+    cb = KM.kmeans_fit(e, k=N_KMEANS, iters=2)
+    return S.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        nprobe=NPROBE,
+        k=K,
+        codebook=cb,
+    ).orderBy("q_id", "rnk")
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_kmeans": sim_kmeans,
+    "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_srp_lsh_topk": sim_srp_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
@@ -264,4 +280,52 @@ ORACLES["sim_kmeans"] = f"""
     ), a2 AS ({_sql_km_assign("cent2")})
     SELECT vec_id, cluster, round(d2, 6) AS d2
     FROM a2 ORDER BY vec_id
+"""
+
+
+# IVF with the trained quantizer: Lloyd rounds (seed → a1 → cent2), then
+# the same probe/rerank pipeline as sim_ivf_topk against cent2
+ORACLES["sim_ivf_kmeans_topk"] = f"""
+    WITH seed AS (
+        SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
+        FROM embeddings ORDER BY vec_id LIMIT {N_KMEANS}
+    ), a1 AS ({_sql_km_assign("seed")}
+    ), cent2 AS (
+        SELECT cluster, list(m ORDER BY i) AS cent FROM (
+            SELECT cluster, i, {o_davg("CAST(embedding[i] AS DOUBLE)")} AS m
+            FROM (SELECT cluster, embedding,
+                         unnest(generate_series(1, {S.DIM})) AS i
+                  FROM a1) _c
+            GROUP BY cluster, i
+        ) _m GROUP BY cluster
+    ), cents AS (
+        SELECT cluster AS cid, cent AS cvec FROM cent2
+    ), assign AS (
+        SELECT e.vec_id, e.embedding, cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine_raw("e.embedding", "cvec")} DESC, cid
+               ) AS rn
+        FROM embeddings e, cents
+    ), cells AS (
+        SELECT vec_id AS c_id, embedding AS c_vec, cid AS cell
+        FROM assign WHERE rn = 1
+    ), qprobe AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, cid AS cell
+        FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    ), cand AS (
+        SELECT DISTINCT q_id, q_vec, c_id, c_vec
+        FROM qprobe JOIN cells USING (cell)
+        WHERE q_id != c_id
+    ), scored AS (
+        SELECT q_id, c_id, {_sql_cosine("q_vec", "c_vec")} AS cos
+        FROM cand
+    ), ranked AS (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, c_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, cos
+    FROM ranked WHERE rnk <= {K} ORDER BY q_id, rnk
 """
