@@ -168,6 +168,10 @@ HOT_SHINGLE_DF = 1000
 GUARD_SAMPLE_MOD = 20
 GUARD_SAMPLE_MIN_DF = 100
 
+#: max hot-shingle list size to inline as an `isin` literal set; beyond
+#: this the guard falls back to a broadcast anti-join
+_GUARD_LIST_CAP = 4096
+
 
 def _doc_sample_pred(doc: Column, mod: int) -> Column:
     """Deterministic, engine-neutral 1/mod document sample: first 8 hex
@@ -210,6 +214,17 @@ def drop_hot_shingles(
         .filter(F.col("df") > cutoff)
         .select("sh")
     )
+    # The hot list is bounded (≤ total_shingles/cutoff distinct values) —
+    # collect it like AQE collects join stats. The common case is EMPTY:
+    # then the guard costs literally nothing in the main plan. A small
+    # list becomes a codegen'd hash-set `isin` filter (pure map stage, no
+    # broadcast exchange in the hot path). Only a pathological corpus
+    # (> _GUARD_LIST_CAP hot shingles) falls back to the anti-join.
+    hot_vals = [r["sh"] for r in hot.limit(_GUARD_LIST_CAP + 1).collect()]
+    if not hot_vals:
+        return sh
+    if len(hot_vals) <= _GUARD_LIST_CAP:
+        return sh.filter(~F.col("sh").isin(hot_vals))
     return sh.join(F.broadcast(hot), "sh", "left_anti")
 
 
