@@ -12,8 +12,10 @@ Semantics notes (SURVEY.md §7 hard parts):
 - DuckDB `yearweek` is ISO year*100 + ISO week → ``extract(YEAROFWEEK)``.
 - DuckDB `date_diff('month', a, b)` counts month-boundary crossings →
   ``(year(b)-year(a))*12 + (month(b)-month(a))``, not months_between.
-- events.ts is parquet timestamp[ns]: Spark truncates to µs — oracles cast
-  through TIMESTAMP (µs) on the DuckDB side.
+- events.ts has shipped as both timestamp[ns] and timestamp[us] NTZ across
+  fixture generations — load_table (session.py) normalizes either to
+  TimestampType (µs, UTC session); oracles cast through TIMESTAMP (µs) on
+  the DuckDB side so both engines agree at µs precision.
 """
 
 from __future__ import annotations
