@@ -48,7 +48,14 @@ SF1_QUERIES = [
     "text_fingerprint",
     "sw_session",
     "dt_hypertable_rollup",
+    "fts_bm25_topk",
 ]
+# NOT in SF1_QUERIES on purpose: dedup_cluster_components — its DuckDB
+# oracle (recursive-CTE label propagation) takes ~390 s at sf1 vs 17 s
+# for the star-contraction Spark plan (0.04×, the architecture's biggest
+# single win). Benching it per-round would spend the whole budget on the
+# oracle side; the measurement is committed as SCALE_CC_DEMO.json with
+# the repro command, and discussed in SCALE.md.
 
 
 def bench_duckdb(names: list[str], sf_dir: str | None = None) -> dict[str, float]:
@@ -74,7 +81,17 @@ def bench_duckdb(names: list[str], sf_dir: str | None = None) -> dict[str, float
             times[name] = -1.0  # rows-only query: no oracle to time
             continue
         try:
-            d.execute(sql).fetchall()  # warmup
+            # adaptive protocol: first run timed — if it is already slow
+            # (> 15 s), one measurement is the answer (warm/cold delta is
+            # noise at that magnitude and 4 runs of a multi-minute oracle
+            # would blow the per-round bench budget); otherwise treat it
+            # as the warmup and take the median of 3 warm runs
+            t0 = time.perf_counter()
+            d.execute(sql).fetchall()
+            first = time.perf_counter() - t0
+            if first > 15.0:
+                times[name] = round(first, 4)
+                continue
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
