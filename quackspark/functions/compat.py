@@ -82,9 +82,9 @@ def hamming(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def _jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
-    """Jaro-Winkler similarity, standard definition (prefix scale 0.1, max
-    prefix 4) — DuckDB `jaro_winkler_similarity` (duckdb-6.cpp:6021 family)."""
+def _jaro_py(s1: str | None, s2: str | None) -> float | None:
+    """Plain Jaro similarity — DuckDB `jaro_similarity`
+    (duckdb-6.cpp:6021 family); the Winkler variant boosts this."""
     if s1 is None or s2 is None:
         return None
     len1, len2 = len(s1), len(s2)
@@ -109,8 +109,14 @@ def _jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
     s1_m = [s1[i] for i in range(len1) if s1_matched[i]]
     s2_m = [s2[j] for j in range(len2) if s2_matched[j]]
     t = sum(1 for a, b in zip(s1_m, s2_m) if a != b) // 2
-    jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
-    if jaro <= 0.7:  # Winkler boost only above the standard 0.7 threshold
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
+    """Jaro-Winkler similarity, standard definition (prefix scale 0.1, max
+    prefix 4) — DuckDB `jaro_winkler_similarity` (duckdb-6.cpp:6021 family)."""
+    jaro = _jaro_py(s1, s2)
+    if jaro is None or jaro <= 0.7:  # boost only above the 0.7 threshold
         return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):

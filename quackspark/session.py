@@ -131,12 +131,40 @@ def _register_compat_udfs(spark: SparkSession) -> None:
 
     import pandas as pd
 
-    from quackspark.functions.compat import _damerau_py, _jaro_winkler_py
+    from quackspark.functions.compat import _damerau_py, _jaro_py, _jaro_winkler_py
 
     @F.pandas_udf("double")
     def _jw(a, b):
         return pd.Series(
             [_jaro_winkler_py(x, y) for x, y in zip(a, b)]
+        )
+
+    @F.pandas_udf("double")
+    def _jaro(a, b):
+        return pd.Series([_jaro_py(x, y) for x, y in zip(a, b)])
+
+    @F.pandas_udf("long")
+    def _gcd(a, b):
+        return pd.Series(
+            [
+                math.gcd(int(x), int(y))
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    @F.pandas_udf("long")
+    def _lcm(a, b):
+        return pd.Series(
+            [
+                math.lcm(int(x), int(y))
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
         )
 
     @F.pandas_udf("long")
@@ -165,6 +193,9 @@ def _register_compat_udfs(spark: SparkSession) -> None:
         )
 
     spark.udf.register("jaro_winkler_similarity", _jw)
+    spark.udf.register("jaro_similarity", _jaro)
+    spark.udf.register("gcd", _gcd)
+    spark.udf.register("lcm", _lcm)
     spark.udf.register("damerau_levenshtein", _dl)
     spark.udf.register("qs_nfc_normalize", _nfc)
     spark.udf.register("qs_nextafter", _nextafter)

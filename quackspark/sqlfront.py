@@ -497,6 +497,47 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         return _tokens(f"slice({a1}, {a2}, ({a3}) - ({a2}) + 1)")
     if low == "editdist3":
         return _tokens(f"levenshtein({', '.join(j(a) for a in args)})")
+    if low == "greatest_common_divisor" and len(args) == 2:
+        return _tokens(f"gcd({j(args[0])}, {j(args[1])})")  # registered UDF
+    if low == "least_common_multiple" and len(args) == 2:
+        return _tokens(f"lcm({j(args[0])}, {j(args[1])})")  # registered UDF
+    if low in ("unicode", "ord") and len(args) == 1:
+        # DuckDB: codepoint of the first char, -1 for '' (NULL stays NULL)
+        s = j(args[0])
+        return _tokens(
+            f"(CASE WHEN length({s}) = 0 THEN -1 ELSE ascii({s}) END)"
+        )
+    if low in (
+        "list_dot_product",
+        "list_inner_product",
+        "array_dot_product",
+        "array_inner_product",
+    ) and len(args) == 2:
+        return _tokens(_dot_sql(j(args[0]), j(args[1])))
+    if low in ("list_cosine_similarity", "array_cosine_similarity") and len(args) == 2:
+        a, b = j(args[0]), j(args[1])
+        return _tokens(
+            f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+        )
+    if low in ("list_distance", "array_distance") and len(args) == 2:
+        a, b = j(args[0]), j(args[1])
+        diff = (
+            f"zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+        )
+        return _tokens(
+            f"sqrt(aggregate({diff}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+    if low in ("list_cross_product", "array_cross_product") and len(args) == 2:
+        a, b = j(args[0]), j(args[1])
+        e = lambda v, i: f"CAST(element_at({v}, {i}) AS DOUBLE)"  # noqa: E731
+        return _tokens(
+            f"array({e(a,2)} * {e(b,3)} - {e(a,3)} * {e(b,2)}, "
+            f"{e(a,3)} * {e(b,1)} - {e(a,1)} * {e(b,3)}, "
+            f"{e(a,1)} * {e(b,2)} - {e(a,2)} * {e(b,1)})"
+        )
+    if low == "format_bytes" and len(args) == 1:
+        return _tokens(_format_bytes_sql(j(args[0])))
     if low == "to_base" and len(args) == 2:
         return _tokens(f"conv({j(args[0])}, 10, {j(args[1])})")
     if low in ("hamming", "mismatches") and len(args) == 2:
@@ -2697,6 +2738,41 @@ def _parse_copy_options(opts: str | None) -> dict:
         else:
             raise UnsupportedSQL(f"COPY option {key!r}")
     return out
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Elementwise-product left fold — the Spark SQL text form of
+    operators/simsearch.dot (list_dot_product / cosine family)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+#: format_bytes unit ladder (duckdb-6.cpp string-util family): binary
+#: prefixes, ONE decimal truncated toward zero, PiB capped
+_BYTE_UNITS = [("KiB", 1024), ("MiB", 1024**2), ("GiB", 1024**3),
+               ("TiB", 1024**4), ("PiB", 1024**5)]
+
+
+def _format_bytes_sql(n: str) -> str:
+    arms = [
+        f"WHEN abs({n}) < 1024 THEN concat(CAST({n} AS STRING), "
+        f"CASE WHEN abs({n}) = 1 THEN ' byte' ELSE ' bytes' END)"
+    ]
+    for unit, div in _BYTE_UNITS[:-1]:
+        arms.append(
+            f"WHEN abs({n}) < {div * 1024} THEN "
+            f"concat(format_string('%.1f', CAST(CAST(CAST({n} AS DOUBLE) * 10 / {div} "
+            f"AS BIGINT) AS DOUBLE) / 10), ' {unit}')"
+        )
+    unit, div = _BYTE_UNITS[-1]
+    arms.append(
+        f"ELSE concat(format_string('%.1f', CAST(CAST(CAST({n} AS DOUBLE) * 10 / {div} "
+        f"AS BIGINT) AS DOUBLE) / 10), ' {unit}')"
+    )
+    return "(CASE " + " ".join(arms) + " END)"
 
 
 def _split_top_level_union(toks: list[str]) -> tuple[list[str], list[str], bool]:

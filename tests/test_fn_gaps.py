@@ -145,6 +145,29 @@ CASES = {
                                 "(ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND "
                                 "1 FOLLOWING EXCLUDE NO OTHERS) AS s "
                                 "FROM nation ORDER BY n_nationkey",
+    # --- round-3 batch 5: gcd/lcm, jaro, unicode, vector fns, format_bytes ---
+    "gcd": "SELECT gcd(12, 18) AS a, gcd(-12, 18) AS b, gcd(0, 5) AS c",
+    "gcd_alias": "SELECT greatest_common_divisor(n_nationkey + 6, 9) AS g "
+                 "FROM nation ORDER BY n_nationkey LIMIT 6",
+    "lcm": "SELECT lcm(4, 6) AS a, least_common_multiple(3, 7) AS b",
+    "jaro_similarity": "SELECT round(jaro_similarity('martha', 'marhta'), 6) AS j, "
+                       "round(jaro_similarity('abc', 'xyz'), 6) AS z",
+    "unicode_fn": "SELECT unicode('abc') AS a, unicode('é') AS e, "
+                  "unicode('€x') AS u, unicode('') AS z",
+    "ord_fn": "SELECT ord('A') AS o",
+    "list_dot_product": "SELECT round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS d, "
+                        "round(list_inner_product([1.0, 2.0], [3.0, 4.0]), 6) AS i",
+    "list_cosine_similarity": "SELECT round(list_cosine_similarity([1.0, 2.0], "
+                              "[2.0, 4.0]), 6) AS c",
+    "list_distance": "SELECT round(list_distance([0.0, 0.0], [3.0, 4.0]), 6) AS d",
+    "format_bytes_units": "SELECT format_bytes(0) AS z, format_bytes(1) AS one, "
+                          "format_bytes(999) AS b, format_bytes(1024) AS k, "
+                          "format_bytes(1536) AS k2, format_bytes(1945) AS trunc1, "
+                          "format_bytes(1048575) AS trunc2, format_bytes(1048576) AS m, "
+                          "format_bytes(1073741824) AS g, format_bytes(-2048) AS neg, "
+                          "format_bytes(1125899906842624) AS p",
+    "format_bytes_col": "SELECT n_nationkey, format_bytes(n_nationkey * 700) AS fb "
+                        "FROM nation ORDER BY n_nationkey LIMIT 8",
 }
 
 
