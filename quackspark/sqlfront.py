@@ -497,6 +497,25 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         return _tokens(f"slice({a1}, {a2}, ({a3}) - ({a2}) + 1)")
     if low == "editdist3":
         return _tokens(f"levenshtein({', '.join(j(a) for a in args)})")
+    if low == "list_grade_up" and len(args) == 1:
+        l_ = j(args[0])
+        return _tokens(
+            f"transform(array_sort(zip_with({l_}, sequence(1, size({l_})), "
+            f"(x, i) -> named_struct('v', x, 'i', i))), s -> s.i)"
+        )
+    if low == "list_has_any" and len(args) == 2:
+        return _tokens(f"arrays_overlap({j(args[0])}, {j(args[1])})")
+    if low == "list_has_all" and len(args) == 2:
+        return _tokens(
+            f"(size(array_except(array_distinct({j(args[1])}), {j(args[0])})) = 0)"
+        )
+    if low == "histogram" and len(args) == 1:
+        x = j(args[0])
+        return _tokens(
+            f"map_from_entries(transform(array_sort(array_distinct("
+            f"collect_list({x}))), v -> struct(v, "
+            f"size(filter(collect_list({x}), y -> y = v)))))"
+        )
     if low == "greatest_common_divisor" and len(args) == 2:
         return _tokens(f"gcd({j(args[0])}, {j(args[1])})")  # registered UDF
     if low == "least_common_multiple" and len(args) == 2:
@@ -1531,7 +1550,11 @@ def _rewrite_unnest(toks: list[str]) -> list[str]:
                 insert_at = i
                 break
     if from_idx < 0:
-        raise UnsupportedSQL("unnest without a FROM clause")
+        # FROM-less `SELECT unnest([...])`: Spark allows a bare
+        # generator in the select list — synthesize a one-row FROM and
+        # lateral-view off it so aliases/ordering still work
+        toks = toks + ["FROM", "(", "SELECT", "1", ")", "__qs_one"]
+        insert_at = len(toks)
     gen = ["posexplode"] if need_pos else ["explode"]
     names = ["__qs_pos", ",", "__qs_un"] if need_pos else ["__qs_un"]
     lateral = (
@@ -2695,6 +2718,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)
     toks = _rewrite_group_aliases(toks)
+    toks = _rewrite_split_to_table(toks)
     toks = _rewrite_unnest(toks)
     toks = _rewrite_from_table_fns(toks)
     toks = _rewrite_calls(toks)
@@ -2737,6 +2761,27 @@ def _parse_copy_options(opts: str | None) -> dict:
             ]
         else:
             raise UnsupportedSQL(f"COPY option {key!r}")
+    return out
+
+
+def _rewrite_split_to_table(toks: list[str]) -> list[str]:
+    """`regexp_split_to_table(s, re)` → `unnest(str_split_regex(s, re))`
+    ahead of the unnest pass, which then emits the LATERAL VIEW."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            toks[i].lower() == "regexp_split_to_table"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            end = _find_call_end(toks, i + 1)
+            inner = toks[i + 2 : end]
+            out += ["unnest", "(", "str_split_regex", "("] + inner + [")", ")"]
+            i = end + 1
+        else:
+            out.append(toks[i])
+            i += 1
     return out
 
 

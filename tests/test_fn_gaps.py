@@ -168,6 +168,19 @@ CASES = {
                           "format_bytes(1125899906842624) AS p",
     "format_bytes_col": "SELECT n_nationkey, format_bytes(n_nationkey * 700) AS fb "
                         "FROM nation ORDER BY n_nationkey LIMIT 8",
+    "list_grade_up": "SELECT list_grade_up([30, 10, 20]) AS g",
+    "list_grade_up_col": "SELECT n_nationkey, "
+                         "list_grade_up([n_nationkey % 3, 5, 1]) AS g "
+                         "FROM nation ORDER BY n_nationkey LIMIT 5",
+    "list_has_any": "SELECT list_has_any([1, 2], [2, 3]) AS a, "
+                    "list_has_any([1, 2], [5]) AS b",
+    "list_has_all": "SELECT list_has_all([1, 2, 3], [2, 3]) AS a, "
+                    "list_has_all([1, 2], [2, 5]) AS b",
+    "histogram_agg": "SELECT histogram(n_nationkey % 4) AS h FROM nation",
+    "histogram_grouped": "SELECT n_regionkey, histogram(n_nationkey % 3) AS h "
+                         "FROM nation GROUP BY 1 ORDER BY 1",
+    "quantile_disc": "SELECT quantile_disc(n_nationkey, 0.5) AS q FROM nation",
+    "regexp_split_to_table": "SELECT regexp_split_to_table('a,b;c', '[,;]') AS t",
 }
 
 
