@@ -1731,8 +1731,13 @@ def _rewrite_using_sample(toks: list[str]) -> list[str]:
             toks[i].lower() == "using"
             and i + 1 < n
             and toks[i + 1].lower() == "sample"
+        ) or (
+            # DuckDB also accepts its methods in TABLESAMPLE position
+            toks[i].lower() == "tablesample"
+            and i + 1 < n
+            and toks[i + 1].lower() in ("bernoulli", "system", "reservoir")
         ):
-            j = i + 2
+            j = i + 2 if toks[i].lower() == "using" else i + 1
             method = None
             if j < n and toks[j].lower() in ("bernoulli", "system", "reservoir"):
                 method = toks[j].lower()
@@ -2718,6 +2723,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)
     toks = _rewrite_group_aliases(toks)
+    toks = _rewrite_from_unnest(toks)
     toks = _rewrite_split_to_table(toks)
     toks = _rewrite_unnest(toks)
     toks = _rewrite_from_table_fns(toks)
@@ -2762,6 +2768,62 @@ def _parse_copy_options(opts: str | None) -> dict:
         else:
             raise UnsupportedSQL(f"COPY option {key!r}")
     return out
+
+
+def _rewrite_from_unnest(toks: list[str]) -> list[str]:
+    """FROM-position unnest — `FROM t, unnest(X) AS a(c)` (PG/DuckDB
+    table-function form) → LATERAL VIEW explode at the end of the FROM
+    clause. Bare `FROM unnest(X) ...` gets a synthetic one-row base."""
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower()
+        if low == "unnest" and i + 1 < len(toks) and toks[i + 1] == "(":
+            prev = toks[i - 1].lower() if i > 0 else ""
+            if prev not in (",", "from"):
+                i += 1
+                continue
+            end = _find_call_end(toks, i + 1)
+            x_toks = toks[i + 2 : end]
+            j = end + 1
+            alias, col = "__qs_t", "unnest"
+            if j < len(toks) and toks[j].lower() == "as":
+                j += 1
+            if j < len(toks) and re.fullmatch(r"\w+", toks[j]) and toks[j].lower() not in _FROM_ENDERS:
+                alias = toks[j]
+                col = alias  # bare alias names the column too (DuckDB)
+                j += 1
+                if j < len(toks) and toks[j] == "(":
+                    cend = _find_call_end(toks, j)
+                    cols = [t for t in toks[j + 1 : cend] if t != ","]
+                    if len(cols) != 1:
+                        raise UnsupportedSQL("FROM unnest alias takes one column")
+                    col = cols[0]
+                    j = cend + 1
+            # cut the table-fn span (and its leading comma connector)
+            cut_from = i - 1 if prev == "," else i
+            head, tail = toks[:cut_from], toks[j:]
+            if prev == "from":
+                head = head + ["(", "SELECT", "1", ")", "__qs_one"]
+            # insert LATERAL VIEW before the next clause keyword
+            depth = 0
+            insert_at = len(tail)
+            for k, t in enumerate(tail):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and t.lower() in _FROM_ENDERS:
+                    insert_at = k
+                    break
+            lateral = (
+                ["LATERAL", "VIEW", "explode", "("] + x_toks + [")"]
+                + [alias, "AS", col]
+            )
+            toks = head + tail[:insert_at] + lateral + tail[insert_at:]
+            i = 0  # restart: indexes shifted
+            continue
+        i += 1
+    return toks
 
 
 def _rewrite_split_to_table(toks: list[str]) -> list[str]:

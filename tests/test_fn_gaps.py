@@ -181,6 +181,14 @@ CASES = {
                          "FROM nation GROUP BY 1 ORDER BY 1",
     "quantile_disc": "SELECT quantile_disc(n_nationkey, 0.5) AS q FROM nation",
     "regexp_split_to_table": "SELECT regexp_split_to_table('a,b;c', '[,;]') AS t",
+    # FROM-position unnest (PG/DuckDB table-function form)
+    "from_unnest_joined": "SELECT n_nationkey, u FROM nation, unnest([1,2]) AS t(u) "
+                          "WHERE n_nationkey < 3 ORDER BY 1, 2",
+    "from_unnest_solo": "SELECT u * 2 AS d FROM unnest([1,2,3]) AS t(u) ORDER BY 1",
+    # DuckDB sampling methods in TABLESAMPLE position (cardinality-only —
+    # count shape is deterministic, rows are not)
+    "tablesample_reservoir": "SELECT count(*) > 0 AS ok FROM nation "
+                             "TABLESAMPLE reservoir(5 ROWS)",
 }
 
 
