@@ -22,10 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from quackspark.functions import compat
 from quackspark.functions.timefmt import strftime_spark, strptime_spark
-from quackspark.queries._util import dsum, load_table, o_dsum
+from quackspark.queries._util import davg, dsum, load_table, o_davg, o_dsum
 
 
 def dt_part_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,8 +231,63 @@ def dt_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + LOCF + linear interpolation — the
+    TimescaleDB continuous-aggregate trio the reference's time_bucket
+    family stops short of. A sparse series (1-in-50 users, hourly
+    buckets over 30 days) is densified against a per-series generated
+    spine, then filled two ways: last-observation-carried-forward and
+    linear interpolation between the neighboring observations.
+
+    Scale shape: the spine is generated per series key from its own
+    min/max (sequence + explode — no driver loop); the fill windows are
+    one partition-by-series sort. Determinism: bucket values are exact
+    means (davg), interpolation arithmetic is the same expression tree
+    on both engines, and the spine is integer epoch-seconds."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    s = F.unix_timestamp(F.col("ts"))
+    agg = (
+        e.select(
+            F.col("event_type").alias("typ"),
+            (s - s % 3600).alias("b"),
+            "value",
+        )
+        .groupBy("typ", "b")
+        .agg(davg("value").alias("v"))
+    )
+    spine = (
+        agg.groupBy("typ")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select("typ", F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("b"))
+    )
+    j = spine.join(agg, ["typ", "b"], "left")
+    back = Window.partitionBy("typ").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("typ").orderBy("b").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    v, b = F.col("v"), F.col("b")
+    pv = F.last(v, ignorenulls=True).over(back)
+    pb = F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(back)
+    nv = F.first(v, ignorenulls=True).over(fwd)
+    nb = F.first(F.when(v.isNotNull(), b), ignorenulls=True).over(fwd)
+    interp = F.when(
+        pv.isNotNull() & nv.isNotNull() & (pb != nb),
+        pv + (nv - pv) * (b - pb) / (nb - pb),
+    ).otherwise(F.coalesce(pv, nv))
+    return j.select(
+        "typ",
+        "b",
+        v.isNull().cast("int").alias("is_gap"),
+        F.round(F.coalesce(pv, nv), 6).alias("locf"),
+        F.round(interp, 6).alias("interp"),
+    ).orderBy("typ", "b")
+
+
 QUERIES = {
     "dt_hypertable_rollup": dt_hypertable_rollup,
+    "dt_gapfill": dt_gapfill,
     "dt_age_parts": dt_age_parts,
     "dt_time_of_day": dt_time_of_day,
     "dt_part_family": dt_part_family,
@@ -245,6 +301,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dt_gapfill": f"""
+        WITH ag AS (
+            SELECT typ, b, {o_davg("value")} AS v
+            FROM (SELECT event_type AS typ,
+                         CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS b,
+                         value
+                  FROM events WHERE user_id % 50 = 0) _f
+            GROUP BY typ, b
+        ), spine AS (
+            SELECT typ, unnest(generate_series(lo, hi, 3600)) AS b
+            FROM (SELECT typ, min(b) AS lo, max(b) AS hi
+                  FROM ag GROUP BY typ) _s
+        ), j AS (
+            SELECT spine.typ, spine.b, ag.v
+            FROM spine LEFT JOIN ag
+              ON ag.typ = spine.typ AND ag.b = spine.b
+        ), w AS (
+            SELECT typ, b, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY typ ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                       OVER (PARTITION BY typ ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pb,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY typ ORDER BY b
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                       OVER (PARTITION BY typ ORDER BY b
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nb
+            FROM j
+        )
+        SELECT typ, b, CAST(v IS NULL AS INT) AS is_gap,
+               round(coalesce(pv, nv), 6) AS locf,
+               round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND pb != nb
+                          THEN pv + (nv - pv) * (b - pb) / (nb - pb)
+                          ELSE coalesce(pv, nv) END, 6) AS interp
+        FROM w ORDER BY typ, b
+    """,
     "dt_hypertable_rollup": f"""
         SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS b_hour,
                time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS b_15m,
