@@ -26,6 +26,7 @@ def _modules():
         datetimes,
         dedup,
         dml,
+        eventops,
         frontend,
         fts,
         joins,
@@ -67,6 +68,7 @@ def _modules():
         misc,
         dedup,
         dml,
+        eventops,
         frontend,
         fts,
         pipeline,

@@ -2775,11 +2775,27 @@ def _rewrite_from_unnest(toks: list[str]) -> list[str]:
     table-function form) → LATERAL VIEW explode at the end of the FROM
     clause. Bare `FROM unnest(X) ...` gets a synthetic one-row base."""
     i = 0
+    clause_stack = ["select"]  # current clause per nesting level
     while i < len(toks):
         low = toks[i].lower()
+        if low == "(":
+            clause_stack.append("select")
+            i += 1
+            continue
+        if low == ")":
+            if len(clause_stack) > 1:
+                clause_stack.pop()
+            i += 1
+            continue
+        if low in ("select", "from") or low in _FROM_ENDERS:
+            clause_stack[-1] = "from" if low == "from" else "other"
+            i += 1
+            continue
         if low == "unnest" and i + 1 < len(toks) and toks[i + 1] == "(":
             prev = toks[i - 1].lower() if i > 0 else ""
-            if prev not in (",", "from"):
+            # only the table-function position: inside a FROM clause,
+            # directly after FROM or a comma (never a select-list unnest)
+            if clause_stack[-1] != "from" or prev not in (",", "from"):
                 i += 1
                 continue
             end = _find_call_end(toks, i + 1)
@@ -2821,6 +2837,7 @@ def _rewrite_from_unnest(toks: list[str]) -> list[str]:
             )
             toks = head + tail[:insert_at] + lateral + tail[insert_at:]
             i = 0  # restart: indexes shifted
+            clause_stack = ["select"]
             continue
         i += 1
     return toks
