@@ -97,9 +97,48 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign a session id per user by splitting
+    at >30-min inactivity gaps (lag + cumulative-sum-of-boundaries — the
+    standard one-sort plan; the streaming twin is sw_session). Rolls up
+    per session: event count, duration, distinct event types.
+
+    Scale: ONE shuffle partitioned by user_id with an in-partition sort;
+    the cumulative sum is a running window (no frame buffering)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > _SESSION_GAP_S * 1_000_000)
+    ).cast("long")
+    d = e.select("user_id", "event_id", "ts", "event_type", is_new.alias("new_s"))
+    sess = F.sum("new_s").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    labeled = d.select("user_id", "ts", "event_type", sess.alias("session_no"))
+    return (
+        labeled.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
+    "ev_sessionize": ev_sessionize,
 }
 
 ORACLES = {
@@ -156,3 +195,28 @@ ORACLES = {
         ORDER BY ret.cohort, off
     """,
 }
+
+ORACLES["ev_sessionize"] = f"""
+    WITH d AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                            > {_SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), lab AS (
+        SELECT user_id, ts, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_no
+        FROM d
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           count(DISTINCT event_type) AS n_types
+    FROM lab GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+"""
