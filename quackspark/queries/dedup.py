@@ -101,9 +101,43 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: same connected components as
+    dedup_cluster_components, but the survivor per cluster is the
+    HIGHEST-QUALITY member (longest text, doc id tiebreak), not the
+    smallest id — the policy real dedup pipelines want. One extra
+    per-cluster argmax (min of an inverted sort key), no extra pass
+    over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", k=K, n_hashes=N_HASHES, bands=BANDS, threshold=0.25
+    )
+    cc = C.connected_components(pairs, "d1", "d2")
+    docs = d.select(F.col("doc_id").alias("doc"), F.length("text").alias("len"))
+    lab = docs.join(cc, docs["doc"] == cc["node"], "left").select(
+        "doc", "len", F.coalesce("comp", "doc").alias("comp")
+    )
+    best = lab.groupBy("comp").agg(
+        F.min(F.struct((-F.col("len")).alias("nl"), F.col("doc").alias("d"))).alias(
+            "b"
+        )
+    )
+    return (
+        lab.join(best, "comp")
+        .select(
+            "doc",
+            "comp",
+            F.col("b.d").alias("survivor"),
+            (F.col("doc") == F.col("b.d")).cast("int").alias("keep"),
+        )
+        .orderBy("doc")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_cluster_best": dedup_cluster_best,
     "dedup_chunks": dedup_chunks,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -323,4 +357,37 @@ ORACLES["dedup_cluster_components"] = f"""
            CAST(cc.doc = cc.comp AS INT) AS is_survivor,
            sz.cluster_size
     FROM cc JOIN sz USING (comp) ORDER BY doc
+"""
+
+# cluster-best survivor: identical components, argmax member by
+# (length DESC, doc ASC) — mirrored as min over the inverted sort key
+ORACLES["dedup_cluster_best"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT d1, d2 FROM ({ORACLES["dedup_minhash_lsh"]}) _mp
+    ), edges AS (
+        SELECT d1 AS s, d2 AS t FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ), reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, r.comp
+        FROM reach r JOIN edges e ON e.t = r.node
+        WHERE r.comp < e.s
+    ), cc AS (
+        SELECT node AS doc, min(comp) AS comp FROM reach GROUP BY node
+    ), lab AS (
+        SELECT cc.doc, cc.comp, length(d.text) AS len
+        FROM cc JOIN documents d ON d.doc_id = cc.doc
+    ), best AS (
+        SELECT comp, doc AS survivor FROM (
+            SELECT comp, doc,
+                   row_number() OVER (PARTITION BY comp
+                                      ORDER BY len DESC, doc) AS rk
+            FROM lab
+        ) _r WHERE rk = 1
+    )
+    SELECT lab.doc, lab.comp, best.survivor,
+           CAST(lab.doc = best.survivor AS INT) AS keep
+    FROM lab JOIN best ON best.comp = lab.comp
+    ORDER BY lab.doc
 """

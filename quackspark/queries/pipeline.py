@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackspark.functions import text as T
+from quackspark.operators import components as CC
 from quackspark.operators import dedup as D
 from quackspark.queries._util import davg, load_table, o_davg
 from quackspark.queries.dedup import (
@@ -294,7 +295,89 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 capstone: every curation stage this engine has, in
+    ONE composition — exact dedup → MinHash-LSH pairs → connected-
+    components clustering with QUALITY-AWARE survivor choice (longest
+    member, operators/components.py) → language + quality gates →
+    temperature (α=0.5) corpus mixing with data-derived rates → per-
+    source rollup. The oracle replays all six stages in one SQL
+    statement (recursive CTE for the clustering), so the differential
+    check covers the full composition, not the stages in isolation.
+
+    Scale shape: stages 1-2 are the dedup operators' shapes (fingerprint
+    groupBy; banded candidate join; O(log² n) contraction rounds); the
+    gates are map filters; the mix rates derive from one tiny agg and
+    broadcast back. The cluster stage's iterative actions run on the
+    PAIR graph, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", T.tokens(F.lower(F.col("text")))))
+    surv_ids = (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(surv_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+    pairs = D.minhash_lsh_pairs(
+        surv, "text", "doc_id", k=3, n_hashes=N_HASHES, bands=8,
+        threshold=_EST_THRESHOLD,
+    )
+    cc = CC.connected_components(pairs, "d1", "d2")
+    docs = surv.select(F.col("doc_id").alias("doc"), F.length("text").alias("len"))
+    lab = docs.join(cc, docs["doc"] == cc["node"], "left").select(
+        "doc", "len", F.coalesce("comp", "doc").alias("comp")
+    )
+    best = lab.groupBy("comp").agg(
+        F.min(F.struct((-F.col("len")).alias("nl"), F.col("doc").alias("d"))).alias("b")
+    )
+    keep_ids = best.select(F.col("b.d").alias("doc_id"))
+    kept = surv.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+    gated = (
+        kept.filter(F.col("lang") == "en")
+        .withColumn(
+            "quality", F.round(T.quality_score(F.col("text"), _STOPWORDS["en"]), 6)
+        )
+        .filter(F.col("quality") >= _QUALITY_THRESHOLD)
+    )
+    # temperature mix (α = 0.5) with rates derived from the GATED set
+    cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    stats = cnt.agg(
+        F.sum("n").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n"))),
+                lambda s: F.sqrt(s["n"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssum"),
+    )
+    target = F.floor(F.lit(_TEMP_FRAC) * F.col("n_total")).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        target * F.sqrt(F.col("n").cast("double")) / F.col("ssum") / F.col("n"),
+    )
+    rates = cnt.crossJoin(F.broadcast(stats)).select(
+        "source", F.floor(F.lit(256.0) * rate).cast("int").alias("thr")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    mixed = gated.join(F.broadcast(rates), "source").filter(bucket < F.col("thr"))
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
+            davg("quality").alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "pipeline_training_prep_v2": pipeline_training_prep_v2,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_pack_stats": pipeline_pack_stats,
     "pipeline_split": pipeline_split,
@@ -475,4 +558,86 @@ ORACLES["pipeline_temperature_mix"] = f"""
     FROM documents d JOIN rates r ON r.source = d.source
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < r.thr
     GROUP BY d.source, r.n, r.thr ORDER BY d.source
+"""
+
+
+# capstone oracle: all six stages in one statement — exact dedup, LSH
+# pairs, recursive-CTE clustering with longest-member survivor,
+# lang/quality gates, α=0.5 temperature mix, per-source rollup
+ORACLES["pipeline_training_prep_v2"] = f"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, text, lang, source,
+               md5(list_aggregate({_TOKS_LOWER}, 'string_agg', ' ')) AS fp
+        FROM documents
+    ), surv AS (
+        SELECT doc_id, text, lang, source FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fp) AS s FROM norm
+        ) WHERE doc_id = s
+    ), sig AS (
+        SELECT doc_id AS doc,
+               {_sql_signature(f"list_distinct({_sql_shingles(_TOKS)})")} AS sig
+        FROM surv
+    ), banded AS (
+        SELECT doc, sig, unnest({_sql_band_keys()}) AS band FROM sig
+    ), pairs AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.doc < b.doc
+        WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+                                   i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+              / {N_HASHES} >= {_EST_THRESHOLD}
+    ), edges AS (
+        SELECT d1 AS s, d2 AS t FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ), reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT e.s, r.comp
+        FROM reach r JOIN edges e ON e.t = r.node
+        WHERE r.comp < e.s
+    ), cc AS (
+        SELECT node AS doc, min(comp) AS comp FROM reach GROUP BY node
+    ), lab AS (
+        SELECT cc.doc, cc.comp, length(s.text) AS len
+        FROM cc JOIN surv s ON s.doc_id = cc.doc
+    ), best AS (
+        SELECT doc AS doc_id FROM (
+            SELECT comp, doc,
+                   row_number() OVER (PARTITION BY comp
+                                      ORDER BY len DESC, doc) AS rk
+            FROM lab
+        ) _r WHERE rk = 1
+    ), gated AS (
+        SELECT s.doc_id, s.source, s.text,
+               round({_sql_quality()}, 6) AS quality
+        FROM surv s JOIN best USING (doc_id)
+        WHERE s.lang = 'en'
+    ), gq AS (
+        SELECT * FROM (SELECT doc_id, source, text, quality FROM gated) _g
+        WHERE quality >= {_QUALITY_THRESHOLD}
+    ), cnt AS (
+        SELECT source, count(*) AS n FROM gq GROUP BY source
+    ), stats AS (
+        SELECT sum(n) AS n_total,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(CAST(n AS DOUBLE) ORDER BY source),
+                                  x -> sqrt(x))),
+                   (a, b) -> a + b) AS ssum
+        FROM cnt
+    ), rates AS (
+        SELECT source,
+               CAST(floor(256.0 * least(1.0,
+                   CAST(floor({_TEMP_FRAC} * n_total) AS DOUBLE)
+                   * sqrt(CAST(n AS DOUBLE)) / ssum / n)) AS INT) AS thr
+        FROM cnt CROSS JOIN stats
+    ), mixed AS (
+        SELECT g.* FROM gq g JOIN rates r ON r.source = g.source
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < r.thr
+    )
+    SELECT source,
+           count(*) AS docs_kept,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           {o_davg("quality")} AS mean_quality
+    FROM mixed
+    GROUP BY source ORDER BY source
 """

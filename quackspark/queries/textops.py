@@ -112,6 +112,34 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc")
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: overlapping token windows (32 tokens, stride
+    24) per document — the retrieval-prep stage between cleaning and
+    embedding. Pure expression pipeline: window starts come from
+    `sequence`, slices from `slice`, all inside one codegen projection;
+    the only row expansion is the posexplode of the per-doc window list.
+    Zero-token documents are excluded (no window to emit)."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        F.col("doc_id").alias("doc"), T.tokens(F.lower(F.col("text"))).alias("t")
+    ).where(F.size("t") >= 1)
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+    wins = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(F.col("t"), s, _CHUNK_TOKENS))
+    )
+    out = toked.select("doc", F.posexplode(wins).alias("i", "chunk"))
+    return out.select(
+        "doc",
+        (F.col("i") + 1).alias("chunk_no"),
+        "chunk",
+        F.size(T.tokens(F.col("chunk"))).alias("n_tokens"),
+    ).orderBy("doc", "chunk_no")
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, punctuation ratio, digit ratio,
     type-token ratio → composite score in [0,1]."""
@@ -304,6 +332,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_bigram_logprob": text_bigram_logprob,
+    "text_chunk_windows": text_chunk_windows,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
     "text_vocab_topk": text_vocab_topk,
@@ -513,4 +542,23 @@ ORACLES["text_bigram_logprob"] = f"""
                0.0), 6) AS avg_logprob
     FROM toked t LEFT JOIN agg ON agg.doc = t.doc
     ORDER BY t.doc
+"""
+
+
+# chunk-window oracle: same starts (generate_series inclusive), same
+# inclusive-slice reassembly, same zero-token exclusion
+ORACLES["text_chunk_windows"] = f"""
+    WITH toked AS (
+        SELECT doc_id AS doc, {_SQL_TOKS_LOWER} AS t FROM documents
+    ), wins AS (
+        SELECT doc, t,
+               unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS s
+        FROM toked WHERE len(t) >= 1
+    )
+    SELECT doc,
+           CAST((s - 1) / {_CHUNK_STRIDE} + 1 AS INT) AS chunk_no,
+           list_aggregate(t[s : least(s + {_CHUNK_TOKENS - 1}, len(t))],
+                          'string_agg', ' ') AS chunk,
+           least(s + {_CHUNK_TOKENS - 1}, len(t)) - s + 1 AS n_tokens
+    FROM wins ORDER BY doc, chunk_no
 """
