@@ -147,6 +147,7 @@ def main() -> None:
         "dedup_cluster_components",
         "fts_bm25_topk",
         "sim_kmeans",
+        "pipeline_training_prep_v2",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
