@@ -276,12 +276,19 @@ def dt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.isNotNull() & nv.isNotNull() & (pb != nb),
         pv + (nv - pv) * (b - pb) / (nb - pb),
     ).otherwise(F.coalesce(pv, nv))
+    # 6-dp rounding via floor(x*1e6 + 0.5): round(x, 6) diverges between
+    # engines when a value lands exactly on the .5 boundary (Spark rounds
+    # the full binary expansion, DuckDB the scaled double) — the explicit
+    # floor form is the same double op sequence on both
+    def _r6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
     return j.select(
         "typ",
         "b",
         v.isNull().cast("int").alias("is_gap"),
-        F.round(F.coalesce(pv, nv), 6).alias("locf"),
-        F.round(interp, 6).alias("interp"),
+        _r6(F.coalesce(pv, nv)).alias("locf"),
+        _r6(interp).alias("interp"),
     ).orderBy("typ", "b")
 
 
@@ -337,10 +344,11 @@ ORACLES = {
             FROM j
         )
         SELECT typ, b, CAST(v IS NULL AS INT) AS is_gap,
-               round(coalesce(pv, nv), 6) AS locf,
-               round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND pb != nb
-                          THEN pv + (nv - pv) * (b - pb) / (nb - pb)
-                          ELSE coalesce(pv, nv) END, 6) AS interp
+               floor(coalesce(pv, nv) * 1000000 + 0.5) / 1000000 AS locf,
+               floor((CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND pb != nb
+                           THEN pv + (nv - pv) * (b - pb) / (nb - pb)
+                           ELSE coalesce(pv, nv) END) * 1000000 + 0.5)
+                   / 1000000 AS interp
         FROM w ORDER BY typ, b
     """,
     "dt_hypertable_rollup": f"""

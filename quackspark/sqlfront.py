@@ -2952,10 +2952,19 @@ def _run_recursive(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         break
     tail = " ".join(toks[i:])
 
-    recursive = [
-        (n, c, b) for n, c, b in ctes
-        if any(t.lower() == n.lower() for t in b)
-    ]
+    def _refs_table(body: list[str], name: str) -> bool:
+        # self-reference means the name in TABLE position (after FROM /
+        # JOIN / a FROM-list comma) — a column aliased to the CTE's own
+        # name (`... AS sig` inside CTE `sig`) is not recursion
+        nl = name.lower()
+        return any(
+            t.lower() == nl
+            and k > 0
+            and body[k - 1].lower() in ("from", "join", ",")
+            for k, t in enumerate(body)
+        )
+
+    recursive = [(n, c, b) for n, c, b in ctes if _refs_table(b, n)]
     if len(recursive) > 1:
         raise UnsupportedSQL("multiple self-referencing CTEs")
     rec_name = recursive[0][0] if recursive else None
