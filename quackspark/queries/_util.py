@@ -21,6 +21,16 @@ parallelism/scale. Two interchangeable modes:
   ``QUACKSPARK_EXACT_SUM=decimal`` (env, read at import) for runs whose
   per-group micro-mass can exceed the long envelope; both engines'
   expressions switch together, so parity is preserved either way.
+
+Rounding policy: ``round(x, 6)`` is NOT engine-portable at exact .5
+boundaries — Spark rounds the full binary expansion of the double
+(BigDecimal), DuckDB rounds the scaled product — so a value like
+75.2659375 whose double sits one ulp below the boundary rounds DOWN on
+Spark and UP on DuckDB. Ratios of small integers (interpolation weights,
+terminating decimals) hit this for real (dt_gapfill at sf0.001). Where
+an expression can land on the boundary, use the explicit portable form
+``floor(x * 1e6 + 0.5) / 1e6`` on BOTH sides — identical double op
+sequence, identical result.
 """
 
 from __future__ import annotations
