@@ -322,10 +322,12 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     return _tokens(f"{original}({inner})")
 
 
-def _split_order_by(arg: list[str]) -> tuple[list[str], list[str] | None]:
-    """Split `expr ORDER BY key [ASC]` inside a single aggregate argument
-    (DuckDB puts the modifier in the arg list). DESC raises — the
-    struct-sort rewrite below is ascending."""
+def _split_order_by(
+    arg: list[str],
+) -> tuple[list[str], list[str] | None, bool]:
+    """Split `expr ORDER BY key [ASC|DESC]` inside a single aggregate
+    argument (DuckDB puts the modifier in the arg list). Returns
+    (expr, key, descending)."""
     depth = 0
     for k, t in enumerate(arg):
         if t in ("(", "["):
@@ -334,21 +336,28 @@ def _split_order_by(arg: list[str]) -> tuple[list[str], list[str] | None]:
             depth -= 1
         elif depth == 0 and t.lower() == "order" and k + 1 < len(arg) and arg[k + 1].lower() == "by":
             key = arg[k + 2 :]
+            desc = False
             if key and key[-1].lower() == "asc":
                 key = key[:-1]
-            if key and key[-1].lower() == "desc":
-                raise UnsupportedSQL("ORDER BY DESC inside an aggregate")
-            return arg[:k], key
-    return arg, None
+            elif key and key[-1].lower() == "desc":
+                key = key[:-1]
+                desc = True
+            return arg[:k], key, desc
+    return arg, None, False
 
 
-def _sorted_collect(x: str, key: str) -> str:
+def _sorted_collect(x: str, key: str, desc: bool = False) -> str:
     """ORDER-BY-modified list aggregate: sort-by-key via struct array_sort
-    (structs order by field position), then project the value back out."""
-    return (
-        f"transform(array_sort(collect_list(named_struct('k', ({key}), "
-        f"'v', ({x})))), s -> s.v)"
+    (structs order by field position), then project the value back out.
+    DESC = reverse of the ascending sort (tie order is unspecified in
+    the reference's sorted-aggregate too)."""
+    asc = (
+        f"array_sort(collect_list(named_struct('k', ({key}), "
+        f"'v', ({x}))))"
     )
+    if desc:
+        asc = f"reverse({asc})"
+    return f"transform({asc}, s -> s.v)"
 
 
 #: window functions whose DuckDB form takes IGNORE/RESPECT NULLS inside the
@@ -371,34 +380,34 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             inner = ", ".join(j(a) for a in args)
             return _tokens(f"{original}({inner}) {mode}")
     if low == "list":
-        x, key = _split_order_by(args[0])
+        x, key, desc = _split_order_by(args[0])
         if key is not None:
-            return _tokens(_sorted_collect(j([*x]), j(key)))
+            return _tokens(_sorted_collect(j([*x]), j(key), desc))
         inner = ", ".join(j(a) for a in args)
         return _tokens(f"collect_list({inner})")
     if low in ("string_agg", "listagg", "group_concat") and len(args) in (1, 2):
         if len(args) == 2:
             x, sep_arg = args[0], args[1]
-            sep, key = _split_order_by(sep_arg)
+            sep, key, desc = _split_order_by(sep_arg)
         else:
             # 1-arg form (default ',' separator), ORDER BY rides on the value
-            x, key = _split_order_by(args[0])
+            x, key, desc = _split_order_by(args[0])
             sep = ["','"]
         if key is not None:
             return _tokens(
-                f"array_join({_sorted_collect(j(x), j(key))}, {j(sep)})"
+                f"array_join({_sorted_collect(j(x), j(key), desc)}, {j(sep)})"
             )
         if low == "string_agg" and len(args) == 2:
             return None  # Spark 4 has string_agg
         return _tokens(f"string_agg({j(x)}, {j(sep)})")
     if low in ("first", "last", "any_value") and len(args) == 1:
-        x, key = _split_order_by(args[0])
+        x, key, desc = _split_order_by(args[0])
         if key is not None:
             # ordered first/last: sorted-collect then take an end
             # (any_value with an order is first by definition)
             pos = "-1" if low == "last" else "1"
             return _tokens(
-                f"element_at({_sorted_collect(j(x), j(key))}, {pos})"
+                f"element_at({_sorted_collect(j(x), j(key), desc)}, {pos})"
             )
     if low == "bitstring_agg" and len(args) == 3:
         # BIT carrier is the '0'/'1' string: bit (x - lo), counted from
@@ -497,6 +506,12 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         return _tokens(f"slice({a1}, {a2}, ({a3}) - ({a2}) + 1)")
     if low == "editdist3":
         return _tokens(f"levenshtein({', '.join(j(a) for a in args)})")
+    if low == "trunc" and len(args) == 1:
+        # numeric truncation toward zero (Spark's trunc is date-only)
+        x = j(args[0])
+        return _tokens(
+            f"(CASE WHEN ({x}) >= 0 THEN floor({x}) ELSE ceil({x}) END)"
+        )
     if low == "list_grade_up" and len(args) == 1:
         l_ = j(args[0])
         return _tokens(
@@ -2719,6 +2734,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)
     toks = _rewrite_typenames(toks)
+    toks = _rewrite_any_all(toks)
+    toks = _rewrite_date_sub_days(toks)
     toks = _rewrite_using_sample(toks)
     toks = _rewrite_glob(toks)
     toks = _rewrite_by_all(toks)
@@ -2768,6 +2785,66 @@ def _parse_copy_options(opts: str | None) -> dict:
         else:
             raise UnsupportedSQL(f"COPY option {key!r}")
     return out
+
+
+def _rewrite_any_all(toks: list[str]) -> list[str]:
+    """`x = ANY (SELECT …)` → `x IN (…)`; `x <> ALL (SELECT …)` →
+    `x NOT IN (…)` (PG quantified comparisons over subqueries — the
+    forms DuckDB users paste; other operators/array operands stay
+    untouched and fail loudly downstream)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            i + 2 < len(toks)
+            and toks[i + 1].lower() in ("any", "some", "all")
+            and toks[i + 2] == "("
+            and i + 3 < len(toks)
+            and toks[i + 3].lower() in ("select", "with")
+        ):
+            op, quant = toks[i], toks[i + 1].lower()
+            if op == "=" and quant in ("any", "some"):
+                out.append("IN")
+                i += 2
+                continue
+            if op in ("<>", "!=") and quant == "all":
+                out += ["NOT", "IN"]
+                i += 2
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _rewrite_date_sub_days(toks: list[str]) -> list[str]:
+    """`CAST(x AS DATE) - CAST(y AS DATE)` → `datediff(…)` — DuckDB's
+    date−date yields integer days, Spark's yields an INTERVAL. Narrow
+    (explicit double-cast) form only: without schema info a bare
+    `col1 - col2` cannot be typed at the token level."""
+    i = 0
+    while i < len(toks):
+        if toks[i].lower() == "cast" and i + 1 < len(toks) and toks[i + 1] == "(":
+            e1 = _find_call_end(toks, i + 1)
+            left = toks[i : e1 + 1]
+            if (
+                [t.lower() for t in left[-3:]] == ["as", "date", ")"]
+                and e1 + 2 < len(toks)
+                and toks[e1 + 1] == "-"
+                and toks[e1 + 2].lower() == "cast"
+                and toks[e1 + 3] == "("
+            ):
+                e2 = _find_call_end(toks, e1 + 3)
+                right = toks[e1 + 2 : e2 + 1]
+                if [t.lower() for t in right[-3:]] == ["as", "date", ")"]:
+                    toks = (
+                        toks[:i]
+                        + ["datediff", "("] + left + [","] + right + [")"]
+                        + toks[e2 + 1 :]
+                    )
+                    i += 1
+                    continue
+        i += 1
+    return toks
 
 
 def _rewrite_from_unnest(toks: list[str]) -> list[str]:

@@ -189,6 +189,27 @@ CASES = {
     # count shape is deterministic, rows are not)
     "tablesample_reservoir": "SELECT count(*) > 0 AS ok FROM nation "
                              "TABLESAMPLE reservoir(5 ROWS)",
+    # round-3 batch 7: ANY/ALL subqueries, DESC agg order, numeric trunc,
+    # date-minus-date days
+    "eq_any_subquery": "SELECT r_name FROM region WHERE r_regionkey = ANY "
+                       "(SELECT n_regionkey FROM nation WHERE n_nationkey < 3) "
+                       "ORDER BY 1",
+    "neq_all_subquery": "SELECT r_name FROM region WHERE r_regionkey <> ALL "
+                        "(SELECT n_regionkey FROM nation WHERE n_nationkey < 3) "
+                        "ORDER BY 1",
+    "string_agg_desc": "SELECT n_regionkey, "
+                       "string_agg(n_name, '; ' ORDER BY n_name DESC) AS names "
+                       "FROM nation GROUP BY 1 ORDER BY 1",
+    "list_order_desc": "SELECT n_regionkey, "
+                       "list(n_nationkey ORDER BY n_nationkey DESC) AS l "
+                       "FROM nation GROUP BY 1 ORDER BY 1",
+    "trunc_numeric": "SELECT CAST(trunc(4.7) AS INT) AS a, "
+                     "CAST(trunc(-4.7) AS INT) AS b",
+    "date_minus_date": "SELECT CAST('2020-03-01' AS DATE) "
+                       "- CAST('2020-02-01' AS DATE) AS dd",
+    "date_col_minus_date": "SELECT o_orderkey, CAST(o_orderdate AS DATE) "
+                           "- CAST('1995-01-01' AS DATE) AS dd "
+                           "FROM orders ORDER BY o_orderkey LIMIT 5",
 }
 
 
