@@ -506,6 +506,58 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         return _tokens(f"slice({a1}, {a2}, ({a3}) - ({a2}) + 1)")
     if low == "editdist3":
         return _tokens(f"levenshtein({', '.join(j(a) for a in args)})")
+    if low in ("printf",) and args and _is_string(args[0][0]) and len(args[0]) == 1:
+        # cast each vararg to the type its conversion demands — Spark's
+        # format_string rejects DECIMAL for %f and DOUBLE for %d
+        fmt = _str_val(args[0][0])
+        convs = re.findall(r"%[-+ 0#']*\d*(?:\.\d+)?([sdifeEgGxXo])", fmt)
+        casted = []
+        for k, a in enumerate(args[1:]):
+            c = convs[k] if k < len(convs) else "s"
+            if c in "feEgG":
+                casted.append(f"CAST({j(a)} AS DOUBLE)")
+            elif c in "dixXo":
+                casted.append(f"CAST({j(a)} AS BIGINT)")
+            else:
+                casted.append(j(a))
+        return _tokens(
+            f"format_string({j(args[0])}{''.join(', ' + c for c in casted)})"
+        )
+    if low == "json_extract_string" and len(args) == 2:
+        p = args[1]
+        if _is_string(p[0]) and len(p) == 1 and not _str_val(p[0]).startswith("$"):
+            return _tokens(
+                f"get_json_object({j(args[0])}, {_quote('$.' + _str_val(p[0]))})"
+            )
+        return _tokens(f"get_json_object({j(args[0])}, {j(p)})")
+    if low == "json_extract" and len(args) == 2:
+        raise UnsupportedSQL(
+            "json_extract returns JSON-quoted scalars; Spark's "
+            "get_json_object uses text semantics — use "
+            "json_extract_string / ->> instead"
+        )
+    if low == "list_sort" and len(args) == 2 and _is_string(args[1][0]):
+        asc = "true" if _str_val(args[1][0]).upper() == "ASC" else "false"
+        return _tokens(f"sort_array({j(args[0])}, {asc})")
+    if low == "map_extract" and len(args) == 2:
+        m, k = j(args[0]), j(args[1])
+        return _tokens(
+            f"IF(map_contains_key({m}, {k}), "
+            f"array(try_element_at({m}, {k})), array())"
+        )
+    if low == "extract" and args and args[0][0].lower() == "epoch":
+        src = " ".join(args[0][2:])  # drop `epoch FROM`
+        return _tokens(
+            f"(CAST(unix_micros(CAST({src} AS TIMESTAMP)) AS DOUBLE) / 1000000)"
+        )
+    if low in ("array_concat", "array_cat") and len(args) == 2:
+        return _tokens(f"concat({j(args[0])}, {j(args[1])})")
+    if low == "array_unique" and len(args) == 1:
+        return _tokens(
+            f"size(array_distinct(filter({j(args[0])}, x -> x IS NOT NULL)))"
+        )
+    if low == "list_count" and len(args) == 1:
+        return _tokens(f"size(filter({j(args[0])}, x -> x IS NOT NULL))")
     if low == "trunc" and len(args) == 1:
         # numeric truncation toward zero (Spark's trunc is date-only)
         x = j(args[0])
@@ -1019,8 +1071,13 @@ def _primary_start(toks: list[str], end: int) -> int:
             and toks[j - 1].lower() not in _NON_FUNCTION_KEYWORDS
         ):
             j -= 1
-        return _dotted_prefix_start(toks, j)
-    return _dotted_prefix_start(toks, j)
+        j = _dotted_prefix_start(toks, j)
+    else:
+        j = _dotted_prefix_start(toks, j)
+    # a `x :: TYPE` cast chain is one primary — absorb the cast operand
+    while j >= 2 and toks[j - 1] == "::":
+        j = _primary_start(toks, j - 1)
+    return j
 
 
 #: identifiers that can directly precede a parenthesized group without being
@@ -1407,6 +1464,7 @@ def _rewrite_json_arrows(toks: list[str]) -> list[str]:
 #: through untouched). BIT and TIME have no Spark storage type — honest raise.
 _TYPE_RENAMES = {
     "varchar": "STRING",
+    "json": "STRING",
     "blob": "BINARY",
     "ubigint": "DECIMAL(20,0)",
     # unsigned ints carried one size up; HUGEINT as max-precision decimal;

@@ -210,6 +210,22 @@ CASES = {
     "date_col_minus_date": "SELECT o_orderkey, CAST(o_orderdate AS DATE) "
                            "- CAST('1995-01-01' AS DATE) AS dd "
                            "FROM orders ORDER BY o_orderkey LIMIT 5",
+    # round-3 batch 8: JSON text extraction, list/map long tail, printf
+    # conversion-directed casts, epoch extract
+    "json_extract_string_path": 'SELECT json_extract_string(\'{"a": {"b": 7}}\','
+                                " '$.a.b') AS x",
+    "json_cast_arrow": 'SELECT \'{"a": 1}\'::JSON ->> \'a\' AS v',
+    "json_cast_arrow_path": 'SELECT (\'{"a": {"b": "x"}}\')::JSON ->> \'$.a.b\' AS v',
+    "list_sort_desc": "SELECT list_sort([3,1,2], 'DESC') AS l",
+    "map_extract_hit_miss": "SELECT map_extract(map(['k'],[42]), 'k') AS v, "
+                            "map_extract(map(['k'],[42]), 'zz') AS v2",
+    "extract_epoch": "SELECT extract(epoch FROM TIMESTAMP "
+                     "'2020-01-01 00:00:30') AS e",
+    "array_concat_cat": "SELECT array_concat([1], [2]) AS l2, "
+                        "array_cat([3], [4]) AS l3",
+    "printf_conversions": "SELECT printf('%5.2f|%03d', 3.14159, 7) AS s",
+    "array_unique_list_count": "SELECT array_unique([1,1,2]) AS u, "
+                               "list_count([1,NULL,2]) AS c",
 }
 
 
