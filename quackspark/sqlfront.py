@@ -3366,6 +3366,17 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     from quackspark.sources.csvio import copy_to
     from quackspark.sources.exportdb import export_database, import_database
 
+    if m := re.match(
+        r"^\s*(?:SET|RESET)\s+(?:SESSION\s+|GLOBAL\s+)?(\S.*?)\s*;?\s*$",
+        duckdb_sql,
+        re.I,
+    ):
+        # SET/RESET go to Spark verbatim — re-tokenizing `a.b.c = v`
+        # inserts spaces Spark's SET parser rejects
+        kv = re.sub(r"\s*=\s*", "=", m.group(1))
+        verb = duckdb_sql.lstrip().split(None, 1)[0].upper()
+        return spark.sql(f"{verb} {kv}")
+
     if m := _EXPORT_RE.match(duckdb_sql):
         manifest = export_database(spark, m.group(1), format=(m.group(2) or "parquet").lower())
         return spark.createDataFrame(

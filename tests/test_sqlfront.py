@@ -442,3 +442,19 @@ def test_delete_without_where_empties_table(spark):
         assert spark.table("dml_cow2").columns == ["x"]
     finally:
         spark.sql("DROP TABLE IF EXISTS dml_cow2")
+
+
+def test_set_reset_passthrough(spark):
+    """SET/RESET reach Spark verbatim — re-tokenized dotted keys with
+    spaces are rejected by Spark's SET parser."""
+    from quackspark.relation import Connection
+
+    con = Connection(spark)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        con.sql("SET spark.sql.shuffle.partitions = 16")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+        rows = con.sql("SET spark.sql.shuffle.partitions").fetchall()
+        assert any("16" in str(r) for r in rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
