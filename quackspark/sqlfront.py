@@ -558,6 +558,10 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         )
     if low == "list_count" and len(args) == 1:
         return _tokens(f"size(filter({j(args[0])}, x -> x IS NOT NULL))")
+    if low == "to_hex" and len(args) == 1:
+        return _tokens(f"hex({j(args[0])})")  # both engines: uppercase
+    if low == "sha256" and len(args) == 1:
+        return _tokens(f"sha2({j(args[0])}, 256)")
     if low == "trunc" and len(args) == 1:
         # numeric truncation toward zero (Spark's trunc is date-only)
         x = j(args[0])

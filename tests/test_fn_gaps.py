@@ -226,6 +226,8 @@ CASES = {
     "printf_conversions": "SELECT printf('%5.2f|%03d', 3.14159, 7) AS s",
     "array_unique_list_count": "SELECT array_unique([1,1,2]) AS u, "
                                "list_count([1,NULL,2]) AS c",
+    "to_hex_sha256": "SELECT to_hex(255) AS h, to_hex(-1) AS hneg, "
+                     "sha256('abc') AS s",
 }
 
 
