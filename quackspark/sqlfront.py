@@ -558,6 +558,13 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         )
     if low == "list_count" and len(args) == 1:
         return _tokens(f"size(filter({j(args[0])}, x -> x IS NOT NULL))")
+    if low in ("product", "geomean", "geometric_mean") and len(args) == 1:
+        raise UnsupportedSQL(
+            f"{low} multiplies in DuckDB's accumulation order — Spark's "
+            "exp(sum(ln(x))) form is mathematically equal but not "
+            "bit-identical; write it explicitly (and round) if "
+            "approximate parity is acceptable"
+        )
     if low == "to_hex" and len(args) == 1:
         return _tokens(f"hex({j(args[0])})")  # both engines: uppercase
     if low == "sha256" and len(args) == 1:
