@@ -1015,6 +1015,74 @@ def _rewrite_intdiv(toks: list[str]) -> list[str]:
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+def _match_bracket(toks: list[str], open_idx: int) -> int:
+    """Index of the ']' matching toks[open_idx] == '[' (either-bracket depth)."""
+    depth = 0
+    for j in range(open_idx, len(toks)):
+        if toks[j] == "[":
+            depth += 1
+        elif toks[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise UnsupportedSQL("unbalanced brackets")
+
+
+def _rewrite_list_comprehensions(toks: list[str]) -> list[str]:
+    """DuckDB list comprehensions (friendly-SQL sugar over the reference's
+    list lambdas, duckdb-6.cpp list_transform/list_filter registration):
+
+        [expr FOR v IN lst]          → transform(lst, v -> expr)
+        [expr FOR v IN lst IF cond]  → transform(filter(lst, v -> cond),
+                                                 v -> expr)
+
+    Runs before the list-literal pass (a comprehension bracket would
+    otherwise be misread as an array constructor). Recurses so nested
+    comprehensions resolve innermost-first; brackets without a top-level
+    FOR pass through untouched."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i] != "[":
+            out.append(toks[i])
+            i += 1
+            continue
+        end = _match_bracket(toks, i)
+        inner = _rewrite_list_comprehensions(toks[i + 1 : end])
+        d = 0
+        fo = io = if_i = -1
+        for k, tk in enumerate(inner):
+            if tk in ("(", "["):
+                d += 1
+            elif tk in (")", "]"):
+                d -= 1
+            elif d == 0 and fo < 0 and tk.lower() == "for":
+                fo = k
+            elif d == 0 and fo >= 0 and io < 0 and tk.lower() == "in":
+                io = k
+            elif d == 0 and io >= 0 and if_i < 0 and tk.lower() == "if":
+                if_i = k
+        if fo < 0:
+            out.extend(["["] + inner + ["]"])
+            i = end + 1
+            continue
+        if io != fo + 2 or not _IDENT.match(inner[fo + 1]):
+            raise UnsupportedSQL("list comprehension needs [expr FOR var IN list]")
+        body = inner[:fo]
+        var = inner[fo + 1]
+        src = inner[io + 1 : if_i if if_i >= 0 else len(inner)]
+        if not body or not src:
+            raise UnsupportedSQL("empty list-comprehension body or source")
+        if if_i >= 0:
+            cond = inner[if_i + 1 :]
+            if not cond:
+                raise UnsupportedSQL("empty list-comprehension IF condition")
+            src = ["filter", "("] + src + [",", var, "->"] + cond + [")"]
+        out.extend(["transform", "("] + src + [",", var, "->"] + body + [")"])
+        i = end + 1
+    return out
+
+
 def _rewrite_list_literals(toks: list[str]) -> list[str]:
     """DuckDB `[e1, e2, …]` list literals → Spark `array(e1, e2, …)`.
 
@@ -1178,12 +1246,46 @@ def _rewrite_subscripts(toks: list[str]) -> list[str]:
                 parts[-1].append(t)
         if len(parts) == 2:
             a, b = parts
-            if not a or not b:
-                raise UnsupportedSQL("open-ended list slice [a:] / [:b]")
-            new = (
-                ["slice", "("] + prim + [",", "("] + a + [")", ",", "("]
-                + b + [")", "-", "("] + a + [")", "+", "1", ")"]
-            )
+            simple_a = len(a) == 1 and a[0].isdigit() and int(a[0]) >= 1
+            simple_b = len(b) == 1 and b[0].isdigit()
+            if simple_a and simple_b and int(b[0]) >= int(a[0]):
+                # fast path: positive literal bounds — Spark slice() already
+                # truncates an overshooting length at the array end
+                new = (
+                    ["slice", "("] + prim + [",", a[0], ",",
+                     str(int(b[0]) - int(a[0]) + 1), ")"]
+                )
+            else:
+                # full DuckDB slice semantics (verified against the oracle):
+                # 1-based inclusive; negative bound = size+bound+1 (so -1 is
+                # the last element, inclusive); open start → 1, open end →
+                # size; start clamps up to 1, end down to size; start > end
+                # → empty. The source expression is repeated (size() probes)
+                # — same re-evaluation DuckDB's binder performs for pure
+                # expressions.
+                size_e = ["size", "("] + prim + [")"]
+
+                def _bound(expr: list[str], *, is_start: bool) -> list[str]:
+                    if not expr:
+                        return ["1"] if is_start else size_e
+                    neg = (["CASE", "WHEN", "("] + expr + [")", "<", "0",
+                           "THEN"] + size_e + ["+", "("] + expr + [")",
+                           "+", "1", "ELSE"])
+                    if is_start:
+                        return neg + ["("] + expr + [")", "END"]
+                    return (neg + ["least", "(", "("] + expr + [")", ","]
+                            + size_e + [")", "END"])
+
+                s_tok = (["greatest", "(", "1", ","]
+                         + _bound(a, is_start=True) + [")"])
+                b_tok = _bound(b, is_start=False)
+                new = (
+                    ["slice", "(" ] + prim
+                    + [",", "CAST", "(", "("] + s_tok + [")", "AS", "INT", ")"]
+                    + [",", "CAST", "(", "greatest", "(", "0", ",", "("]
+                    + b_tok + [")", "-", "("] + s_tok + [")", "+", "1", ")",
+                       "AS", "INT", ")", ")"]
+                )
         elif len(parts) == 1:
             if len(parts[0]) == 1 and _is_string(parts[0][0]):
                 # map subscript by string key — no numeric cast
@@ -1298,6 +1400,63 @@ def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
             return toks
         i, end, repl = hit
         toks = toks[:i] + repl + toks[end + 1 :]
+
+
+def _rewrite_at_time_zone(toks: list[str]) -> list[str]:
+    """`expr AT TIME ZONE 'tz'` (reference timezone operator,
+    duckdb-libpg_query.cpp AT TIME ZONE grammar rule; DuckDB semantics
+    verified against the oracle):
+
+    - NTZ input → instant: interpret the wall-clock value in tz →
+      `to_utc_timestamp(expr, tz)` (our fixtures' timestamps and all
+      TIMESTAMP literals are NTZ, so this is the default direction).
+    - Applied to a result we already converted (the `(x AT TIME ZONE a)
+      AT TIME ZONE b` roundtrip idiom): the input is an instant, DuckDB
+      returns the wall clock in tz → `from_utc_timestamp(expr, tz)`.
+
+    A token rewriter cannot type-dispatch arbitrary LTZ column inputs;
+    those would need the NTZ→instant caveat documented here."""
+    while True:
+        idx = -1
+        for i in range(len(toks) - 2):
+            if (toks[i].lower() == "at" and toks[i + 1].lower() == "time"
+                    and toks[i + 2].lower() == "zone"):
+                idx = i
+                break
+        if idx < 0:
+            return toks
+        start = _primary_start(toks, idx)
+        # absorb a typed-literal keyword: TIMESTAMP '…' AT TIME ZONE …
+        if (start > 0 and _is_string(toks[start])
+                and toks[start - 1].lower() in ("timestamp", "timestamptz",
+                                                "date", "time")):
+            start -= 1
+        prim = toks[start:idx]
+        j = idx + 3
+        if j >= len(toks):
+            raise UnsupportedSQL("AT TIME ZONE missing timezone operand")
+        if _is_string(toks[j]):
+            tz, tzend = [toks[j]], j
+        elif toks[j] == "(":
+            tzend = _find_call_end(toks, j)
+            tz = toks[j : tzend + 1]
+        elif _IDENT.match(toks[j]):
+            if j + 1 < len(toks) and toks[j + 1] == "(":
+                tzend = _find_call_end(toks, j + 1)
+            else:
+                tzend = j
+            tz = toks[j : tzend + 1]
+        else:
+            raise UnsupportedSQL(f"AT TIME ZONE operand: {toks[j]!r}")
+        head = ""
+        for t in prim:
+            if t != "(":
+                head = t.lower()
+                break
+        fn = ("from_utc_timestamp" if head == "to_utc_timestamp"
+              else "to_utc_timestamp")
+        toks = (toks[:start] + [fn, "("] + prim + [","] + tz + [")"]
+                + toks[tzend + 1 :])
 
 
 def _rewrite_pg_operators(toks: list[str]) -> list[str]:
@@ -2795,9 +2954,11 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_hex_casts(toks)
+    toks = _rewrite_list_comprehensions(toks)
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_json_arrows(toks)
+    toks = _rewrite_at_time_zone(toks)
     toks = _rewrite_pg_operators(toks)
     toks = _rewrite_date_interval_arith(toks)
     toks = _rewrite_bit_shifts(toks)

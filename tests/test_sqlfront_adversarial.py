@@ -311,6 +311,49 @@ CASES.update(
 )
 
 
+CASES.update(
+    {
+        # --- list comprehensions (friendly-SQL sugar over list lambdas) ---
+        "list_comp_basic": "SELECT [x*2 FOR x IN [1,2,3]] AS l",
+        "list_comp_if": "SELECT [x*2 FOR x IN [1,2,3,4] IF x%2=0] AS l",
+        "list_comp_over_column": """
+            SELECT n_nationkey,
+                   [upper(w) FOR w IN string_split(n_name, '_') IF length(w) > 3] AS l
+            FROM nation ORDER BY n_nationkey
+        """,
+        "list_comp_nested": "SELECT [y*10 FOR y IN [x FOR x IN [1,2,3] IF x>1]] AS l",
+        # --- negative / open-ended list slices ---
+        "slice_negative_end": "SELECT ([1,2,3,4,5])[2:-1] AS s",
+        "slice_negative_both": "SELECT ([1,2,3,4,5])[-3:-1] AS s",
+        "slice_open_start": "SELECT ([1,2,3,4,5])[:-2] AS s",
+        "slice_open_end": "SELECT ([1,2,3,4,5])[2:] AS s",
+        "slice_zero_start": "SELECT ([1,2,3,4,5])[0:3] AS s",
+        "slice_inverted_empty": "SELECT ([1,2,3,4,5])[4:2] AS s",
+        "slice_overshoot": "SELECT ([1,2,3,4,5])[3:99] AS s",
+        "slice_undershoot": "SELECT ([1,2,3,4,5])[-99:2] AS s",
+        "slice_on_column": """
+            SELECT n_nationkey, (string_split(n_name, '_'))[2:] AS tail
+            FROM nation ORDER BY n_nationkey
+        """,
+        # --- AT TIME ZONE (NTZ → instant, and the roundtrip idiom) ---
+        "at_time_zone_instant": """
+            SELECT CAST(extract(epoch FROM TIMESTAMP '2020-06-01 12:00:00'
+                        AT TIME ZONE 'America/New_York') AS BIGINT) AS e
+        """,
+        "at_time_zone_roundtrip": """
+            SELECT CAST((TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE 'UTC')
+                        AT TIME ZONE 'America/New_York' AS VARCHAR) AS t
+        """,
+        "at_time_zone_column": """
+            SELECT event_id,
+                   CAST(floor(extract(epoch FROM ts AT TIME ZONE 'Asia/Tokyo'))
+                        AS BIGINT) AS e
+            FROM events WHERE event_id < 50 ORDER BY event_id
+        """,
+    }
+)
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_adversarial_shape(con, name):
     sql = CASES[name]
