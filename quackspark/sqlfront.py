@@ -38,7 +38,8 @@ class UnsupportedSQL(ValueError):
 
 _TOKEN = re.compile(
     r"""
-    '(?:[^']|'')*'            # single-quoted string
+    \$(\w*)\$.*?\$\1\$        # dollar-quoted string (PG heredoc style)
+  | '(?:[^']|'')*'            # single-quoted string
   | "(?:[^"]|"")*"            # double-quoted identifier
   | --[^\n]*                  # line comment
   | /\*.*?\*/                 # block comment
@@ -51,14 +52,25 @@ _TOKEN = re.compile(
 )
 
 
+_DOLLAR_STR = re.compile(r"^\$(\w*)\$(.*)\$\1\$$", re.DOTALL)
+
+
 def _tokens(sql: str) -> list[str]:
     # comments are dropped: the emitter re-joins tokens onto ONE line, so a
-    # surviving `--` token would comment out the rest of the query
-    return [
-        t
-        for t in _TOKEN.findall(sql)
-        if t.strip() and not t.startswith("--") and not t.startswith("/*")
-    ]
+    # surviving `--` token would comment out the rest of the query.
+    # finditer + group(0) (not findall): the dollar-quote alternative needs
+    # a backreference group, and findall would return the group instead of
+    # the whole match. Dollar-quoted strings normalize to single-quoted
+    # immediately so every later pass sees one string form.
+    out = []
+    for m in _TOKEN.finditer(sql):
+        t = m.group(0)
+        if not t.strip() or t.startswith("--") or t.startswith("/*"):
+            continue
+        if t.startswith("$") and (dm := _DOLLAR_STR.match(t)):
+            t = _quote(dm.group(2))
+        out.append(t)
+    return out
 
 
 def _is_string(tok: str) -> bool:
@@ -379,10 +391,15 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             args = args[:-1] + [args[-1][:-2]]
             inner = ", ".join(j(a) for a in args)
             return _tokens(f"{original}({inner}) {mode}")
-    if low == "list":
+    if low == "count" and not args:
+        # zero-arg count() is count(*) in DuckDB (star is implicit)
+        return _tokens("count(*)")
+    if low in ("list", "array_agg") and args:
         x, key, desc = _split_order_by(args[0])
         if key is not None:
             return _tokens(_sorted_collect(j([*x]), j(key), desc))
+        if low == "array_agg":
+            return None  # Spark 4 has array_agg natively
         inner = ", ".join(j(a) for a in args)
         return _tokens(f"collect_list({inner})")
     if low in ("string_agg", "listagg", "group_concat") and len(args) in (1, 2):
@@ -1402,6 +1419,73 @@ def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
         toks = toks[:i] + repl + toks[end + 1 :]
 
 
+def _rewrite_method_calls(toks: list[str]) -> list[str]:
+    """DuckDB function-chaining ("method") syntax, friendly SQL over the
+    reference's regular call binding: `x.f(args)` ≡ `f(x, args)`; chains
+    left-fold (`s.trim().upper()`). Runs after the list-literal and
+    subscript passes so the left primary always ends in an identifier,
+    string, or ')'. Dotted schema-qualified *table* names never collide:
+    this only fires when a '(' directly follows the dotted identifier."""
+    changed = True
+    while changed:
+        changed = False
+        for i in range(1, len(toks) - 2):
+            if not (toks[i] == "." and _IDENT.match(toks[i + 1])
+                    and toks[i + 2] == "("):
+                continue
+            start = _primary_start(toks, i)
+            prim = toks[start:i]
+            if not prim:
+                continue
+            end = _find_call_end(toks, i + 2)
+            args = toks[i + 3 : end]
+            new = ([toks[i + 1], "("] + prim
+                   + ([","] + args if args else []) + [")"])
+            toks = toks[:start] + new + toks[end + 1 :]
+            changed = True
+            break
+    return toks
+
+
+def _rewrite_similar_to(toks: list[str]) -> list[str]:
+    """`expr [NOT] SIMILAR TO pat` — DuckDB binds this to anchored regex
+    match (regexp_full_match, duckdb-6.cpp regex registration; the SQL
+    standard's %-wildcard layer is NOT applied — verified against the
+    oracle). Spark RLIKE is unanchored search, so wrap the pattern in
+    ^(?:…)$. Operator position is preserved (left operand untouched)."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if (toks[i].lower() == "similar" and i + 2 < n
+                and toks[i + 1].lower() == "to"):
+            neg = out and out[-1].lower() == "not"
+            if neg:
+                out.pop()
+            pat = toks[i + 2]
+            if _is_string(pat):
+                anchored = [_quote(f"^(?:{_str_val(pat)})$")]
+                i += 3
+            else:
+                # non-literal pattern: anchor at runtime
+                j = i + 2
+                if toks[j] == "(":
+                    pend = _find_call_end(toks, j)
+                elif _IDENT.match(toks[j]):
+                    pend = (_find_call_end(toks, j + 1)
+                            if j + 1 < n and toks[j + 1] == "(" else j)
+                else:
+                    raise UnsupportedSQL("SIMILAR TO pattern form")
+                anchored = (["concat", "(", "'^(?:'", ","]
+                            + toks[j : pend + 1] + [",", "')$'", ")"])
+                i = pend + 1
+            out += (["NOT"] if neg else []) + ["RLIKE"] + anchored
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_at_time_zone(toks: list[str]) -> list[str]:
     """`expr AT TIME ZONE 'tz'` (reference timezone operator,
     duckdb-libpg_query.cpp AT TIME ZONE grammar rule; DuckDB semantics
@@ -1975,10 +2059,14 @@ def _rewrite_using_sample(toks: list[str]) -> list[str]:
             and i + 1 < n
             and toks[i + 1].lower() == "sample"
         ) or (
-            # DuckDB also accepts its methods in TABLESAMPLE position
+            # DuckDB also accepts its methods (and the bare `10%` / `10
+            # PERCENT` / `10 ROWS` forms) in TABLESAMPLE position
             toks[i].lower() == "tablesample"
             and i + 1 < n
-            and toks[i + 1].lower() in ("bernoulli", "system", "reservoir")
+            and (
+                toks[i + 1].lower() in ("bernoulli", "system", "reservoir")
+                or re.fullmatch(r"\d+(?:\.\d*)?", toks[i + 1])
+            )
         ):
             j = i + 2 if toks[i].lower() == "using" else i + 1
             method = None
@@ -2611,8 +2699,19 @@ def _rewrite_by_all(toks: list[str]) -> list[str]:
                 ords = [str(j + 1) for j, it in enumerate(items) if not _has_aggregate(it)]
             else:
                 ords = [str(j + 1) for j in range(len(items))]
-            out.extend([t, "BY"] + _tokens(", ".join(ords)))
             i += 3
+            # ORDER BY ALL DESC / ASC [NULLS FIRST|LAST] — the direction
+            # applies to EVERY column (DuckDB semantics), so it must be
+            # repeated per ordinal, not appended once
+            suffix = ""
+            if t.lower() == "order" and i < len(toks) and toks[i].lower() in ("asc", "desc"):
+                suffix = " " + toks[i].upper()
+                i += 1
+                if (i + 1 < len(toks) and toks[i].lower() == "nulls"
+                        and toks[i + 1].lower() in ("first", "last")):
+                    suffix += f" NULLS {toks[i + 1].upper()}"
+                    i += 2
+            out.extend([t, "BY"] + _tokens(", ".join(o + suffix for o in ords)))
             continue
         out.append(t)
         i += 1
@@ -2957,8 +3056,10 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_comprehensions(toks)
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
+    toks = _rewrite_method_calls(toks)
     toks = _rewrite_json_arrows(toks)
     toks = _rewrite_at_time_zone(toks)
+    toks = _rewrite_similar_to(toks)
     toks = _rewrite_pg_operators(toks)
     toks = _rewrite_date_interval_arith(toks)
     toks = _rewrite_bit_shifts(toks)

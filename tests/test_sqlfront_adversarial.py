@@ -354,6 +354,53 @@ CASES.update(
 )
 
 
+CASES.update(
+    {
+        # --- function-chaining ("method") syntax ---
+        "method_on_literal": "SELECT ('abc').upper() AS u",
+        "method_on_list": "SELECT ([3,1,2]).list_sort() AS s",
+        "method_on_column": """
+            SELECT n_name.lower() AS l FROM nation ORDER BY n_nationkey LIMIT 5
+        """,
+        "method_chained": """
+            SELECT n_name.lower().trim() AS l FROM nation ORDER BY 1 LIMIT 5
+        """,
+        # --- zero-arg count() ---
+        "count_no_args": "SELECT count() AS c FROM nation",
+        # --- dollar-quoted strings ---
+        "dollar_quoted": "SELECT $$it's here$$ AS s",
+        "dollar_quoted_tagged": "SELECT $tag$double $$ inside$tag$ AS s",
+        # --- ORDER BY ALL direction applies to every column ---
+        "order_by_all_desc": """
+            SELECT n_regionkey, count(*) AS c FROM nation
+            GROUP BY ALL ORDER BY ALL DESC
+        """,
+        # --- SIMILAR TO = anchored regex (no %-wildcard layer) ---
+        "similar_to_regex": """
+            SELECT 'abc' SIMILAR TO 'a.c' AS a, 'abc' SIMILAR TO '%bc' AS b,
+                   'abc' NOT SIMILAR TO 'x.*' AS c
+        """,
+        "similar_to_column": """
+            SELECT n_name SIMILAR TO 'NATION_1.' AS m
+            FROM nation ORDER BY n_nationkey
+        """,
+        # --- ORDER BY inside array_agg ---
+        "array_agg_ordered": """
+            SELECT array_agg(n_name ORDER BY n_nationkey DESC) AS l
+            FROM nation WHERE n_nationkey < 3
+        """,
+    }
+)
+
+
+def test_tablesample_percent_rows_only(con):
+    """`TABLESAMPLE 10%` (bare-percent DuckDB form) — sampling is
+    nondeterministic across engines, so assert cardinality bounds only."""
+    c = con.sql("SELECT count(*) AS c FROM orders TABLESAMPLE 10%").df.collect()[0][0]
+    total = con.sql("SELECT count(*) AS c FROM orders").df.collect()[0][0]
+    assert 0 < c < total / 2
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_adversarial_shape(con, name):
     sql = CASES[name]
