@@ -478,6 +478,35 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         # DuckDB's two-argument map takes (key_list, value_list); Spark's
         # variadic map() would read them as one key-value pair
         return _tokens(f"map_from_arrays({j(args[0])}, {j(args[1])})")
+    if low == "log" and len(args) == 1:
+        # DuckDB 1-arg log is base-10 (duckdb-6.cpp math registration);
+        # Spark's is natural log — silent drift without this. The 2-arg
+        # log(base, x) form agrees between engines and passes through.
+        return _tokens(f"log10({j(args[0])})")
+    if low == "sign" and len(args) == 1:
+        # DuckDB returns TINYINT; Spark returns DOUBLE
+        return _tokens(f"CAST(sign({j(args[0])}) AS INT)")
+    if low == "fdiv" and len(args) == 2:
+        # floor division, DOUBLE result for all numeric inputs in DuckDB
+        return _tokens(
+            f"CAST(floor(({j(args[0])}) / ({j(args[1])})) AS DOUBLE)"
+        )
+    if low == "fmod" and len(args) == 2:
+        return _tokens(f"CAST((({j(args[0])}) % ({j(args[1])})) AS DOUBLE)")
+    if low == "date_add" and len(args) == 2:
+        # DuckDB date_add(date, INTERVAL|int); Spark's builtin only takes
+        # day counts — `+` handles both operand kinds in both engines.
+        # The INTERVAL overload returns TIMESTAMP in DuckDB (int → DATE).
+        add = f"(({j(args[0])}) + ({j(args[1])}))"
+        if any(t.lower() == "interval" for t in args[1]):
+            return _tokens(f"CAST({add} AS TIMESTAMP)")
+        return _tokens(add)
+    if (low == "epoch_ms" and len(args) == 1 and len(args[0]) == 1
+            and re.fullmatch(r"\d+", args[0][0])):
+        # overloaded in DuckDB: epoch_ms(BIGINT ms) → TIMESTAMP. Only the
+        # literal-integer form is detectable at transpile time; column
+        # inputs keep the TIMESTAMP → ms reading (unix_millis).
+        return _tokens(f"timestamp_millis({args[0][0]})")
     if low == "list_zip" and len(args) == 2:
         # longest-wins zip with NULL padding in both engines; DuckDB names
         # the struct fields list_1/list_2
@@ -1218,13 +1247,23 @@ def _rewrite_struct_literals(toks: list[str]) -> list[str]:
             raise UnsupportedSQL("unbalanced braces in struct literal")
         inner = _rewrite_struct_literals(toks[i + 1 : end])
         parts: list[str] = []
+        keys: list[str] = []
+        vals: list[str] = []
         for arg in _split_args(inner):
             if len(arg) >= 2 and _is_string(arg[0]) and arg[1] == ":":
                 parts.extend([arg[0], ","] + arg[2:] + [","])
+                keys.extend([arg[0], ","])
+                vals.extend(arg[2:] + [","])
             else:
                 raise UnsupportedSQL(f"struct literal entry needs 'k': expr: {arg}")
         if is_map:
-            toks = toks[: i - 1] + ["map", "("] + parts[:-1] + [")"] + toks[end + 1 :]
+            # emit map_from_arrays directly: a one-pair literal would emit
+            # `map(k, v)` — indistinguishable from DuckDB's two-list
+            # MAP(keys, values) constructor that _emit_call translates
+            toks = (toks[: i - 1]
+                    + ["map_from_arrays", "(", "array", "("] + keys[:-1]
+                    + [")", ",", "array", "("] + vals[:-1] + [")", ")"]
+                    + toks[end + 1 :])
         else:
             toks = toks[:i] + ["named_struct", "("] + parts[:-1] + [")"] + toks[end + 1 :]
     return toks
@@ -1305,8 +1344,15 @@ def _rewrite_subscripts(toks: list[str]) -> list[str]:
                 )
         elif len(parts) == 1:
             if len(parts[0]) == 1 and _is_string(parts[0][0]):
-                # map subscript by string key — no numeric cast
-                new = ["element_at", "("] + prim + [",", parts[0][0], ")"]
+                # map subscript by string key — DuckDB map extraction
+                # returns a LIST of matches ([] when absent), same as
+                # map_extract; mirror that emission exactly
+                k = parts[0][0]
+                new = (
+                    ["IF", "(", "map_contains_key", "("] + prim
+                    + [",", k, ")", ",", "array", "(", "try_element_at", "("]
+                    + prim + [",", k, ")", ")", ",", "array", "(", ")", ")"]
+                )
             else:
                 # Spark's array element_at wants INT (DuckDB subscripts
                 # accept BIGINT, e.g. list_position results) → explicit cast

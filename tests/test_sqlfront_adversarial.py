@@ -393,6 +393,37 @@ CASES.update(
 )
 
 
+CASES.update(
+    {
+        # --- overloads / base discrepancies the rewriter must resolve ---
+        "log_is_base10": """
+            SELECT log(100) AS l, log(4, 16) AS b, ln(1) AS n,
+                   log2(8) AS l2, log10(1000) AS l10
+        """,
+        "sign_integer_result": "SELECT sign(-2) AS s, sign(2.5) AS p, sign(0) AS z",
+        "fdiv_fmod": """
+            SELECT fdiv(7, 2) AS d, fdiv(7.5, 2) AS fd, fmod(7.5, 2) AS fm
+        """,
+        "date_add_overloads": """
+            SELECT date_add(DATE '2020-01-01', INTERVAL 3 MONTH) AS d,
+                   date_add(DATE '2020-01-01', 3) AS e
+        """,
+        "epoch_ms_overloads": """
+            SELECT epoch_ms(1704067200000) AS t,
+                   epoch_ms(TIMESTAMP '2024-01-01') AS ms
+        """,
+        # --- MAP literal / extraction returns list-of-matches ---
+        "map_literal_single_pair": """
+            SELECT map_keys(MAP {'a': 1}) AS k, map_values(MAP {'a': 1}) AS v
+        """,
+        "map_subscript_list": """
+            SELECT MAP {'x': 10}['x'] AS m, MAP {'x': 10}['z'] AS n,
+                   MAP(['k1','k2'], [5, 6])['k2'] AS p
+        """,
+    }
+)
+
+
 def test_tablesample_percent_rows_only(con):
     """`TABLESAMPLE 10%` (bare-percent DuckDB form) — sampling is
     nondeterministic across engines, so assert cardinality bounds only."""
