@@ -126,6 +126,12 @@ _RENAMES = {
     "list_filter": "filter",
     "list_contains": "array_contains",
     "list_position": "array_position",
+    "list_indexof": "array_position",
+    # NOTE: result ORDER is engine-specific (DuckDB hash-set order vs
+    # Spark first-argument order); values match, ordering is unspecified
+    "list_intersect": "array_intersect",
+    "ends_with": "endswith",
+    "to_base64": "base64",
     "list_distinct": "array_distinct",
     "list_sort": "array_sort",
     "list_min": "array_min",
@@ -155,8 +161,8 @@ _RENAMES = {
     "list_reverse": "reverse",
     "quantile_cont": "percentile",
     "to_timestamp": "timestamp_seconds",  # duckdb to_timestamp(double epoch)
-    "epoch_ms": "unix_millis",
-    "epoch_us": "unix_micros",
+    # epoch_ms handled in _emit_call_extra (overloads + DATE args)
+    # epoch_us is handled in _emit_call_extra (DATE args need a cast)
     "list_value": "array",
     "list_pack": "array",
     "struct_pack": "named_struct_placeholder",
@@ -245,14 +251,76 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     if low == "epoch":
         return _tokens(f"CAST(unix_timestamp({j(args[0])}) AS DOUBLE)")
     if low == "list_sum":
+        # NULL-skipping fold with a DOUBLE accumulator (a type-preserving
+        # element_at(..)*0 seed breaks on DECIMAL literals: Spark's
+        # aggregate() requires a fixed accumulator type and decimal
+        # addition widens). Empty / all-NULL → NULL, as in DuckDB.
+        l = j(args[0])
+        nn = f"filter({l}, x -> x IS NOT NULL)"
         return _tokens(
-            f"aggregate({j(args[0])}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            f"aggregate({nn}, CAST(element_at({nn}, 1) AS DOUBLE) * 0, "
+            f"(acc, x) -> acc + x)"
         )
+    if low == "list_avg":
+        l = j(args[0])
+        nn = f"filter({l}, x -> x IS NOT NULL)"
+        return _tokens(
+            f"CAST(aggregate({nn}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / nullif(size({nn}), 0) AS DOUBLE)"
+        )
+    if low == "list_count":
+        return _tokens(f"size(filter({j(args[0])}, x -> x IS NOT NULL))")
+    if low == "list_resize" and len(args) in (2, 3):
+        l = j(args[0])
+        n = j(args[1])
+        # 2-arg form pads with NULL; an out-of-bounds element_at gives a
+        # NULL already typed to the element type
+        fill = (j(args[2]) if len(args) == 3
+                else f"element_at({l}, CAST(size({l}) + 1 AS INT))")
+        return _tokens(
+            f"concat(slice({l}, 1, CAST(least(({n}), size({l})) AS INT)), "
+            f"array_repeat({fill}, CAST(greatest(0, ({n}) - size({l})) AS INT)))"
+        )
+    if low == "list_slice" and len(args) == 3:
+        # same 1-based inclusive semantics as the l[a:b] subscript — route
+        # through the general clamped emission
+        l, a, b = j(args[0]), j(args[1]), j(args[2])
+        s_ = (f"greatest(1, CASE WHEN ({a}) < 0 THEN size({l}) + ({a}) + 1"
+              f" ELSE ({a}) END)")
+        b_ = (f"CASE WHEN ({b}) < 0 THEN size({l}) + ({b}) + 1"
+              f" ELSE least(({b}), size({l})) END")
+        return _tokens(
+            f"slice({l}, CAST(({s_}) AS INT), "
+            f"CAST(greatest(0, ({b_}) - ({s_}) + 1) AS INT))"
+        )
+    if low == "quantile":
+        # bare quantile is quantile_disc in DuckDB
+        return _emit_call("quantile_disc", original, args)
+    if low in ("like_escape", "ilike_escape", "not_like_escape",
+               "not_ilike_escape") and len(args) == 3:
+        if not _is_string(args[2][0]):
+            raise UnsupportedSQL(f"{low} escape must be a string literal")
+        op = "ILIKE" if "ilike" in low else "LIKE"
+        neg = "NOT " if low.startswith("not_") else ""
+        return _tokens(
+            f"(({j(args[0])}) {neg}{op} ({j(args[1])}) ESCAPE {args[2][0]})"
+        )
+    if low == "txid_current":
+        # single-session shim: no MVCC transaction ids on Spark
+        return _tokens("CAST(0 AS BIGINT)")
+    if low == "epoch_us" and len(args) == 1:
+        # DuckDB epoch_us accepts DATE too (date_trunc day-or-coarser
+        # returns DATE); Spark unix_micros is TIMESTAMP-only
+        return _tokens(f"unix_micros(CAST({j(args[0])} AS TIMESTAMP))")
     if low == "list_aggregate":
         if len(args) >= 2 and _is_string(args[1][0]):
             fn = _str_val(args[1][0]).lower()
             if fn in ("sum",):
                 return _emit_call("list_sum", original, [args[0]])
+            if fn in ("avg", "mean"):
+                return _emit_call("list_avg", original, [args[0]])
+            if fn == "count":
+                return _emit_call("list_count", original, [args[0]])
             if fn in ("min",):
                 return _tokens(f"array_min({j(args[0])})")
             if fn in ("max",):
@@ -501,12 +569,14 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         if any(t.lower() == "interval" for t in args[1]):
             return _tokens(f"CAST({add} AS TIMESTAMP)")
         return _tokens(add)
-    if (low == "epoch_ms" and len(args) == 1 and len(args[0]) == 1
-            and re.fullmatch(r"\d+", args[0][0])):
+    if low == "epoch_ms" and len(args) == 1:
         # overloaded in DuckDB: epoch_ms(BIGINT ms) → TIMESTAMP. Only the
         # literal-integer form is detectable at transpile time; column
-        # inputs keep the TIMESTAMP → ms reading (unix_millis).
-        return _tokens(f"timestamp_millis({args[0][0]})")
+        # inputs keep the TIMESTAMP → ms reading (unix_millis, with a
+        # cast so DATE inputs work as they do in DuckDB).
+        if len(args[0]) == 1 and re.fullmatch(r"\d+", args[0][0]):
+            return _tokens(f"timestamp_millis({args[0][0]})")
+        return _tokens(f"unix_millis(CAST({j(args[0])} AS TIMESTAMP))")
     if low == "list_zip" and len(args) == 2:
         # longest-wins zip with NULL padding in both engines; DuckDB names
         # the struct fields list_1/list_2
@@ -969,6 +1039,27 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         )
     if low == "range__tvf":
         return _tokens(f"range({', '.join(j(a) for a in args)})")
+    if (low in ("range", "generate_series") and len(args) == 3
+            and any(t.lower() in ("interval", "date", "timestamp")
+                    for a in args for t in a)):
+        # temporal series: Spark sequence() is end-inclusive like
+        # generate_series; range is end-exclusive → filter the endpoint
+        a, b, s = j(args[0]), j(args[1]), j(args[2])
+        seq = f"sequence(({a}), ({b}), ({s}))"
+        if low == "range":
+            seq = f"filter({seq}, x -> x < ({b}))"
+        # DuckDB's temporal series always carries TIMESTAMP elements,
+        # even for DATE endpoints
+        return _tokens(f"transform({seq}, x -> CAST(x AS TIMESTAMP))")
+    if low == "date_trunc" and args and _is_string(args[0][0]) and _str_val(
+            args[0][0]).lower() in (
+            "millennium", "century", "decade", "year", "isoyear", "quarter",
+            "month", "week", "day"):
+        # day-or-coarser parts return DATE in DuckDB (any input type);
+        # Spark's date_trunc always returns TIMESTAMP
+        return _tokens(
+            f"CAST(date_trunc({args[0][0]}, {j(args[1])}) AS DATE)"
+        )
     if low in ("range", "generate_series") and 1 <= len(args) <= 3:
         if len(args) == 1:
             a, b, s = "0", j(args[0]), None
@@ -1072,6 +1163,49 @@ def _match_bracket(toks: list[str], open_idx: int) -> int:
             if depth == 0:
                 return j
     raise UnsupportedSQL("unbalanced brackets")
+
+
+def _rewrite_array_type_suffix(toks: list[str]) -> list[str]:
+    """DuckDB `T[]` array-type suffixes (`x::INT[]`, `CAST(x AS INT[])`)
+    → Spark `ARRAY<T>`. An adjacent empty `[ ]` pair is never a valid
+    subscript, so the rewrite is unambiguous; runs before the subscript
+    pass (which would otherwise read the `[` as an element access).
+    Nested suffixes (`INT[][]`) fold left-to-right."""
+    changed = True
+    while changed:
+        changed = False
+        for i in range(1, len(toks) - 1):
+            if toks[i] != "[" or toks[i + 1] != "]":
+                continue
+            if _IDENT.match(toks[i - 1]):
+                start = i - 1
+            elif toks[i - 1] == ">":
+                # a just-rewritten ARRAY<...> group
+                depth, j = 0, i - 1
+                while j >= 0:
+                    if toks[j] == ">":
+                        depth += 1
+                    elif toks[j] == "<":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                start = j - 1 if j > 0 and toks[j - 1].lower() == "array" else -1
+            else:
+                start = -1
+            # only fire in a type position (`:: T[]`, `CAST(x AS T[])`) —
+            # an empty [] after e.g. THEN/ELSE is an empty-list literal
+            if start <= 0 or toks[start - 1].lower() not in ("::", "as"):
+                continue
+            elem = toks[start:i]
+            if len(elem) == 1:
+                # the element type never sits after AS/:: so the typename
+                # pass won't see it — translate here (VARCHAR → STRING …)
+                elem = [_TYPE_RENAMES.get(elem[0].lower(), elem[0])]
+            toks = toks[:start] + ["ARRAY", "<"] + elem + [">"] + toks[i + 2 :]
+            changed = True
+            break
+    return toks
 
 
 def _rewrite_list_comprehensions(toks: list[str]) -> list[str]:
@@ -1963,10 +2097,10 @@ def _rewrite_time_carriers(toks: list[str]) -> list[str]:
             ):
                 x = " ".join(_rewrite_time_carriers(inner[2:-3]))
                 ts = f"CAST(({x}) AS TIMESTAMP)"
+                # µs-since-midnight via pmod — emitting a date_trunc here
+                # would be re-wrapped to DATE by the later calls pass
                 out.extend(
-                    _tokens(
-                        f"(unix_micros({ts}) - unix_micros(date_trunc('DAY', {ts})))"
-                    )
+                    _tokens(f"pmod(unix_micros({ts}), 86400000000)")
                 )
                 i = end + 1
                 continue
@@ -3099,6 +3233,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_hex_casts(toks)
+    toks = _rewrite_array_type_suffix(toks)
     toks = _rewrite_list_comprehensions(toks)
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)

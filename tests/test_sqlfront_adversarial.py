@@ -424,6 +424,60 @@ CASES.update(
 )
 
 
+CASES.update(
+    {
+        # --- list function surface ---
+        "list_sum_avg_count": """
+            SELECT list_sum([1,2,3]) AS s, list_sum([1.5,2.0]) AS f,
+                   list_sum([NULL]::INT[]) AS n, list_sum([]::INT[]) AS e,
+                   list_sum([1,NULL,3]) AS m, list_avg([1,2,4]) AS a,
+                   list_count([1,NULL,3]) AS c
+        """,
+        "list_aggregate_names": """
+            SELECT list_aggregate([1,2,3], 'sum') AS s,
+                   list_aggregate([1,2], 'avg') AS a,
+                   list_aggregate([1,NULL], 'count') AS c,
+                   list_aggregate([3,1], 'min') AS mn
+        """,
+        "list_resize_slice": """
+            SELECT list_resize([1,2], 4, 0) AS r, list_resize([1,2,3], 2, 0) AS c,
+                   list_resize([1,2], 4) AS n, list_slice([1,2,3,4], 2, 3) AS s,
+                   list_slice([1,2,3,4], 2, -1) AS t, list_reverse([1,2,3]) AS v
+        """,
+        "list_indexof_missing": """
+            SELECT list_indexof([10,20,30], 20) AS i, list_indexof([10,20], 99) AS m
+        """,
+        "quantile_is_disc": "SELECT quantile(n_nationkey, 0.5) AS q FROM nation",
+        "like_escape_family": """
+            SELECT like_escape('a_c', 'a$_c', '$') AS m,
+                   ilike_escape('A_C', 'a$_c', '$') AS i,
+                   not_like_escape('abc', 'a$_c', '$') AS n
+        """,
+        "string_affix_tests": """
+            SELECT starts_with('abc', 'ab') AS s, ends_with('abc', 'bc') AS e,
+                   from_base64(to_base64('hi'::BLOB))::VARCHAR AS b
+        """,
+        # --- temporal series & date_trunc result types ---
+        "generate_series_dates": """
+            SELECT generate_series(DATE '2020-01-01', DATE '2020-01-05',
+                                   INTERVAL 1 DAY) AS g,
+                   range(DATE '2020-01-01', DATE '2020-01-05',
+                         INTERVAL 1 DAY) AS r
+        """,
+        "date_trunc_result_types": """
+            SELECT date_trunc('week', DATE '2024-03-14') AS w,
+                   date_trunc('quarter', TIMESTAMP '2024-05-14 10:00:00') AS q,
+                   date_trunc('hour', TIMESTAMP '2024-03-14 10:30:00') AS h
+        """,
+        # --- array-type suffix casts ---
+        "array_type_suffix": """
+            SELECT CAST([1,2] AS INT[]) AS c, [[1],[2]]::INT[][] AS n,
+                   []::VARCHAR[] AS e
+        """,
+    }
+)
+
+
 def test_tablesample_percent_rows_only(con):
     """`TABLESAMPLE 10%` (bare-percent DuckDB form) — sampling is
     nondeterministic across engines, so assert cardinality bounds only."""
