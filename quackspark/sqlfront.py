@@ -44,7 +44,9 @@ _TOKEN = re.compile(
   | --[^\n]*                  # line comment
   | /\*.*?\*/                 # block comment
   | [A-Za-z_][A-Za-z0-9_]*    # identifier / keyword
-  | \d+(?:\.\d*)?             # number
+  | 0[xX][0-9A-Fa-f][0-9A-Fa-f_]*   # hex literal
+  | 0[bB][01][01_]*                 # binary literal
+  | (?:\d[\d_]*\.?[\d_]*|\.\d[\d_]*)(?:[eE][+-]?\d+)?  # number (underscores, exponent, leading/trailing dot)
   | ::|//|<=|>=|<>|!=|\|\||->>|->|<<|>> # multi-char operators
   | .                         # any single char
     """,
@@ -69,8 +71,26 @@ def _tokens(sql: str) -> list[str]:
             continue
         if t.startswith("$") and (dm := _DOLLAR_STR.match(t)):
             t = _quote(dm.group(2))
+        elif t[0].isdigit() or (t[0] == "." and len(t) > 1 and t[1].isdigit()):
+            t = _normalize_number(t)
         out.append(t)
     return out
+
+
+def _normalize_number(t: str) -> str:
+    """DuckDB numeric literal forms Spark's parser rejects: underscore
+    separators (1_000_000), hex/binary (0x1F, 0b101 → decimal), bare
+    trailing/leading dots (2. / .5 → 2.0 / 0.5)."""
+    if t[:2].lower() == "0x":
+        return str(int(t.replace("_", ""), 16))
+    if t[:2].lower() == "0b":
+        return str(int(t.replace("_", ""), 2))
+    t = t.replace("_", "")
+    if t.startswith("."):
+        t = "0" + t
+    if t.endswith("."):
+        t += "0"
+    return t
 
 
 def _is_string(tok: str) -> bool:
@@ -312,6 +332,61 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         # DuckDB epoch_us accepts DATE too (date_trunc day-or-coarser
         # returns DATE); Spark unix_micros is TIMESTAMP-only
         return _tokens(f"unix_micros(CAST({j(args[0])} AS TIMESTAMP))")
+    if low == "json_array":
+        return _tokens(f"to_json(array({', '.join(j(a) for a in args)}))")
+    if low == "json_quote" and len(args) == 1:
+        # Spark's to_json wants a container — wrap in a 1-element array
+        # and strip the outer brackets (exact for any payload)
+        w = f"to_json(array({j(args[0])}))"
+        return _tokens(f"substr({w}, 2, length({w}) - 2)")
+    if low == "json_object" and args and len(args) % 2 == 0:
+        return _tokens(f"to_json(map({', '.join(j(a) for a in args)}))")
+    if low == "json_group_object" and len(args) == 2:
+        return _tokens(
+            f"to_json(map_from_entries(collect_list(struct({j(args[0])},"
+            f" {j(args[1])}))))"
+        )
+    if low in ("json_merge_patch", "json_structure"):
+        raise UnsupportedSQL(
+            f"{low}: recursive JSON-shape semantics have no faithful "
+            f"Spark-builtin translation"
+        )
+    if (low == "json_transform" and len(args) == 2
+            and len(args[1]) == 1 and _is_string(args[1][0])):
+        # literal structure template → from_json with the derived schema
+        import json as _json
+
+        try:
+            tmpl = _json.loads(_str_val(args[1][0]))
+        except ValueError:
+            raise UnsupportedSQL("json_transform template must be valid JSON")
+
+        type_map = {
+            "varchar": "STRING", "json": "STRING", "integer": "INT",
+            "int": "INT", "bigint": "BIGINT", "double": "DOUBLE",
+            "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+            "float": "FLOAT", "smallint": "SMALLINT", "tinyint": "TINYINT",
+            "ubigint": "DECIMAL(20,0)", "hugeint": "DECIMAL(38,0)",
+        }
+
+        def _schema(t):
+            if isinstance(t, dict):
+                inner = ", ".join(f"`{k}`: {_schema(v)}" for k, v in t.items())
+                return f"STRUCT<{inner}>"
+            if isinstance(t, list):
+                if len(t) != 1:
+                    raise UnsupportedSQL(
+                        "json_transform array template needs one element"
+                    )
+                return f"ARRAY<{_schema(t[0])}>"
+            if isinstance(t, str):
+                base = t.lower().split("(")[0].strip()
+                if base in type_map:
+                    return type_map[base]
+                raise UnsupportedSQL(f"json_transform type {t!r}")
+            raise UnsupportedSQL("json_transform template form")
+
+        return _tokens(f"from_json({j(args[0])}, {_quote(_schema(tmpl))})")
     if low == "list_aggregate":
         if len(args) >= 2 and _is_string(args[1][0]):
             fn = _str_val(args[1][0]).lower()
@@ -1876,8 +1951,29 @@ def _rewrite_bit_shifts(toks: list[str]) -> list[str]:
 
 def _rewrite_json_arrows(toks: list[str]) -> list[str]:
     """DuckDB `expr ->> 'path'` (JSON extension text-extract operator) →
-    `get_json_object(expr, '$.path')`. The bare `->` token is left alone —
-    it is the lambda arrow, which Spark shares."""
+    `get_json_object(expr, '$.path')`. A bare `->` is usually the lambda
+    arrow (which Spark shares) and is left alone — EXCEPT in a chain
+    whose next link is another arrow (`j -> 'a' ->> 'b'`): there the
+    intermediate extraction yields a JSON object/array, where
+    get_json_object's text semantics and DuckDB's JSON semantics agree
+    exactly. A *terminal* `-> 'k'` on a non-identifier primary raises
+    (JSON-quoted scalar semantics we cannot reproduce — use ->>)."""
+    # chained -> links first (left-to-right so chains fold inward-out)
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if (t == "->" and i + 2 < len(toks) and _is_string(toks[i + 1])
+                    and toks[i + 2] in ("->", "->>")):
+                key = _str_val(toks[i + 1])
+                path = key if key.startswith("$") else "$." + key
+                start = _primary_start(toks, i)
+                prim = toks[start:i]
+                toks = (toks[:start]
+                        + ["get_json_object", "("] + prim
+                        + [",", _quote(path), ")"] + toks[i + 2 :])
+                changed = True
+                break
     while "->>" in toks:
         i = toks.index("->>")
         if i + 1 >= len(toks) or not _is_string(toks[i + 1]):
@@ -1891,6 +1987,19 @@ def _rewrite_json_arrows(toks: list[str]) -> list[str]:
             + ["get_json_object", "("] + prim + [",", _quote(path), ")"]
             + toks[i + 2 :]
         )
+    # terminal -> on a non-identifier primary (e.g. a ::JSON cast chain)
+    # is a JSON extract we cannot reproduce faithfully — raise precisely
+    # instead of letting Spark's parser fail cryptically. A bare-ident
+    # LHS stays untouched: that is the lambda arrow.
+    for i, t in enumerate(toks):
+        if t == "->" and i + 1 < len(toks) and _is_string(toks[i + 1]):
+            start = _primary_start(toks, i)
+            prim = toks[start:i]
+            if len(prim) != 1 or not _IDENT.match(prim[0]):
+                raise UnsupportedSQL(
+                    "terminal -> returns JSON-quoted scalars (no Spark "
+                    "equivalent) — use ->> for text extraction"
+                )
     return toks
 
 

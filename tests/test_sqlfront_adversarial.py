@@ -478,6 +478,45 @@ CASES.update(
 )
 
 
+CASES.update(
+    {
+        # --- numeric literal forms ---
+        "numeric_underscores": "SELECT 1_000_000 AS n, 1_0.5_0 AS d",
+        "numeric_dot_forms": "SELECT 1e3 AS e, .5 AS f, 2. AS g, 1.5e-3 AS x",
+        # --- JSON construction / extraction ---
+        "json_arrow_chain": """
+            SELECT '{"a":{"b":2}}'::JSON->'a'->>'b' AS j
+        """,
+        "json_construction": """
+            SELECT json_object('k', 7) AS o, json_array(1, 2) AS a,
+                   json_quote('hi') AS q, json_quote(42) AS n
+        """,
+        "json_group_object_agg": """
+            SELECT json_group_object(n_name, n_nationkey) AS g
+            FROM (SELECT * FROM nation WHERE n_nationkey < 2) t
+        """,
+        "json_transform_template": """
+            SELECT json_transform('{"a":1,"b":"x"}',
+                                  '{"a":"INTEGER","b":"VARCHAR"}') AS t,
+                   json_transform('{"l":[1,2]}', '{"l":["BIGINT"]}') AS l
+        """,
+    }
+)
+
+REFUSALS_EXTRA = {
+    "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
+    "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REFUSALS_EXTRA))
+def test_honest_refusal_extra(con, name):
+    from quackspark.sqlfront import UnsupportedSQL
+
+    with pytest.raises(UnsupportedSQL):
+        con.sql(REFUSALS_EXTRA[name])
+
+
 def test_tablesample_percent_rows_only(con):
     """`TABLESAMPLE 10%` (bare-percent DuckDB form) — sampling is
     nondeterministic across engines, so assert cardinality bounds only."""
