@@ -67,6 +67,59 @@ ORACLES = {
                CAST(damerau_levenshtein(n_name, reverse(n_name)) AS BIGINT) AS d
         FROM nation ORDER BY n_nationkey
     """,
+    # --- third wave: comprehension / slice / method / regex sugar ---
+    # (array outputs serialized with to_json on both engines: the driver
+    # canonicalizer cannot hash raw list cells, VERDICT r2 #2)
+    "fe_list_comprehension": """
+        SELECT n_nationkey,
+               to_json([upper(w) FOR w IN string_split(n_name, '_')
+                        IF length(w) > 3]) AS l
+        FROM nation ORDER BY n_nationkey
+    """,
+    "fe_slice_forms": """
+        SELECT n_nationkey,
+               to_json((string_split(n_name, '_'))[2:]) AS tail,
+               to_json(([1,2,3,4,5])[2:-1]) AS mid,
+               to_json(([1,2,3,4,5])[:-2]) AS head
+        FROM nation ORDER BY n_nationkey
+    """,
+    "fe_method_chain": """
+        SELECT n_nationkey, n_name.lower().trim() AS l,
+               ('x' || n_name).upper() AS u
+        FROM nation ORDER BY n_nationkey
+    """,
+    "fe_similar_to": """
+        SELECT n_nationkey,
+               n_name SIMILAR TO 'NATION_1.' AS m,
+               n_name NOT SIMILAR TO '.*2' AS nm
+        FROM nation ORDER BY n_nationkey
+    """,
+    "fe_at_time_zone": """
+        SELECT event_id,
+               CAST(floor(extract(epoch FROM ts AT TIME ZONE 'Asia/Tokyo'))
+                    AS BIGINT) AS e
+        FROM events WHERE event_id < 300 ORDER BY event_id
+    """,
+    "fe_list_functions": """
+        SELECT n_nationkey,
+               list_sum([n_nationkey, n_regionkey, NULL]) AS s,
+               list_avg([n_nationkey, 4]) AS a,
+               list_count([n_nationkey, NULL]) AS c,
+               list_indexof([10, n_nationkey, 30], n_nationkey) AS i
+        FROM nation ORDER BY n_nationkey
+    """,
+    "fe_json_construction": """
+        SELECT n_nationkey,
+               json_object('name', n_name,
+                           'region', CAST(n_regionkey AS VARCHAR)) AS o,
+               json_array(n_nationkey, n_regionkey) AS a,
+               json_quote(n_name) AS q
+        FROM nation ORDER BY n_nationkey
+    """,
+    "fe_numeric_literals": """
+        SELECT 1_000_000 AS n, 1e3 AS e, .5 AS f, 2. AS g,
+               count(*) AS c FROM nation
+    """,
 }
 
 QUERIES = {name: _run(sql_text) for name, sql_text in ORACLES.items()}
