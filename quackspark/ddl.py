@@ -1,0 +1,383 @@
+"""Schema-definition statements — the reference's DDL surface
+(CreateStatement / AlterStatement / DropStatement / PragmaStatement,
+duckdb.hpp:11960-11990; ALTER column machinery duckdb-internal.hpp
+AlterTableInfo).
+
+Spark-side semantics, documented per statement:
+
+- ``CREATE TABLE (col defs)`` → managed parquet table. Constraints
+  (PRIMARY KEY / UNIQUE / CHECK / NOT NULL / FOREIGN KEY) are parsed and
+  accepted but NOT enforced — Spark has no constraint enforcement; the
+  reference enforces them via its ART index (duckdb-internal.hpp). They
+  are recorded for introspection. ``DEFAULT`` expressions ARE honored:
+  partial-column INSERTs fill missing columns with their default.
+- ``TEMP TABLE`` → ordinary managed table: the metastore/warehouse of
+  this deployment is already session-scoped, which is exactly DuckDB's
+  temp-table lifetime.
+- ``CREATE VIEW`` → temporary view (DuckDB views live in the in-process
+  catalog; a Spark *persistent* view cannot reference our temp views).
+- ``ALTER TABLE ADD/DROP/RENAME/retype COLUMN`` → copy-on-write staging
+  swap, the same machinery the UPDATE/DELETE DML layer uses
+  (sqlfront._swap_in). ``RENAME TO`` passes to Spark directly.
+- ``CREATE/DROP INDEX`` → metadata no-op with a status row. The
+  reference's ART index (duckdb-internal.hpp:4100) is a performance
+  structure, not query semantics; broadcast and bucketed joins are the
+  Spark-side analogue (SURVEY §7).
+- ``COMMENT ON`` → recorded in the session comment registry.
+- ``TRUNCATE t`` / ``DROP … CASCADE`` → normalized to Spark's grammar.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: per-table column DEFAULT expressions (DuckDB text), applied on
+#: partial-column INSERT
+TABLE_DEFAULTS: dict[str, dict[str, str]] = {}
+#: accepted-but-unenforced constraints, for introspection
+TABLE_CONSTRAINTS: dict[str, list[str]] = {}
+#: CREATE INDEX shim registry
+INDEXES: dict[str, str] = {}
+#: COMMENT ON registry
+COMMENTS: dict[str, str] = {}
+
+_CONSTRAINT_KEYWORDS = {
+    "primary", "unique", "not", "check", "references", "default", "collate",
+}
+
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*?)\s*;?\s*$",
+    re.I | re.S,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
+_DROP_CASCADE_RE = re.compile(
+    r"^\s*(DROP\s+(?:TABLE|VIEW)\s+.*?)\s+(?:CASCADE|RESTRICT)\s*;?\s*$", re.I
+)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_]\w*)\s+ON\s+(.*?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
+_COMMENT_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(\w+)\s+([\w.]+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$",
+    re.I,
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s+(.*?)\s*;?\s*$",
+    re.I | re.S,
+)
+_INSERT_COLS_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*(VALUES\s*\(.*|SELECT\b.*|FROM\b.*)$",
+    re.I | re.S,
+)
+
+
+def _status(spark: SparkSession, **cols: str) -> DataFrame:
+    names = list(cols)
+    return spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{n} string" for n in names)
+    )
+
+
+def _translate_type(type_toks: list[str]) -> str:
+    """DuckDB column type tokens → Spark DDL type string."""
+    from quackspark.sqlfront import (
+        _TYPE_RENAMES,
+        UnsupportedSQL,
+        _rewrite_array_type_suffix,
+    )
+
+    # T[] suffixes only fire after ::/AS in the expression pass — give the
+    # tokens a cast context, then strip it
+    toks = _rewrite_array_type_suffix(["::"] + type_toks)[1:]
+    out = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower()
+        if low in ("varchar", "char", "text", "string") and (
+            i + 1 < len(toks) and toks[i + 1] == "("
+        ):
+            # VARCHAR(n): DuckDB ignores the length — so do we
+            while i < len(toks) and toks[i] != ")":
+                i += 1
+            i += 1
+            out.append("STRING")
+            continue
+        if low == "time" and "zone" not in [x.lower() for x in toks]:
+            raise UnsupportedSQL("type TIME has no Spark storage type")
+        out.append(_TYPE_RENAMES.get(low, t))
+        i += 1
+    joined = " ".join(out)
+    # normalize parameterized forms the join spaced out: DECIMAL ( 10 , 2 )
+    joined = re.sub(r"\s*\(\s*", "(", joined)
+    joined = re.sub(r"\s*\)\s*", ")", joined)
+    joined = re.sub(r"\s*,\s*", ",", joined)
+    joined = re.sub(r"\s*<\s*", "<", joined)
+    joined = re.sub(r"\s*>", ">", joined)
+    # TIMESTAMP WITH TIME ZONE → TIMESTAMP
+    joined = re.sub(r"(?i)TIMESTAMP\s+WITH\s+TIME\s+ZONE", "TIMESTAMP", joined)
+    return joined
+
+
+def _parse_column_defs(defs_sql: str, table: str):
+    """Split a CREATE TABLE body into (name, spark_type, default_expr)
+    triples, collecting constraints into the registry."""
+    from quackspark.sqlfront import UnsupportedSQL, _split_args, _tokens
+
+    cols: list[tuple[str, str, str | None]] = []
+    constraints: list[str] = []
+    for item in _split_args(_tokens(defs_sql)):
+        head = item[0].lower()
+        if head in ("primary", "unique", "check", "foreign", "constraint"):
+            constraints.append(" ".join(item))
+            continue
+        name = item[0].strip('"')
+        type_toks: list[str] = []
+        default: str | None = None
+        i = 1
+        depth = 0
+        while i < len(item):
+            t = item[i]
+            low = t.lower()
+            if depth == 0 and low in _CONSTRAINT_KEYWORDS:
+                break
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            type_toks.append(t)
+            i += 1
+        # constraint tail: record; extract DEFAULT expr
+        while i < len(item):
+            low = item[i].lower()
+            if low == "default":
+                j = i + 1
+                d = 0
+                expr: list[str] = []
+                while j < len(item):
+                    tj = item[j]
+                    if d == 0 and tj.lower() in _CONSTRAINT_KEYWORDS and expr:
+                        break
+                    if tj in ("(", "["):
+                        d += 1
+                    elif tj in (")", "]"):
+                        d -= 1
+                    expr.append(tj)
+                    j += 1
+                default = " ".join(expr)
+                i = j
+            else:
+                constraints.append(f"{name} {item[i]}")
+                i += 1
+        if not type_toks:
+            raise UnsupportedSQL(f"column {name} needs a type")
+        cols.append((name, _translate_type(type_toks), default))
+    if constraints:
+        TABLE_CONSTRAINTS[table.lower()] = constraints
+    return cols
+
+
+def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
+    """Dispatch a DDL statement; None when the text is not DDL."""
+    from quackspark.sqlfront import UnsupportedSQL, transpile
+
+    if m := _CREATE_TABLE_RE.match(duckdb_sql):
+        replace, if_not_exists, table, defs = m.groups()
+        cols = _parse_column_defs(defs, table)
+        if replace:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        col_sql = ", ".join(f"`{n}` {t}" for n, t, _ in cols)
+        spark.sql(f"CREATE TABLE {ine}{table} ({col_sql}) USING parquet")
+        defaults = {n.lower(): d for n, _, d in cols if d is not None}
+        if defaults:
+            TABLE_DEFAULTS[table.lower()] = defaults
+        return _status(spark, table=table, status="created")
+
+    if m := _CREATE_VIEW_RE.match(duckdb_sql):
+        replace, if_not_exists, view, body = m.groups()
+        if if_not_exists and any(
+            v.name.lower() == view.lower() for v in spark.catalog.listTables()
+        ):
+            return _status(spark, view=view, status="exists")
+        body_sql = transpile(body, spark)
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {view} AS {body_sql}")
+        return _status(spark, view=view, status="created")
+
+    if m := _TRUNCATE_RE.match(duckdb_sql):
+        spark.sql(f"TRUNCATE TABLE {m.group(1)}")
+        return _status(spark, table=m.group(1), status="truncated")
+
+    if m := _DROP_CASCADE_RE.match(duckdb_sql):
+        return spark.sql(m.group(1))
+
+    if m := _CREATE_INDEX_RE.match(duckdb_sql):
+        INDEXES[m.group(1).lower()] = m.group(2)
+        return _status(spark, index=m.group(1), status="noop (no ART index on Spark)")
+
+    if m := _DROP_INDEX_RE.match(duckdb_sql):
+        INDEXES.pop(m.group(1).lower(), None)
+        return _status(spark, index=m.group(1), status="dropped")
+
+    if m := _COMMENT_RE.match(duckdb_sql):
+        kind, name, text = m.groups()
+        COMMENTS[f"{kind.lower()}:{name.lower()}"] = text.strip("'")
+        return _status(spark, object=name, status="comment recorded")
+
+    if m := _ALTER_RE.match(duckdb_sql):
+        return _run_alter(spark, m.group(1), m.group(2))
+
+    if m := _INSERT_COLS_RE.match(duckdb_sql):
+        return _run_insert_with_columns(spark, *m.groups())
+
+    return None
+
+
+def _swap(spark: SparkSession, table: str, df: DataFrame) -> None:
+    from quackspark.sqlfront import _swap_in
+
+    _swap_in(spark, table, df)
+
+
+def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
+    from quackspark.sqlfront import UnsupportedSQL, transpile
+
+    if m := re.match(r"^RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I):
+        spark.sql(f"ALTER TABLE {table} RENAME TO {m.group(1)}")
+        return _status(spark, table=m.group(1), status="renamed")
+
+    if m := re.match(
+        r"^RENAME\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
+        action,
+        re.I,
+    ):
+        old, new = m.groups()
+        fields = spark.table(table).schema.fieldNames()
+        if old.lower() not in [f.lower() for f in fields]:
+            raise UnsupportedSQL(f"RENAME COLUMN: no column {old} in {table}")
+        items = [
+            f"`{f}` AS `{new}`" if f.lower() == old.lower() else f"`{f}`"
+            for f in fields
+        ]
+        _swap(spark, table, spark.table(table).selectExpr(*items))
+        return _status(spark, table=table, status=f"renamed {old} -> {new}")
+
+    if m := re.match(
+        r"^ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+(.+?)"
+        r"(?:\s+DEFAULT\s+(.+))?$",
+        action,
+        re.I | re.S,
+    ):
+        from quackspark.sqlfront import _tokens
+
+        col, type_sql, default = m.groups()
+        fields = [f.lower() for f in spark.table(table).schema.fieldNames()]
+        if col.lower() in fields:
+            if re.search(r"IF\s+NOT\s+EXISTS", action, re.I):
+                return _status(spark, table=table, status="column exists")
+            raise UnsupportedSQL(f"ADD COLUMN: {col} already in {table}")
+        spark_t = _translate_type(_tokens(type_sql))
+        fill = transpile(default, spark) if default else "NULL"
+        _swap(
+            spark,
+            table,
+            spark.table(table).selectExpr(
+                "*", f"CAST(({fill}) AS {spark_t}) AS `{col}`"
+            ),
+        )
+        return _status(spark, table=table, status=f"added {col}")
+
+    if m := re.match(
+        r"^DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", action, re.I
+    ):
+        col = m.group(1)
+        fields = spark.table(table).schema.fieldNames()
+        keep = [f"`{f}`" for f in fields if f.lower() != col.lower()]
+        if len(keep) == len(fields):
+            if re.search(r"IF\s+EXISTS", action, re.I):
+                return _status(spark, table=table, status="column absent")
+            raise UnsupportedSQL(f"DROP COLUMN: no column {col} in {table}")
+        _swap(spark, table, spark.table(table).selectExpr(*keep))
+        return _status(spark, table=table, status=f"dropped {col}")
+
+    if m := re.match(
+        r"^ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)"
+        r"(?:\s+USING\s+(.+))?$",
+        action,
+        re.I | re.S,
+    ):
+        from quackspark.sqlfront import _tokens
+
+        col, type_sql, using = m.groups()
+        spark_t = _translate_type(_tokens(type_sql))
+        fields = spark.table(table).schema.fieldNames()
+        expr = transpile(using, spark) if using else f"`{col}`"
+        items = [
+            f"CAST(({expr}) AS {spark_t}) AS `{f}`"
+            if f.lower() == col.lower()
+            else f"`{f}`"
+            for f in fields
+        ]
+        _swap(spark, table, spark.table(table).selectExpr(*items))
+        return _status(spark, table=table, status=f"retyped {col}")
+
+    if m := re.match(
+        r"^ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+SET\s+DEFAULT\s+(.+)$",
+        action,
+        re.I | re.S,
+    ):
+        TABLE_DEFAULTS.setdefault(table.lower(), {})[m.group(1).lower()] = m.group(2)
+        return _status(spark, table=table, status="default set")
+
+    if m := re.match(
+        r"^ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+DROP\s+DEFAULT$", action, re.I
+    ):
+        TABLE_DEFAULTS.get(table.lower(), {}).pop(m.group(1).lower(), None)
+        return _status(spark, table=table, status="default dropped")
+
+    raise UnsupportedSQL(f"ALTER TABLE action: {action[:60]}")
+
+
+def _run_insert_with_columns(
+    spark: SparkSession, table: str, col_list: str, source: str
+) -> DataFrame:
+    """Partial-column INSERT: missing columns fill with their recorded
+    DEFAULT (CREATE TABLE defs) or NULL — DuckDB's insert binding."""
+    from quackspark.sqlfront import transpile
+
+    listed = [c.strip().strip('"').lower() for c in col_list.split(",")]
+    schema = spark.table(table).schema
+    defaults = TABLE_DEFAULTS.get(table.lower(), {})
+    src_sql = transpile(source, spark)
+    if re.match(r"^\s*FROM\b", src_sql, re.I):
+        src_sql = f"SELECT * {src_sql}"
+    alias_cols = ", ".join(f"`{c}`" for c in listed)
+    items = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if f.name.lower() in listed:
+            items.append(f"CAST(`{f.name.lower()}` AS {t}) AS `{f.name}`")
+        elif f.name.lower() in defaults:
+            d = transpile(defaults[f.name.lower()], spark)
+            items.append(f"CAST(({d}) AS {t}) AS `{f.name}`")
+        else:
+            items.append(f"CAST(NULL AS {t}) AS `{f.name}`")
+    spark.sql(
+        f"INSERT INTO {table} SELECT {', '.join(items)} "
+        f"FROM ({src_sql}) AS __src({alias_cols})"
+    )
+    return _status(spark, table=table, status="inserted")

@@ -4339,6 +4339,10 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
         return handled
     handled = _run_statement(spark, duckdb_sql)
     if handled is None:
+        from quackspark.ddl import run_ddl
+
+        handled = run_ddl(spark, duckdb_sql)
+    if handled is None:
         handled = _run_dml(spark, duckdb_sql)
     if handled is None:
         handled = _run_recursive(spark, duckdb_sql)

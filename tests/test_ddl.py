@@ -1,0 +1,150 @@
+"""DDL layer differential tests (quackspark/ddl.py).
+
+Each scenario runs the identical statement script on Spark (through the
+SQL frontend) and on DuckDB, then compares every checkpoint SELECT —
+the reference's own DDL test strategy (CREATE/ALTER/DROP statement
+enums duckdb.hpp:11960-11990) applied as engine-vs-engine equivalence.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from quackspark.oracle import _norm_cell
+from quackspark.session import register_testdata_views
+from quackspark.sqlfront import UnsupportedSQL, sql
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def both(spark):
+    register_testdata_views(spark, SF)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{SF}/nation.parquet')"
+    )
+    yield spark, con
+    con.close()
+
+
+def run_script(spark, con, script):
+    """Execute statements on both engines; compare each ('check', sql)."""
+    for kind, stmt in script:
+        s_rows = [tuple(r) for r in sql(spark, stmt).collect()]
+        d_rows = con.sql(stmt).fetchall() if kind == "check" else con.sql(stmt)
+        if kind == "check":
+            sn = [tuple(_norm_cell(c) for c in r) for r in s_rows]
+            dn = [tuple(_norm_cell(c) for c in r) for r in d_rows]
+            assert sn == dn, f"{stmt}\n spark={sn}\n duck ={dn}"
+
+
+def test_create_insert_defaults(both):
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_t1 (id INTEGER, name VARCHAR, "
+                "score DOUBLE DEFAULT 1.5, tag VARCHAR DEFAULT 'x')"),
+        ("run", "INSERT INTO ddl_t1 VALUES (1, 'a', 2.0, 'y')"),
+        ("run", "INSERT INTO ddl_t1 (id, name) VALUES (2, 'b')"),
+        ("run", "INSERT INTO ddl_t1 (name, id) "
+                "SELECT n_name, n_nationkey FROM nation WHERE n_nationkey = 9"),
+        ("check", "SELECT * FROM ddl_t1 ORDER BY id"),
+        ("run", "DROP TABLE ddl_t1"),
+    ])
+
+
+def test_alter_column_lifecycle(both):
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_t2 (id INTEGER, v VARCHAR)"),
+        ("run", "INSERT INTO ddl_t2 VALUES (1, 'a'), (2, 'b')"),
+        ("run", "ALTER TABLE ddl_t2 ADD COLUMN extra INTEGER DEFAULT 7"),
+        ("check", "SELECT * FROM ddl_t2 ORDER BY id"),
+        ("run", "ALTER TABLE ddl_t2 RENAME COLUMN extra TO e2"),
+        ("run", "ALTER TABLE ddl_t2 ALTER COLUMN e2 TYPE VARCHAR"),
+        ("check", "SELECT id, e2 FROM ddl_t2 ORDER BY id"),
+        ("run", "ALTER TABLE ddl_t2 DROP COLUMN v"),
+        ("check", "SELECT * FROM ddl_t2 ORDER BY id"),
+        ("run", "DROP TABLE ddl_t2"),
+    ])
+
+
+def test_rename_truncate(both):
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_t3 (id INTEGER)"),
+        ("run", "INSERT INTO ddl_t3 VALUES (1), (2), (3)"),
+        ("run", "ALTER TABLE ddl_t3 RENAME TO ddl_t4"),
+        ("check", "SELECT count(*) AS c FROM ddl_t4"),
+        ("run", "TRUNCATE ddl_t4"),
+        ("check", "SELECT count(*) AS c FROM ddl_t4"),
+        ("run", "DROP TABLE ddl_t4 CASCADE"),
+    ])
+
+
+def test_views_and_update_delete(both):
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_t5 (id INTEGER, v VARCHAR)"),
+        ("run", "INSERT INTO ddl_t5 VALUES (1, 'a'), (2, 'b'), (3, 'c')"),
+        ("run", "CREATE VIEW ddl_v5 AS SELECT id FROM ddl_t5 WHERE id > 1"),
+        ("check", "SELECT * FROM ddl_v5 ORDER BY id"),
+        ("run", "CREATE OR REPLACE VIEW ddl_v5 AS "
+                "SELECT v FROM ddl_t5 WHERE id < 3"),
+        ("check", "SELECT * FROM ddl_v5 ORDER BY v"),
+        ("run", "UPDATE ddl_t5 SET v = 'zz' WHERE id = 1"),
+        ("run", "DELETE FROM ddl_t5 WHERE id = 2"),
+        ("check", "SELECT * FROM ddl_t5 ORDER BY id"),
+        ("run", "DROP VIEW ddl_v5"),
+        ("run", "DROP TABLE ddl_t5"),
+    ])
+
+
+def test_constraints_accepted_not_enforced(both):
+    """PRIMARY KEY/NOT NULL/CHECK parse and record; enforcement is
+    documented out of scope (Spark has none) — the data path still works."""
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_t6 (id INTEGER PRIMARY KEY, "
+                "v VARCHAR NOT NULL, CHECK (id > 0))"),
+        ("run", "INSERT INTO ddl_t6 VALUES (1, 'ok')"),
+        ("check", "SELECT * FROM ddl_t6"),
+        ("run", "DROP TABLE ddl_t6"),
+    ])
+    from quackspark.ddl import TABLE_CONSTRAINTS
+
+    assert "ddl_t6" in TABLE_CONSTRAINTS
+
+
+def test_index_shim_and_comment(both):
+    spark, con = both
+    sql(spark, "CREATE TABLE ddl_t7 (id INTEGER)")
+    sql(spark, "CREATE INDEX ddl_idx ON ddl_t7 (id)")
+    from quackspark.ddl import COMMENTS, INDEXES
+
+    assert "ddl_idx" in INDEXES
+    sql(spark, "DROP INDEX ddl_idx")
+    assert "ddl_idx" not in INDEXES
+    sql(spark, "COMMENT ON TABLE ddl_t7 IS 'probe'")
+    assert COMMENTS.get("table:ddl_t7") == "probe"
+    sql(spark, "DROP TABLE ddl_t7")
+
+
+def test_alter_unknown_action_refuses(both):
+    spark, con = both
+    sql(spark, "CREATE TABLE ddl_t8 (id INTEGER)")
+    with pytest.raises(UnsupportedSQL):
+        sql(spark, "ALTER TABLE ddl_t8 SET LOGGED")
+    sql(spark, "DROP TABLE ddl_t8")
+
+
+def test_varchar_length_ignored(both):
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_t9 (v VARCHAR(5), d DECIMAL(10,2), "
+                "l INTEGER[])"),
+        ("run", "INSERT INTO ddl_t9 VALUES ('longer-than-five', 12.34, [1,2])"),
+        ("check", "SELECT v, d, to_json(l) AS lj FROM ddl_t9"),
+        ("run", "DROP TABLE ddl_t9"),
+    ])
