@@ -152,6 +152,9 @@ _RENAMES = {
     "list_intersect": "array_intersect",
     "ends_with": "endswith",
     "to_base64": "base64",
+    "strlen": "octet_length",
+    "today": "current_date",
+    "current_localtimestamp": "localtimestamp",
     "list_distinct": "array_distinct",
     "list_sort": "array_sort",
     "list_min": "array_min",
@@ -332,6 +335,35 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         # DuckDB epoch_us accepts DATE too (date_trunc day-or-coarser
         # returns DATE); Spark unix_micros is TIMESTAMP-only
         return _tokens(f"unix_micros(CAST({j(args[0])} AS TIMESTAMP))")
+    if low in ("ltrim", "rtrim", "trim") and len(args) == 2:
+        # DuckDB: trim(str, chars); Spark's 2-arg form is trim(trimStr,
+        # str) — REVERSED. Passing through silently trims the wrong
+        # operand, so swap.
+        return _tokens(f"{low}({j(args[1])}, {j(args[0])})")
+    if low == "weekday" and len(args) == 1:
+        # DuckDB weekday = dayofweek (Sunday=0); Spark's weekday is
+        # Monday=0 — off-by-rotation silent drift
+        return _tokens(f"(dayofweek({j(args[0])}) - 1)")
+    if low == "julian" and len(args) == 1:
+        # DuckDB's julian() anchors 1970-01-01 00:00 at 2440588.0
+        # (midnight-based day count, verified against the oracle)
+        return _tokens(
+            f"(CAST(unix_micros(CAST({j(args[0])} AS TIMESTAMP)) AS DOUBLE)"
+            f" / 86400000000.0 + 2440588.0)"
+        )
+    if low == "datetrunc":
+        # alias — route through date_trunc so the DATE-result rule applies
+        return _emit_call("date_trunc", original, args)
+    if low == "array_length" and len(args) == 2:
+        if args[1] == ["1"]:
+            return _tokens(f"size({j(args[0])})")
+        raise UnsupportedSQL("array_length with dimension > 1")
+    if low == "substring_grapheme":
+        raise UnsupportedSQL(
+            "substring_grapheme: no grapheme-cluster segmentation in "
+            "Spark builtins — substring() would silently mis-handle "
+            "combining sequences"
+        )
     if low == "json_array":
         return _tokens(f"to_json(array({', '.join(j(a) for a in args)}))")
     if low == "json_quote" and len(args) == 1:
@@ -515,6 +547,15 @@ def _sorted_collect(x: str, key: str, desc: bool = False) -> str:
     return f"transform({asc}, s -> s.v)"
 
 
+#: aggregates where an inside-the-call ORDER BY modifier is semantically
+#: void (DuckDB accepts it on every aggregate) — stripped at translation
+_ORDER_INSENSITIVE_AGGS = {
+    "sum", "avg", "mean", "count", "min", "max", "bool_and", "bool_or",
+    "bit_and", "bit_or", "bit_xor", "stddev", "stddev_pop", "stddev_samp",
+    "variance", "var_pop", "var_samp", "entropy",
+}
+
+
 #: window functions whose DuckDB form takes IGNORE/RESPECT NULLS inside the
 #: argument list; Spark wants it after the call
 _NULLS_MODIFIER_FNS = {
@@ -537,15 +578,40 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
     if low == "count" and not args:
         # zero-arg count() is count(*) in DuckDB (star is implicit)
         return _tokens("count(*)")
+    if low in _ORDER_INSENSITIVE_AGGS and args:
+        # DuckDB accepts ORDER BY inside ANY aggregate; for
+        # order-insensitive ones the modifier is semantically void — strip
+        x, key, desc = _split_order_by(args[-1])
+        if key is not None:
+            return _emit_call(low, original, args[:-1] + [x])
     if low in ("list", "array_agg") and args:
-        x, key, desc = _split_order_by(args[0])
+        first = args[0]
+        distinct = first and first[0].lower() == "distinct"
+        if distinct:
+            first = first[1:]
+        x, key, desc = _split_order_by(first)
+        if key is not None and distinct:
+            # DISTINCT + ORDER BY: only key == value is expressible
+            # (per-group sort of the distinct set)
+            if [t.lower() for t in key] != [t.lower() for t in x]:
+                raise UnsupportedSQL(
+                    f"{low}(DISTINCT x ORDER BY k) with k != x"
+                )
+            return _tokens(
+                f"sort_array(collect_set({j(x)}), {'false' if desc else 'true'})"
+            )
         if key is not None:
             return _tokens(_sorted_collect(j([*x]), j(key), desc))
         if low == "array_agg":
-            return None  # Spark 4 has array_agg natively
+            return None  # Spark 4 has array_agg natively (incl. DISTINCT)
         inner = ", ".join(j(a) for a in args)
+        if distinct:
+            return _tokens(f"collect_set({j(x)})")
         return _tokens(f"collect_list({inner})")
     if low in ("string_agg", "listagg", "group_concat") and len(args) in (1, 2):
+        distinct = args[0] and args[0][0].lower() == "distinct"
+        if distinct:
+            args = [args[0][1:]] + args[1:]
         if len(args) == 2:
             x, sep_arg = args[0], args[1]
             sep, key, desc = _split_order_by(sep_arg)
@@ -553,6 +619,17 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             # 1-arg form (default ',' separator), ORDER BY rides on the value
             x, key, desc = _split_order_by(args[0])
             sep = ["','"]
+        if distinct and key is not None:
+            if [t.lower() for t in key] != [t.lower() for t in x]:
+                raise UnsupportedSQL(
+                    "string_agg(DISTINCT x ... ORDER BY k) with k != x"
+                )
+            return _tokens(
+                f"array_join(sort_array(collect_set({j(x)}),"
+                f" {'false' if desc else 'true'}), {j(sep)})"
+            )
+        if distinct:
+            return _tokens(f"array_join(collect_set({j(x)}), {j(sep)})")
         if key is not None:
             return _tokens(
                 f"array_join({_sorted_collect(j(x), j(key), desc)}, {j(sep)})"
@@ -1672,6 +1749,24 @@ def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
             return toks
         i, end, repl = hit
         toks = toks[:i] + repl + toks[end + 1 :]
+
+
+def _rewrite_filter_clause(toks: list[str]) -> list[str]:
+    """Aggregate `FILTER (pred)` shorthand (DuckDB drops the WHERE) →
+    Spark's mandatory `FILTER (WHERE pred)`. Only fires right after a
+    call's closing paren, so the filter() HOF is never touched."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (toks[i].lower() == "filter" and i >= 1 and toks[i - 1] == ")"
+                and i + 2 < len(toks) and toks[i + 1] == "("
+                and toks[i + 2].lower() != "where"):
+            out.extend(["FILTER", "(", "WHERE"])
+            i += 2
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
 
 
 def _rewrite_method_calls(toks: list[str]) -> list[str]:
@@ -3346,6 +3441,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_comprehensions(toks)
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
+    toks = _rewrite_filter_clause(toks)
     toks = _rewrite_method_calls(toks)
     toks = _rewrite_json_arrows(toks)
     toks = _rewrite_at_time_zone(toks)

@@ -503,6 +503,48 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- 2-arg trim family: Spark's argument order is REVERSED ---
+        "trim_two_arg": """
+            SELECT ltrim('xxabc', 'x') AS l, rtrim('abcyy', 'y') AS r,
+                   trim('xaxbx', 'x') AS t
+        """,
+        # --- aggregate FILTER shorthand / ORDER BY / DISTINCT modifiers ---
+        "filter_no_where": """
+            SELECT count(*) FILTER (n_regionkey = 1) AS f,
+                   sum(n_nationkey) FILTER (WHERE n_regionkey = 2) AS s
+            FROM nation
+        """,
+        "agg_order_by_stripped": """
+            SELECT sum(n_nationkey ORDER BY n_nationkey) AS s,
+                   min(n_name ORDER BY n_nationkey DESC) AS m
+            FROM nation
+        """,
+        "agg_distinct_ordered": """
+            SELECT to_json(array_agg(DISTINCT n_regionkey
+                                     ORDER BY n_regionkey)) AS a,
+                   to_json(array_agg(DISTINCT n_regionkey
+                                     ORDER BY n_regionkey DESC)) AS d,
+                   string_agg(DISTINCT n_regionkey::VARCHAR, ','
+                              ORDER BY n_regionkey::VARCHAR) AS s
+            FROM nation
+        """,
+        # --- date function aliases and day-number conventions ---
+        "weekday_sunday_zero": """
+            SELECT weekday(DATE '2024-03-17') AS sun,
+                   weekday(DATE '2024-03-18') AS mon
+        """,
+        "julian_day": """
+            SELECT julian(DATE '2024-01-01') AS j,
+                   julian(TIMESTAMP '2024-01-01 12:00:00') AS h
+        """,
+        "datetrunc_alias": "SELECT datetrunc('month', DATE '2020-03-15') AS d",
+        "strlen_bytes": "SELECT strlen('héllo') AS b, len('héllo') AS c",
+        "array_length_dim": "SELECT array_length([[1],[2,3]], 1) AS l",
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
