@@ -143,6 +143,8 @@ _RENAMES = {
     "str_split_regex": "split",
     "regexp_split_to_array": "split",
     "list_transform": "transform",
+    "list_apply": "transform",
+    "array_apply": "transform",
     "list_filter": "filter",
     "list_contains": "array_contains",
     "list_position": "array_position",
@@ -1749,6 +1751,46 @@ def _rewrite_let_subqueries(toks: list[str]) -> list[str]:
             return toks
         i, end, repl = hit
         toks = toks[:i] + repl + toks[end + 1 :]
+
+
+def _rewrite_lambda_parens(toks: list[str]) -> list[str]:
+    """`(x) -> body` single-parameter lambda — DuckDB allows the parens,
+    Spark's parser rejects them. Strip: `( ident ) ->` → `ident ->`."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (toks[i] == "(" and i + 3 < len(toks) and _IDENT.match(toks[i + 1])
+                and toks[i + 2] == ")" and toks[i + 3] == "->"):
+            out.extend([toks[i + 1], "->"])
+            i += 4
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _rewrite_struct_json_casts(toks: list[str]) -> list[str]:
+    """`<container ctor> :: JSON` → `to_json(...)`: Spark's CAST of a
+    struct/map/array to STRING is brace-notation, not JSON. Only fires
+    when the cast operand is a visible container constructor — column
+    operands keep the plain JSON→STRING type rename."""
+    changed = True
+    ctors = {"named_struct", "map", "map_from_arrays", "array", "struct"}
+    while changed:
+        changed = False
+        for i in range(1, len(toks) - 1):
+            if toks[i] != "::" or toks[i + 1].lower() != "json":
+                continue
+            start = _primary_start(toks, i)
+            prim = toks[start:i]
+            head = next((t for t in prim if t != "("), "")
+            if head.lower() not in ctors:
+                continue
+            toks = (toks[:start] + ["to_json", "("] + prim + [")"]
+                    + toks[i + 2 :])
+            changed = True
+            break
+    return toks
 
 
 def _rewrite_filter_clause(toks: list[str]) -> list[str]:
@@ -3442,6 +3484,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_filter_clause(toks)
+    toks = _rewrite_lambda_parens(toks)
     toks = _rewrite_method_calls(toks)
     toks = _rewrite_json_arrows(toks)
     toks = _rewrite_at_time_zone(toks)
@@ -3450,6 +3493,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_date_interval_arith(toks)
     toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)
+    toks = _rewrite_struct_json_casts(toks)
     toks = _rewrite_typenames(toks)
     toks = _rewrite_any_all(toks)
     toks = _rewrite_date_sub_days(toks)
@@ -3561,6 +3605,45 @@ def _rewrite_date_sub_days(toks: list[str]) -> list[str]:
                     i += 1
                     continue
         i += 1
+    # the other two date-typed shapes: `x::DATE - y::DATE` and
+    # `DATE 'a' - DATE 'b'` (mixed combinations allowed)
+    i = 0
+    while i < len(toks):
+        if toks[i] != "-":
+            i += 1
+            continue
+        lstart = -1
+        if i >= 2 and toks[i - 1].lower() == "date" and toks[i - 2] == "::":
+            lstart = _primary_start(toks, i)  # absorbs the :: chain
+        elif i >= 2 and _is_string(toks[i - 1]) and toks[i - 2].lower() == "date":
+            lstart = i - 2
+        if lstart < 0:
+            i += 1
+            continue
+        j = i + 1
+        rtoks, rend = None, -1
+        if j + 1 < len(toks) and toks[j].lower() == "date" and _is_string(toks[j + 1]):
+            rtoks, rend = toks[j : j + 2], j + 2
+        else:
+            if j < len(toks) and toks[j] == "(":
+                pe = _find_call_end(toks, j)
+            elif j < len(toks) and _IDENT.match(toks[j]):
+                pe = (_find_call_end(toks, j + 1)
+                      if j + 1 < len(toks) and toks[j + 1] == "(" else j)
+            elif j < len(toks) and _is_string(toks[j]):
+                pe = j
+            else:
+                pe = -1
+            if (pe >= 0 and pe + 2 < len(toks) and toks[pe + 1] == "::"
+                    and toks[pe + 2].lower() == "date"):
+                rtoks, rend = toks[j : pe + 3], pe + 3
+        if rtoks is None:
+            i += 1
+            continue
+        left = toks[lstart:i]
+        toks = (toks[:lstart] + ["datediff", "("] + left + [","] + rtoks
+                + [")"] + toks[rend:])
+        i = lstart
     return toks
 
 

@@ -545,6 +545,27 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- container ::JSON casts render as JSON, not brace-notation ---
+        "struct_json_cast": """
+            SELECT {'a': 1}::JSON::VARCHAR AS j, ['p','q']::JSON AS l
+        """,
+        # --- parenthesized single-param lambdas; list_apply alias ---
+        "lambda_paren_param": """
+            SELECT to_json(list_transform([1,2], (x) -> x + 1)) AS t,
+                   to_json(list_apply([1,2], x -> x * x)) AS a
+        """,
+        # --- date − date yields integer days in every typed shape ---
+        "date_minus_date_forms": """
+            SELECT (DATE '2020-03-01' - DATE '2020-02-01') AS a,
+                   ('2020-03-01'::DATE - '2020-02-01'::DATE) AS b,
+                   (DATE '2020-03-01' - '2020-02-01'::DATE) AS c,
+                   DATE '2020-01-05' - 3 AS d
+        """,
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
