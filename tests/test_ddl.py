@@ -139,6 +139,22 @@ def test_alter_unknown_action_refuses(both):
     sql(spark, "DROP TABLE ddl_t8")
 
 
+def test_prepare_execute_deallocate(both):
+    """SQL-level PREPARE/EXECUTE with $n and ? parameters (reference
+    PreparedStatementData, duckdb-7.cpp:1968-2055)."""
+    spark, con = both
+    sql(spark, "PREPARE ddl_q AS SELECT n_name FROM nation "
+               "WHERE n_nationkey = $1 OR n_nationkey = $2 ORDER BY 1")
+    got = [r[0] for r in sql(spark, "EXECUTE ddl_q(7, 9)").collect()]
+    assert got == ["NATION_7", "NATION_9"]
+    sql(spark, "PREPARE ddl_q2 AS SELECT count(*) AS c FROM nation "
+               "WHERE n_regionkey = ? AND n_nationkey > ?")
+    assert sql(spark, "EXECUTE ddl_q2(2, 10)").collect()[0][0] == 3
+    sql(spark, "DEALLOCATE ddl_q")
+    with pytest.raises(UnsupportedSQL):
+        sql(spark, "EXECUTE ddl_q(1, 2)")
+
+
 def test_varchar_length_ignored(both):
     spark, con = both
     run_script(spark, con, [
