@@ -40,6 +40,9 @@ TABLE_DEFAULTS: dict[str, dict[str, str]] = {}
 TABLE_CONSTRAINTS: dict[str, list[str]] = {}
 #: CREATE INDEX shim registry
 INDEXES: dict[str, str] = {}
+#: PRIMARY KEY / UNIQUE key columns per table (conflict-target for
+#: INSERT OR IGNORE / OR REPLACE / ON CONFLICT)
+TABLE_PKEYS: dict[str, list[str]] = {}
 #: COMMENT ON registry
 COMMENTS: dict[str, str] = {}
 
@@ -144,6 +147,12 @@ def _parse_column_defs(defs_sql: str, table: str):
         head = item[0].lower()
         if head in ("primary", "unique", "check", "foreign", "constraint"):
             constraints.append(" ".join(item))
+            low_toks = [t.lower() for t in item]
+            if low_toks[:2] == ["primary", "key"] and "(" in item:
+                inner = item[item.index("(") + 1 : len(item) - 1 - item[::-1].index(")")]
+                TABLE_PKEYS[table.lower()] = [
+                    t.strip('"').lower() for t in inner if t != ","
+                ]
             continue
         name = item[0].strip('"')
         type_toks: list[str] = []
@@ -181,6 +190,10 @@ def _parse_column_defs(defs_sql: str, table: str):
                 default = " ".join(expr)
                 i = j
             else:
+                if item[i].lower() == "primary":
+                    pk = TABLE_PKEYS.setdefault(table.lower(), [])
+                    if name.lower() not in pk:
+                        pk.append(name.lower())
                 constraints.append(f"{name} {item[i]}")
                 i += 1
         if not type_toks:
@@ -257,6 +270,15 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         cols = _parse_column_defs(defs, table)
         if replace:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # clear an orphaned warehouse dir from a crashed prior session
+        # (fresh metastore per session → DROP above may be a no-op)
+        if not spark.catalog.tableExists(table):
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            if wh:
+                shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
         ine = "IF NOT EXISTS " if if_not_exists else ""
         col_sql = ", ".join(f"`{n}` {t}" for n, t, _ in cols)
         spark.sql(f"CREATE TABLE {ine}{table} ({col_sql}) USING parquet")
@@ -297,6 +319,14 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
 
     if m := _ALTER_RE.match(duckdb_sql):
         return _run_alter(spark, m.group(1), m.group(2))
+
+    if m := _COPY_FROM_RE.match(duckdb_sql):
+        return _run_copy_from(spark, *m.groups())
+
+    if (m := _INSERT_CONFLICT_RE.match(duckdb_sql)) and (
+        m.group(1) or m.group(5)
+    ):
+        return _run_insert_conflict(spark, *m.groups())
 
     if m := _INSERT_COLS_RE.match(duckdb_sql):
         return _run_insert_with_columns(spark, *m.groups())
@@ -407,6 +437,117 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
         return _status(spark, table=table, status="default dropped")
 
     raise UnsupportedSQL(f"ALTER TABLE action: {action[:60]}")
+
+
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_INSERT_CONFLICT_RE = re.compile(
+    r"^\s*INSERT\s+(?:(OR\s+IGNORE|OR\s+REPLACE)\s+)?INTO\s+([A-Za-z_]\w*)\s+"
+    r"(.*?)(?:\s+ON\s+CONFLICT(?:\s*\(([^)]*)\))?\s+DO\s+(NOTHING|UPDATE\b.*?))?"
+    r"\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _run_copy_from(
+    spark: SparkSession, table: str, path: str, opts: str | None
+) -> DataFrame:
+    """``COPY t FROM 'file'`` (reference CopyStatement, duckdb.hpp:11969):
+    append rows read with the TARGET TABLE's schema — DuckDB's binding.
+    Accepts both single files and Spark-written part-file directories."""
+    from quackspark.sqlfront import UnsupportedSQL, _parse_copy_options
+
+    o = _parse_copy_options(opts)
+    fmt = o.get("format")
+    if fmt is None:
+        low = path.lower()
+        fmt = ("parquet" if low.endswith((".parquet", ".parq"))
+               else "json" if low.endswith((".json", ".ndjson", ".jsonl"))
+               else "csv")
+    schema = spark.table(table).schema
+    reader = spark.read
+    if fmt == "parquet":
+        df = reader.parquet(path)
+    elif fmt == "json":
+        df = reader.schema(schema).json(path)
+    elif fmt == "csv":
+        df = (reader.schema(schema)
+              .option("header", o.get("header", True))
+              .option("sep", o.get("delim", ","))
+              .csv(path))
+    else:
+        raise UnsupportedSQL(f"COPY FROM format {fmt!r}")
+    df.select(*[f"`{f.name}`" for f in schema.fields]).write.insertInto(
+        table, overwrite=False
+    )
+    return _status(spark, table=table, status="copied")
+
+
+def _conflict_keys(spark: SparkSession, table: str, target: str | None):
+    from quackspark.sqlfront import UnsupportedSQL
+
+    if target:
+        return [c.strip().strip('"').lower() for c in target.split(",")]
+    keys = TABLE_PKEYS.get(table.lower())
+    if not keys:
+        raise UnsupportedSQL(
+            f"INSERT conflict clause on {table}: no PRIMARY KEY recorded "
+            f"and no explicit conflict target"
+        )
+    return keys
+
+
+def _run_insert_conflict(
+    spark: SparkSession,
+    or_action: str | None,
+    table: str,
+    source: str,
+    conflict_target: str | None,
+    do_action: str | None,
+) -> DataFrame | None:
+    """INSERT OR IGNORE / OR REPLACE / ON CONFLICT DO NOTHING (reference
+    OnConflictInfo). IGNORE/NOTHING = anti-join the new rows against the
+    existing key set; REPLACE = delete matching keys, then append. ON
+    CONFLICT DO UPDATE (partial upsert) refuses — use OR REPLACE or a
+    table format with MERGE."""
+    from quackspark.sqlfront import UnsupportedSQL, transpile
+
+    if or_action is None and do_action is None:
+        return None  # plain INSERT — let the generic paths handle it
+    action = (or_action or "").upper().replace(" ", "_") or (
+        "OR_IGNORE" if do_action.upper() == "NOTHING" else "DO_UPDATE"
+    )
+    if do_action and do_action.upper() != "NOTHING":
+        raise UnsupportedSQL(
+            "ON CONFLICT DO UPDATE: partial upsert needs MERGE — use "
+            "INSERT OR REPLACE (full-row) or a table format with a log"
+        )
+    if source.lstrip().startswith("("):
+        raise UnsupportedSQL(
+            "INSERT conflict clause with an explicit column list — "
+            "supply full rows"
+        )
+    keys = _conflict_keys(spark, table, conflict_target)
+    schema = spark.table(table).schema
+    src_sql = transpile(source, spark)
+    if re.match(r"^\s*VALUES\b", src_sql, re.I):
+        src_sql = f"SELECT * FROM ({src_sql}) AS __v({', '.join(f.name for f in schema.fields)})"
+    new_rows = spark.sql(src_sql).toDF(*[f.name for f in schema.fields])
+    existing = spark.table(table)
+    if action in ("OR_IGNORE", "OR_NOTHING"):
+        fresh = new_rows.join(
+            existing.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        fresh.write.insertInto(table, overwrite=False)
+        return _status(spark, table=table, status="inserted (conflicts ignored)")
+    # OR REPLACE: drop existing rows with matching keys, append new rows
+    from quackspark.sqlfront import _swap_in
+
+    kept = existing.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti")
+    _swap_in(spark, table, kept.unionByName(new_rows))
+    return _status(spark, table=table, status="inserted (conflicts replaced)")
 
 
 def _run_insert_with_columns(

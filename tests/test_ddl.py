@@ -155,6 +155,42 @@ def test_prepare_execute_deallocate(both):
         sql(spark, "EXECUTE ddl_q(1, 2)")
 
 
+def test_copy_from_roundtrip(both, tmp_path):
+    """COPY t FROM 'file' appends with the target table's schema; accepts
+    Spark part-file directories as well as single files."""
+    spark, con = both
+    sql(spark, "CREATE TABLE ddl_cp (id INTEGER, v VARCHAR)")
+    sql(spark, "INSERT INTO ddl_cp VALUES (1,'a'), (2,'b')")
+    out = str(tmp_path / "out.csv")
+    sql(spark, f"COPY ddl_cp TO '{out}' (HEADER)")
+    sql(spark, "CREATE TABLE ddl_cp2 (id INTEGER, v VARCHAR)")
+    sql(spark, f"COPY ddl_cp2 FROM '{out}' (HEADER)")
+    got = [tuple(r) for r in
+           sql(spark, "SELECT * FROM ddl_cp2 ORDER BY id").collect()]
+    assert got == [(1, "a"), (2, "b")]
+    sql(spark, "DROP TABLE ddl_cp")
+    sql(spark, "DROP TABLE ddl_cp2")
+
+
+def test_insert_conflict_clauses(both):
+    """OR IGNORE / OR REPLACE / ON CONFLICT DO NOTHING keyed on the
+    recorded PRIMARY KEY; DO UPDATE refuses precisely (needs MERGE)."""
+    spark, con = both
+    sql(spark, "CREATE TABLE ddl_up (id INTEGER PRIMARY KEY, v VARCHAR)")
+    sql(spark, "INSERT INTO ddl_up VALUES (1,'a'), (2,'b')")
+    sql(spark, "INSERT OR IGNORE INTO ddl_up VALUES (1, 'dup'), (3, 'c')")
+    sql(spark, "INSERT OR REPLACE INTO ddl_up VALUES (1, 'new')")
+    sql(spark, "INSERT INTO ddl_up VALUES (1, 'x'), (4, 'd') "
+               "ON CONFLICT DO NOTHING")
+    got = [tuple(r) for r in
+           sql(spark, "SELECT * FROM ddl_up ORDER BY id").collect()]
+    assert got == [(1, "new"), (2, "b"), (3, "c"), (4, "d")]
+    with pytest.raises(UnsupportedSQL):
+        sql(spark, "INSERT INTO ddl_up VALUES (1,'y') "
+                   "ON CONFLICT DO UPDATE SET v = 'y'")
+    sql(spark, "DROP TABLE ddl_up")
+
+
 def test_varchar_length_ignored(both):
     spark, con = both
     run_script(spark, con, [
