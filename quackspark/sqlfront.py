@@ -3159,14 +3159,33 @@ def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
         return f"FROM {view}"
 
     sql = _PATH_SCAN.sub(sub, sql)
+    sql = _GLOB_FN.sub(_sub_glob_fn, sql)
     return _READ_FN.sub(lambda m: _sub_read_fn(m, spark), sql)
 
 
 _READ_FN = re.compile(
-    r"\bFROM\s+read_(csv_auto|csv|json_auto|json|ndjson_auto|ndjson|parquet)"
+    r"\bFROM\s+(?:read_(csv_auto|csv|json_auto|json|ndjson_auto|ndjson|parquet)"
+    r"|(?:parquet_scan))"
     r"\s*\(\s*('[^']+'|\[[^\]]*\])\s*(?:,([^()]*))?\)",
     re.IGNORECASE,
 )
+
+_GLOB_FN = re.compile(
+    r"\bFROM\s+glob\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
+)
+
+
+def _sub_glob_fn(m: re.Match) -> str:
+    """`FROM glob('pattern')` (reference glob table function) → inline
+    VALUES of the matched paths. The expansion is driver-side and bounded
+    by the filesystem listing — the same work DuckDB's glob performs."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(m.group(1)))
+    if not files:
+        return "FROM (SELECT CAST(NULL AS STRING) AS file WHERE FALSE)"
+    vals = ", ".join("(" + _quote(f) + ")" for f in files)
+    return f"FROM (VALUES {vals}) AS glob_t(file)"
 
 
 def _parse_read_options(opts: str | None) -> dict:
@@ -3202,7 +3221,7 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
         raise UnsupportedSQL("read_* table function needs a SparkSession")
     from quackspark.sources.csvio import read_csv, read_csv_auto
 
-    kind = m.group(1).lower()
+    kind = (m.group(1) or "parquet").lower()  # parquet_scan alias → parquet
     pathspec = m.group(2)
     options = _parse_read_options(m.group(3))
     if pathspec.startswith("["):
@@ -3407,6 +3426,11 @@ def _handle_create_macro(sql: str) -> bool:
     if toks[close_idx + 1].lower() != "as":
         raise UnsupportedSQL("CREATE MACRO requires AS <expression>")
     body = toks[close_idx + 2 :]
+    # TABLE macro (reference TableMacroFunction, duckdb-internal.hpp:9930):
+    # the stored body is the bare SELECT; the parenthesized expansion is a
+    # valid FROM-position subquery
+    if body and body[0].lower() == "table":
+        body = body[1:]
     _MACROS[name] = (params, body)
     return True
 

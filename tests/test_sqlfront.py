@@ -458,3 +458,33 @@ def test_set_reset_passthrough(spark):
         assert any("16" in str(r) for r in rows)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_table_macro(spark):
+    """CREATE MACRO ... AS TABLE (reference TableMacroFunction,
+    duckdb-internal.hpp:9930): FROM-position expansion as a subquery."""
+    sqlfront.sql(spark, "CREATE MACRO tm_top(k) AS TABLE "
+                        "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT k")
+    got = [r[0] for r in sqlfront.sql(spark, "SELECT * FROM tm_top(3)").collect()]
+    assert got == ["NATION_0", "NATION_1", "NATION_2"]
+    got2 = [r[0] for r in sqlfront.sql(
+        spark, "SELECT t.n_name FROM tm_top(2) t ORDER BY 1").collect()]
+    assert got2 == ["NATION_0", "NATION_1"]
+
+
+def test_parquet_scan_and_glob(spark):
+    c = sqlfront.sql(
+        spark,
+        "SELECT count(*) AS c FROM "
+        "parquet_scan('/root/testdata/sf0.001/nation.parquet')",
+    ).collect()[0][0]
+    assert c == 25
+    n = sqlfront.sql(
+        spark,
+        "SELECT count(*) AS c FROM glob('/root/testdata/sf0.001/*.parquet')",
+    ).collect()[0][0]
+    assert n >= 5
+    empty = sqlfront.sql(
+        spark, "SELECT count(*) AS c FROM glob('/nonexistent/*.xyz')"
+    ).collect()[0][0]
+    assert empty == 0
