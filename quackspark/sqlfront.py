@@ -47,7 +47,7 @@ _TOKEN = re.compile(
   | 0[xX][0-9A-Fa-f][0-9A-Fa-f_]*   # hex literal
   | 0[bB][01][01_]*                 # binary literal
   | (?:\d[\d_]*\.?[\d_]*|\.\d[\d_]*)(?:[eE][+-]?\d+)?  # number (underscores, exponent, leading/trailing dot)
-  | ::|//|<=|>=|<>|!=|\|\||->>|->|<<|>> # multi-char operators
+  | ::|//|<=|>=|<>|!=|\|\||->>|->|<<|>>|&& # multi-char operators
   | .                         # any single char
     """,
     re.VERBOSE | re.DOTALL,
@@ -1793,6 +1793,28 @@ def _rewrite_struct_json_casts(toks: list[str]) -> list[str]:
     return toks
 
 
+def _rewrite_array_overlap(toks: list[str]) -> list[str]:
+    """`A && B` list-overlap operator (DuckDB's list_has_any operator
+    form) → `arrays_overlap(A, B)`."""
+    while "&&" in toks:
+        i = toks.index("&&")
+        start = _primary_start(toks, i)
+        prim = toks[start:i]
+        j = i + 1
+        if j >= len(toks):
+            raise UnsupportedSQL("&& with no right operand")
+        if toks[j] == "(":
+            pe = _find_call_end(toks, j)
+        elif _IDENT.match(toks[j]):
+            pe = (_find_call_end(toks, j + 1)
+                  if j + 1 < len(toks) and toks[j + 1] == "(" else j)
+        else:
+            raise UnsupportedSQL(f"&& right operand: {toks[j]!r}")
+        toks = (toks[:start] + ["arrays_overlap", "("] + prim + [","]
+                + toks[j : pe + 1] + [")"] + toks[pe + 1 :])
+    return toks
+
+
 def _rewrite_filter_clause(toks: list[str]) -> list[str]:
     """Aggregate `FILTER (pred)` shorthand (DuckDB drops the WHERE) →
     Spark's mandatory `FILTER (WHERE pred)`. Only fires right after a
@@ -2575,7 +2597,31 @@ def _rewrite_distinct_on(sql: str) -> str:
             # matches (the window ORDER BY alone orders nothing).
             outer_order = f" ORDER BY {ord_clause}" if order else ""
             outer_tail = (" " + " ".join(tail)) if tail else ""
-            # body is "cols FROM tbl WHERE ..." — reconstruct directly:
+            # body is "cols FROM tbl WHERE ..." — rank over the SOURCE
+            # (keys / order columns need not appear in the select list,
+            # DuckDB binds them against the FROM scope), then project
+            depth2 = 0
+            from_at = -1
+            for k, t2 in enumerate(rest):
+                if t2 == "(":
+                    depth2 += 1
+                elif t2 == ")":
+                    depth2 -= 1
+                elif depth2 == 0 and t2.lower() == "from":
+                    from_at = k
+                    break
+            if from_at >= 0:
+                cols = " ".join(rest[:from_at])
+                if cols.strip() == "*":
+                    cols = "* EXCEPT (__rn)"
+                src = " ".join(rest[from_at + 1 :])
+                return (
+                    f"SELECT {cols} FROM (SELECT *, row_number() OVER "
+                    f"(PARTITION BY {keys} ORDER BY {ord_clause}) AS __rn "
+                    f"FROM {src}) __d WHERE __rn = 1"
+                    f"{outer_order}{outer_tail}"
+                )
+            body = " ".join(rest)
             return (
                 f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
                 f"(PARTITION BY {keys} ORDER BY {ord_clause}) AS __rn "
@@ -2703,7 +2749,49 @@ def _rewrite_columns_expr(toks: list[str], spark: SparkSession | None) -> list[s
     i = 0
     while i < len(toks):
         t = toks[i]
+        lambda_end = -1
         if (
+            t.lower() == "columns"
+            and i + 3 < len(toks)
+            and toks[i + 1] == "("
+            and not _is_string(toks[i + 2])
+        ):
+            # COLUMNS(c -> pred) lambda form: evaluate the name predicate
+            # at transpile time (LIKE / NOT LIKE / = / != on the name)
+            end_l = _find_call_end(toks, i + 1)
+            inner = toks[i + 2 : end_l]
+            if len(inner) >= 3 and _IDENT.match(inner[0]) and inner[1] == "->":
+                pred = inner[2:]
+                low_p = [x.lower() for x in pred]
+                v = inner[0].lower()
+
+                def _like_re(p: str) -> str:
+                    return "^" + re.escape(p).replace("%", ".*").replace("_", ".") + "$"
+
+                if (len(pred) == 3 and low_p[0] == v and low_p[1] == "like"
+                        and _is_string(pred[2])):
+                    rx = _like_re(_str_val(pred[2]))
+                    matcher = lambda c, rx=rx: re.search(rx, c) is not None  # noqa: E731
+                elif (len(pred) == 4 and low_p[0] == v
+                        and low_p[1:3] == ["not", "like"] and _is_string(pred[3])):
+                    rx = _like_re(_str_val(pred[3]))
+                    matcher = lambda c, rx=rx: re.search(rx, c) is None  # noqa: E731
+                elif (len(pred) == 3 and low_p[0] == v and pred[1] == "="
+                        and _is_string(pred[2])):
+                    name = _str_val(pred[2])
+                    matcher = lambda c, name=name: c == name  # noqa: E731
+                elif (len(pred) == 3 and low_p[0] == v and pred[1] in ("!=", "<>")
+                        and _is_string(pred[2])):
+                    name = _str_val(pred[2])
+                    matcher = lambda c, name=name: c != name  # noqa: E731
+                else:
+                    raise UnsupportedSQL(
+                        "COLUMNS(lambda): only LIKE / NOT LIKE / = / != "
+                        "name predicates are evaluable at transpile time"
+                    )
+                lambda_end = end_l
+                pat = None
+        if lambda_end >= 0 or (
             t.lower() == "columns"
             and i + 3 < len(toks)
             and toks[i + 1] == "("
@@ -2712,11 +2800,14 @@ def _rewrite_columns_expr(toks: list[str], spark: SparkSession | None) -> list[s
         ):
             if spark is None:
                 raise UnsupportedSQL("COLUMNS(regex) needs a live session")
-            pat = _str_val(toks[i + 2])
+            if lambda_end < 0:
+                pat = _str_val(toks[i + 2])
+                matcher = lambda c, pat=pat: re.search(pat, c) is not None  # noqa: E731
+            call_close = lambda_end if lambda_end >= 0 else i + 3
             # the FROM of this query block: next depth-0 FROM + plain ident
             depth = 0
             table = None
-            for k in range(i + 4, len(toks)):
+            for k in range(call_close + 1, len(toks)):
                 if toks[k] == "(":
                     depth += 1
                 elif toks[k] == ")":
@@ -2736,16 +2827,16 @@ def _rewrite_columns_expr(toks: list[str], spark: SparkSession | None) -> list[s
                 cols = spark.table(table).columns
             except Exception:
                 raise UnsupportedSQL(f"COLUMNS(regex): unknown table {table}")
-            matched = [c for c in cols if re.search(pat, c)]
+            matched = [c for c in cols if matcher(c)]
             if not matched:
-                raise UnsupportedSQL(f"COLUMNS({pat!r}) matched no columns")
+                raise UnsupportedSQL("COLUMNS(...) matched no columns")
             expansion: list[str] = []
             for n_, c in enumerate(matched):
                 if n_:
                     expansion.append(",")
                 expansion.append(c)
             out.extend(expansion)
-            i += 4
+            i = call_close + 1
             continue
         out.append(t)
         i += 1
@@ -3508,6 +3599,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_filter_clause(toks)
+    toks = _rewrite_array_overlap(toks)
     toks = _rewrite_lambda_parens(toks)
     toks = _rewrite_method_calls(toks)
     toks = _rewrite_json_arrows(toks)

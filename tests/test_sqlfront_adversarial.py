@@ -566,6 +566,25 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- list-overlap operator; DISTINCT ON with non-projected keys ---
+        "array_overlap_op": "SELECT [1,2] && [2,3] AS o, [1,2] && [3,4] AS n",
+        "distinct_on_hidden_key": """
+            SELECT DISTINCT ON (n_regionkey) n_nationkey FROM nation
+            ORDER BY n_regionkey, n_nationkey DESC
+        """,
+        "columns_lambda": """
+            SELECT COLUMNS(c -> c LIKE 'n_n%') FROM nation ORDER BY 1
+        """,
+        "table_statement": "TABLE region",
+        "nested_agg_in_window": """
+            SELECT n_regionkey, sum(count(*)) OVER () AS tot
+            FROM nation GROUP BY n_regionkey ORDER BY 1
+        """,
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
