@@ -259,6 +259,29 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (reference holistic registration,
+    duckdb-5.cpp:12-17 MadFunction; the frontend refuses inline mad() —
+    this IS the faithful plan). Two rounds: per-group continuous median
+    (shuffle 1), broadcast the tiny medians table back, per-group median
+    of |x − m| (shuffle 2) — the two passes a holistic-of-holistic costs
+    on any engine, with the group-count-sized intermediate broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("m")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(abs(CAST(o_totalprice AS DOUBLE) - m), 0.5)"
+            ).alias("mad_price")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "agg_global": agg_global,
     "agg_count_distinct": agg_count_distinct,
@@ -279,9 +302,15 @@ QUERIES = {
     "agg_entropy": agg_entropy,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_quantile": agg_approx_quantile,
+    "agg_mad": agg_mad,
 }
 
 ORACLES = {
+    "agg_mad": """
+        SELECT o_orderstatus,
+               mad(CAST(o_totalprice AS DOUBLE)) AS mad_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "agg_global": f"""
         SELECT count(*) AS n, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
                min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
