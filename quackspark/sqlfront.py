@@ -155,6 +155,7 @@ _RENAMES = {
     "ends_with": "endswith",
     "to_base64": "base64",
     "strlen": "octet_length",
+    "gen_random_uuid": "uuid",
     "today": "current_date",
     "current_localtimestamp": "localtimestamp",
     "list_distinct": "array_distinct",
@@ -360,6 +361,11 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         if args[1] == ["1"]:
             return _tokens(f"size({j(args[0])})")
         raise UnsupportedSQL("array_length with dimension > 1")
+    if low == "setseed":
+        raise UnsupportedSQL(
+            "setseed: Spark has no global RNG seed — use rand(seed) / "
+            "the deterministic md5-hash sampling idioms instead"
+        )
     if low == "substring_grapheme":
         raise UnsupportedSQL(
             "substring_grapheme: no grapheme-cluster segmentation in "
