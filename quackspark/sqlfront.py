@@ -2746,6 +2746,34 @@ def _rewrite_limit_percent(toks: list[str], spark: SparkSession | None) -> list[
         toks = toks[: hit - 1] + [str(n)] + toks[hit + 1 :]
 
 
+def _rewrite_current_setting(
+    toks: list[str], spark: SparkSession | None
+) -> list[str]:
+    """`current_setting('key')` (reference settings surface,
+    duckdb-7.cpp PragmaStatement) → the session-conf value inlined as a
+    string literal at transpile time (settings are bind-time constants
+    in the reference too)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (toks[i].lower() == "current_setting" and i + 3 < len(toks)
+                and toks[i + 1] == "(" and _is_string(toks[i + 2])
+                and toks[i + 3] == ")"):
+            if spark is None:
+                raise UnsupportedSQL("current_setting needs a live session")
+            key = _str_val(toks[i + 2])
+            try:
+                val = spark.conf.get(key)
+            except Exception:
+                val = None
+            out.append(_quote(str(val)) if val is not None else "NULL")
+            i += 4
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_columns_expr(toks: list[str], spark: SparkSession | None) -> list[str]:
     """COLUMNS('regex') star-expression (DuckDB friendly SQL): expand to the
     matching columns of the single plain table/view after FROM. DuckDB
@@ -3588,6 +3616,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     sql = _rewrite_qualify(sql)
     toks = _tokens(sql)
     toks = _strip_trailing_commas(toks)
+    toks = _rewrite_current_setting(toks, spark)
     toks = _rewrite_columns_expr(toks, spark)
     toks = _rewrite_bit_casts(toks)
     toks = _rewrite_limit_percent(toks, spark)
@@ -4236,10 +4265,19 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         re.I,
     ):
         # SET/RESET go to Spark verbatim — re-tokenizing `a.b.c = v`
-        # inserts spaces Spark's SET parser rejects
+        # inserts spaces Spark's SET parser rejects. The Postgres
+        # `SET key TO value` form DuckDB accepts normalizes to `=`.
         kv = re.sub(r"\s*=\s*", "=", m.group(1))
+        kv = re.sub(r"^(\S+)\s+TO\s+", r"\1=", kv, flags=re.I)
         verb = duckdb_sql.lstrip().split(None, 1)[0].upper()
         return spark.sql(f"{verb} {kv}")
+
+    if m := re.match(
+        r"^\s*PRAGMA\s+(\w+)\s*=\s*(\S.*?)\s*;?\s*$", duckdb_sql, re.I
+    ):
+        # assignment-form pragmas (PRAGMA memory_limit='2GB') are DuckDB
+        # settings → Spark session conf (arbitrary keys are accepted)
+        return spark.sql(f"SET {m.group(1)}={m.group(2)}")
 
     if m := _EXPORT_RE.match(duckdb_sql):
         manifest = export_database(spark, m.group(1), format=(m.group(2) or "parquet").lower())
