@@ -149,6 +149,36 @@ _RENAMES = {
     "list_contains": "array_contains",
     "list_position": "array_position",
     "list_indexof": "array_position",
+    "array_indexof": "array_position",
+    "array_has": "array_contains",
+    "list_has": "array_contains",
+    "list_cat": "concat",
+    "array_extract": "element_at",
+    "list_element": "element_at",
+    "array_zip": "list_zip",
+    "array_select": "list_select",
+    "array_where": "list_where",
+    "array_resize": "list_resize",
+    "array_reverse_sort": "list_reverse_sort",
+    "array_grade_up": "list_grade_up",
+    "array_aggr": "list_aggregate",
+    "array_aggregate": "list_aggregate",
+    "list_aggr": "list_aggregate",
+    "array_reduce": "list_reduce",
+    "grade_up": "list_grade_up",
+    "apply": "transform",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    "arbitrary": "any_value",
+    "from_hex": "unhex",
+    "array_to_json": "to_json",
+    "row_to_json": "to_json",
+    "get_current_timestamp": "now",
+    "transaction_timestamp": "now",
+    "sum_no_overflow": "sum",
+    "reservoir_quantile": "approx_percentile",
+    "json_transform_strict": "json_transform",
+    "from_json_strict": "from_json",
     # NOTE: result ORDER is engine-specific (DuckDB hash-set order vs
     # Spark first-argument order); values match, ordering is unspecified
     "list_intersect": "array_intersect",
@@ -361,6 +391,106 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         if args[1] == ["1"]:
             return _tokens(f"size({j(args[0])})")
         raise UnsupportedSQL("array_length with dimension > 1")
+    if low in ("add", "subtract", "multiply") and len(args) == 2:
+        op = {"add": "+", "subtract": "-", "multiply": "*"}[low]
+        return _tokens(f"(({j(args[0])}) {op} ({j(args[1])}))")
+    if low == "divide":
+        raise UnsupportedSQL(
+            "divide(): integer inputs floor-divide but floats true-divide "
+            "in DuckDB — write / or // explicitly"
+        )
+    if low == "count_star" and not args:
+        return _tokens("count(*)")
+    if low == "microsecond" and len(args) == 1:
+        # seconds-within-minute incl. fraction, in µs (Postgres rule)
+        return _tokens(
+            f"CAST(pmod(unix_micros(CAST({j(args[0])} AS TIMESTAMP)),"
+            f" 60000000) AS BIGINT)"
+        )
+    if low == "millisecond" and len(args) == 1:
+        return _tokens(
+            f"CAST(pmod(unix_millis(CAST({j(args[0])} AS TIMESTAMP)),"
+            f" 60000) AS BIGINT)"
+        )
+    if low == "millennium" and len(args) == 1:
+        return _tokens(
+            f"CAST(ceil(year(CAST({j(args[0])} AS DATE)) / 1000.0) AS BIGINT)"
+        )
+    if low == "epoch_ns" and len(args) == 1:
+        return _tokens(
+            f"(unix_micros(CAST({j(args[0])} AS TIMESTAMP)) * 1000)"
+        )
+    if low in ("timezone_hour", "timezone_minute") and len(args) == 1:
+        # UTC session: instants carry no offset (DuckDB returns 0 for
+        # TIMESTAMPTZ under a UTC zone)
+        return _tokens("CAST(0 AS BIGINT)")
+    if low == "try_strptime" and len(args) == 2:
+        fmt = args[1][0]
+        if _is_string(fmt) and "%" in fmt:
+            fmt = _quote(translate_format(_str_val(fmt)))
+        return _tokens(f"try_to_timestamp({j(args[0])}, {fmt})")
+    if low == "signbit" and len(args) == 1:
+        # string probe catches -0.0, which `< 0` cannot
+        return _tokens(f"(CAST(({j(args[0])}) AS STRING) LIKE '-%')")
+    if low in ("length_grapheme", "left_grapheme", "right_grapheme"):
+        raise UnsupportedSQL(
+            f"{low}: no grapheme-cluster segmentation in Spark builtins"
+        )
+    if low == "regexp_escape" and len(args) == 1:
+        # token-level literals use DuckDB's no-backslash-escape form; the
+        # emitter doubles them for Spark's parser
+        pat = r"'([.^$|()\[\]{}*+?\\])'"
+        return _tokens(
+            "regexp_replace(" + j(args[0]) + ", " + pat + r", '\\$1')"
+        )
+    if low == "kurtosis_pop" and len(args) == 1:
+        # population excess kurtosis m4/m2² − 3 via single-pass moments
+        # (Spark's kurtosis applies a different correction)
+        x = f"CAST(({j(args[0])}) AS DOUBLE)"
+        n, s1 = f"count({x})", f"sum({x})"
+        s2 = f"sum(pow({x}, 2))"
+        s3, s4 = f"sum(pow({x}, 3))", f"sum(pow({x}, 4))"
+        m2 = f"(({s2}) - pow({s1}, 2) / {n}) / {n}"
+        m4 = (f"(({s4}) - 4 * ({s3}) * ({s1}) / {n}"
+              f" + 6 * ({s2}) * pow({s1}, 2) / pow({n}, 2)"
+              f" - 3 * pow({s1}, 4) / pow({n}, 3)) / {n}")
+        return _tokens(f"(({m4}) / pow({m2}, 2) - 3)")
+    if low == "json_type" and len(args) == 1:
+        t_ = f"trim({j(args[0])})"
+        return _tokens(
+            f"(CASE WHEN {t_} IS NULL THEN NULL"
+            f" WHEN left({t_}, 1) = '{{' THEN 'OBJECT'"
+            f" WHEN left({t_}, 1) = '[' THEN 'ARRAY'"
+            f" WHEN left({t_}, 1) = '\"' THEN 'VARCHAR'"
+            f" WHEN {t_} IN ('true', 'false') THEN 'BOOLEAN'"
+            f" WHEN {t_} = 'null' THEN 'NULL'"
+            f" WHEN {t_} RLIKE '^-?[0-9]+$' THEN"
+            f" (CASE WHEN left({t_}, 1) = '-' THEN 'BIGINT' ELSE 'UBIGINT' END)"
+            f" ELSE 'DOUBLE' END)"
+        )
+    if low == "parse_path" and len(args) == 1:
+        return _tokens(_parse_path_sql(j(args[0])))
+    if low == "parse_filename" and len(args) in (1, 2):
+        p = j(args[0])
+        base = f"element_at(split({p}, '[/\\\\\\\\]'), -1)"
+        if len(args) == 2 and args[1] and args[1][0].lower() == "true":
+            return _tokens(f"regexp_replace({base}, '[.][^.]*$', '')")
+        return _tokens(base)
+    if low == "parse_dirpath" and len(args) == 1:
+        p = j(args[0])
+        return _tokens(f"regexp_replace({p}, '[/\\\\\\\\][^/\\\\\\\\]*$', '')")
+    if low == "parse_dirname" and len(args) == 1:
+        return _tokens(f"element_at({_parse_path_sql(j(args[0]))}, 1)")
+    if low == "formatreadablesize" and len(args) == 1:
+        return _tokens(_format_bytes_sql(j(args[0])))
+    if low == "formatreadabledecimalsize" and len(args) == 1:
+        return _tokens(_format_bytes_decimal_sql(j(args[0])))
+    if (low == "from_json" and len(args) == 2 and len(args[1]) == 1
+            and _is_string(args[1][0])
+            and _str_val(args[1][0]).lstrip()[:1] in ("{", "[")):
+        # DuckDB's from_json(j, template) IS json_transform; Spark's
+        # native from_json takes a DDL schema string and passes through
+        return _emit_call("json_transform", original, args)
     if low == "setseed":
         raise UnsupportedSQL(
             "setseed: Spark has no global RNG seed — use rand(seed) / "
@@ -510,6 +640,10 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         return extra
     if low in _RENAMES and not _RENAMES[low].endswith("_placeholder"):
         name = _RENAMES[low]
+        if name != low:
+            # re-dispatch: the target may itself be a translated form
+            # (e.g. array_zip → list_zip's struct-building branch)
+            return _emit_call(name, name, args)
         inner = ", ".join(j(a) for a in args)
         return _tokens(f"{name}({inner})")
     # default: passthrough untouched
@@ -553,6 +687,17 @@ def _sorted_collect(x: str, key: str, desc: bool = False) -> str:
     if desc:
         asc = f"reverse({asc})"
     return f"transform({asc}, s -> s.v)"
+
+
+#: DuckDB to_<unit>() interval constructors → make_interval slot index
+#: (years, months, weeks, days, hours, minutes, seconds) and multiplier
+_TO_INTERVAL_UNITS = {
+    "to_years": (0, 1), "to_decades": (0, 10), "to_centuries": (0, 100),
+    "to_millennia": (0, 1000), "to_months": (1, 1), "to_quarters": (1, 3),
+    "to_weeks": (2, 1), "to_days": (3, 1), "to_hours": (4, 1),
+    "to_minutes": (5, 1), "to_seconds": (6, 1),
+    "to_milliseconds": (6, 0.001), "to_microseconds": (6, 0.000001),
+}
 
 
 #: aggregates where an inside-the-call ORDER BY modifier is semantically
@@ -1054,12 +1199,15 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             f"(CAST(extract(YEAROFWEEK FROM ({x})) AS BIGINT) * 100"
             f" + weekofyear({x}))"
         )
-    if low in ("to_years", "to_months", "to_days", "to_hours", "to_minutes",
-               "to_seconds"):
-        pos = ("to_years", "to_months", "__weeks", "to_days", "to_hours",
-               "to_minutes", "to_seconds").index(low)
+    if low in _TO_INTERVAL_UNITS:
+        pos, mult = _TO_INTERVAL_UNITS[low]
         zeros = ["0"] * 7
-        zeros[pos] = f"CAST(({j(args[0])}) AS INT)"
+        expr = f"({j(args[0])})" + (f" * {mult}" if mult != 1 else "")
+        if pos == 6 and isinstance(mult, float):
+            # sub-second units land in the DECIMAL seconds slot
+            zeros[pos] = f"CAST({expr} AS DECIMAL(18,6))"
+        else:
+            zeros[pos] = f"CAST({expr} AS INT)"
         return _tokens(f"make_interval({', '.join(zeros)})")
     if low in ("date_diff", "datediff") and len(args) == 3 and _is_string(args[0][0]):
         unit = _str_val(args[0][0]).lower()
@@ -1904,6 +2052,125 @@ def _rewrite_similar_to(toks: list[str]) -> list[str]:
         out.append(toks[i])
         i += 1
     return out
+
+
+def _rewrite_mad(toks: list[str]) -> list[str]:
+    """`mad(x)` median-absolute-deviation in a single-table SELECT block
+    (reference holistic registration duckdb-5.cpp:12-17): a holistic of a
+    holistic needs two aggregation rounds, so the block is rewritten to
+    join a per-group median subquery:
+
+        SELECT g, mad(E) FROM t WHERE w GROUP BY g
+        → SELECT g, percentile(abs(E - __qs_mad_m), 0.5)
+          FROM t JOIN (SELECT g, percentile(E, 0.5) AS __qs_mad_m
+                       FROM t WHERE w GROUP BY g) __qs_med USING (g)
+          WHERE w GROUP BY g
+
+    (ungrouped → CROSS JOIN on the 1-row median). Applies to one mad()
+    over a plain FROM-table block; anything fancier keeps the honest
+    refusal in _emit_call_extra."""
+    lows = [t.lower() for t in toks]
+    count = sum(
+        1 for i in range(len(toks) - 1)
+        if lows[i] == "mad" and toks[i + 1] == "("
+    )
+    if count != 1:
+        return toks
+    i = lows.index("mad")
+    if i + 1 >= len(toks) or toks[i + 1] != "(":
+        return toks
+    end = _find_call_end(toks, i + 1)
+    expr = " ".join(toks[i + 2 : end])
+    # single top-level FROM with a plain table identifier
+    depth = 0
+    from_at = table = None
+    for k, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and lows[k] in ("union", "intersect", "except"):
+            return toks
+        elif depth == 0 and lows[k] == "from" and from_at is None:
+            from_at = k
+            cand = toks[k + 1] if k + 1 < len(toks) else ""
+            if not _IDENT.match(cand):
+                return toks
+            table = cand
+    if table is None:
+        return toks
+    # WHERE span and GROUP BY keys (plain idents only)
+    where_toks: list[str] = []
+    keys: list[str] = []
+    depth = 0
+    k = from_at + 2
+    stop = {"group", "order", "limit", "having", "qualify", "window"}
+    while k < len(toks):
+        if toks[k] == "(":
+            depth += 1
+        elif toks[k] == ")":
+            depth -= 1
+        if depth == 0 and lows[k] == "where":
+            k += 1
+            while k < len(toks):
+                if toks[k] == "(":
+                    depth += 1
+                elif toks[k] == ")":
+                    depth -= 1
+                if depth == 0 and lows[k] in stop:
+                    break
+                where_toks.append(toks[k])
+                k += 1
+            continue
+        if (depth == 0 and lows[k] == "group" and k + 1 < len(toks)
+                and lows[k + 1] == "by"):
+            k += 2
+            cur: list[str] = []
+            while k < len(toks):
+                if toks[k] == "(":
+                    depth += 1
+                elif toks[k] == ")":
+                    depth -= 1
+                if depth == 0 and lows[k] in stop:
+                    break
+                if toks[k] == "," and depth == 0:
+                    keys.append(" ".join(cur))
+                    cur = []
+                else:
+                    cur.append(toks[k])
+                k += 1
+            if cur:
+                keys.append(" ".join(cur))
+            continue
+        k += 1
+    if not all(_IDENT.match(key) for key in keys):
+        return toks
+    where_sql = f" WHERE {' '.join(where_toks)}" if where_toks else ""
+    e = f"CAST(({expr}) AS DOUBLE)"
+    if keys:
+        med = (f"(SELECT {', '.join(keys)}, percentile({e}, 0.5) AS "
+               f"__qs_mad_m FROM {table}{where_sql} "
+               f"GROUP BY {', '.join(keys)})")
+        join = (f"{table} JOIN {med} __qs_med "
+                f"USING ({', '.join(keys)})")
+    else:
+        med = (f"(SELECT percentile({e}, 0.5) AS __qs_mad_m "
+               f"FROM {table}{where_sql})")
+        join = f"{table} CROSS JOIN {med} __qs_med"
+    replacement = f"percentile(abs({e} - __qs_mad_m), 0.5)"
+    out = (toks[:i] + _tokens(replacement) + toks[end + 1 :])
+    # swap the FROM table for the join (positions shifted by the splice)
+    lows2 = [t.lower() for t in out]
+    depth = 0
+    for k2, t2 in enumerate(out):
+        if t2 == "(":
+            depth += 1
+        elif t2 == ")":
+            depth -= 1
+        elif depth == 0 and lows2[k2] == "from" and k2 + 1 < len(out):
+            if out[k2 + 1].lower() == table.lower():
+                return out[: k2 + 1] + _tokens(join) + out[k2 + 2 :]
+    return toks
 
 
 def _rewrite_at_time_zone(toks: list[str]) -> list[str]:
@@ -3634,6 +3901,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_filter_clause(toks)
+    toks = _rewrite_mad(toks)
     toks = _rewrite_array_overlap(toks)
     toks = _rewrite_lambda_parens(toks)
     toks = _rewrite_method_calls(toks)
@@ -3906,6 +4174,39 @@ def _dot_sql(a: str, b: str) -> str:
 #: prefixes, ONE decimal truncated toward zero, PiB capped
 _BYTE_UNITS = [("KiB", 1024), ("MiB", 1024**2), ("GiB", 1024**3),
                ("TiB", 1024**4), ("PiB", 1024**5)]
+
+
+def _parse_path_sql(p: str) -> str:
+    """Path-component list: absolute paths lead with their separator as
+    the first element (verified against DuckDB parse_path)."""
+    sep_split = f"filter(split(substr({p}, 2), '[/\\\\\\\\]'), x -> x != '')"
+    rel_split = f"filter(split({p}, '[/\\\\\\\\]'), x -> x != '')"
+    return (
+        f"(CASE WHEN left({p}, 1) IN ('/', '\\\\') THEN "
+        f"concat(array(left({p}, 1)), {sep_split}) "
+        f"ELSE {rel_split} END)"
+    )
+
+
+def _format_bytes_decimal_sql(n: str) -> str:
+    """formatReadableDecimalSize: powers of 1000 (kB/MB/…), one decimal."""
+    arms = [
+        f"WHEN abs({n}) < 1000 THEN concat(CAST({n} AS STRING), ' B')"
+    ]
+    units = [("kB", 10**3), ("MB", 10**6), ("GB", 10**9), ("TB", 10**12),
+             ("PB", 10**15)]
+    for unit, div in units[:-1]:
+        arms.append(
+            f"WHEN abs({n}) < {div * 1000} THEN "
+            f"concat(format_string('%.1f', CAST(CAST(CAST({n} AS DOUBLE) * 10 / {div} "
+            f"AS BIGINT) AS DOUBLE) / 10), ' {unit}')"
+        )
+    unit, div = units[-1]
+    arms.append(
+        f"ELSE concat(format_string('%.1f', CAST(CAST(CAST({n} AS DOUBLE) * 10 / {div} "
+        f"AS BIGINT) AS DOUBLE) / 10), ' {unit}')"
+    )
+    return "(CASE " + " ".join(arms) + " END)"
 
 
 def _format_bytes_sql(n: str) -> str:

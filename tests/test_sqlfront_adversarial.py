@@ -585,6 +585,61 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- function-catalog alias batch (duckdb_functions() diff) ---
+        "word_arithmetic": "SELECT add(1,2) AS a, multiply(3,4) AS m, subtract(5,1) AS s",
+        "subsecond_parts": """
+            SELECT microsecond(TIMESTAMP '2020-01-01 12:30:01.5') AS a,
+                   millisecond(TIMESTAMP '2020-01-01 12:30:01.5') AS b,
+                   millennium(DATE '2024-01-01') AS c,
+                   epoch_ns(TIMESTAMP '2024-01-01') AS n
+        """,
+        "json_type_all": """
+            SELECT json_type('{"a":1}') AS a, json_type('[1]') AS b,
+                   json_type('"x"') AS c, json_type('1') AS d,
+                   json_type('-2') AS e, json_type('1.5') AS f,
+                   json_type('true') AS g, json_type('null') AS h
+        """,
+        "parse_path_family": """
+            SELECT parse_filename('/a/b/c.txt') AS a,
+                   parse_filename('/a/b/c.txt', true) AS b,
+                   parse_dirpath('/a/b/c.txt') AS c,
+                   parse_dirname('/a/b/c.txt') AS d,
+                   to_json(parse_path('/a/b/c.txt')) AS e,
+                   parse_dirname('rel/x.csv') AS f
+        """,
+        "to_interval_units": """
+            SELECT (TIMESTAMP '2020-01-01' + to_weeks(2))::VARCHAR AS a,
+                   (TIMESTAMP '2020-01-01' + to_quarters(3))::VARCHAR AS b,
+                   (TIMESTAMP '2020-01-01' + to_milliseconds(1500))::VARCHAR AS c,
+                   (TIMESTAMP '2020-01-01' + to_decades(1))::VARCHAR AS d
+        """,
+        "misc_catalog_aliases": """
+            SELECT regexp_escape('a.b*c') AS r, signbit(-0.5) AS sb,
+                   signbit(0.5) AS sp, count_star() AS c,
+                   formatReadableSize(1536) AS fs,
+                   formatReadableDecimalSize(1500) AS fd,
+                   from_hex('6869')::VARCHAR AS fh
+            FROM nation LIMIT 1
+        """,
+        "kurtosis_pop_moments": """
+            SELECT round(kurtosis_pop(n_nationkey), 9) AS k FROM nation
+        """,
+        "mad_rewrite": """
+            SELECT n_regionkey, mad(n_nationkey) AS m FROM nation
+            GROUP BY n_regionkey ORDER BY 1
+        """,
+        "mad_ungrouped_filtered": """
+            SELECT mad(n_nationkey) AS m FROM nation WHERE n_regionkey = 1
+        """,
+        "try_strptime_null": """
+            SELECT try_strptime('zzz', '%Y-%m-%d') AS a,
+                   try_strptime('2020-01-02', '%Y-%m-%d') AS b
+        """,
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
