@@ -170,6 +170,12 @@ _RENAMES = {
     "argmax": "max_by",
     "argmin": "min_by",
     "arbitrary": "any_value",
+    "array_filter": "filter",
+    "array_transform": "transform",
+    "array_value": "array",
+    "approx_quantile": "approx_percentile",
+    "make_timestamptz": "make_timestamp",
+    "json_extract_path_text": "json_extract_string",
     "from_hex": "unhex",
     "array_to_json": "to_json",
     "row_to_json": "to_json",
@@ -491,6 +497,16 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         # DuckDB's from_json(j, template) IS json_transform; Spark's
         # native from_json takes a DDL schema string and passes through
         return _emit_call("json_transform", original, args)
+    if low == "bitstring" and len(args) == 2:
+        # pad the '0'/'1'-string BIT carrier to the requested width
+        return _tokens(f"lpad({j(args[0])}, CAST({j(args[1])} AS INT), '0')")
+    if low in ("current_localtime", "get_current_time") and not args:
+        # TIME carrier: µs since midnight (UTC session)
+        return _tokens("pmod(unix_micros(now()), 86400000000)")
+    if low == "current_schemas":
+        return _tokens("array(current_schema())")
+    if low == "json_extract_path":
+        return _emit_call("json_extract", original, args)
     if low == "setseed":
         raise UnsupportedSQL(
             "setseed: Spark has no global RNG seed — use rand(seed) / "
