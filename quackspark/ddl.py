@@ -249,6 +249,11 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     """Dispatch a DDL statement; None when the text is not DDL."""
     from quackspark.sqlfront import UnsupportedSQL, transpile
 
+    if re.match(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", duckdb_sql, re.I):
+        # reference WAL checkpoint (duckdb.hpp storage surface) — Spark
+        # managed-parquet tables are durable at write; nothing to flush
+        return _status(spark, status="checkpoint noop (no WAL)")
+
     if m := _PREPARE_RE.match(duckdb_sql):
         PREPARED[m.group(1).lower()] = m.group(2)
         return _status(spark, statement=m.group(1), status="prepared")

@@ -3572,8 +3572,9 @@ def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
 
 
 _READ_FN = re.compile(
-    r"\bFROM\s+(?:read_(csv_auto|csv|json_auto|json|ndjson_auto|ndjson|parquet)"
-    r"|(?:parquet_scan))"
+    r"\bFROM\s+(?:read_(csv_auto|csv|json_auto|json|ndjson_auto|ndjson|parquet"
+    r"|text|blob)"
+    r"|(?:parquet_scan)|(sniff_csv|parquet_schema))"
     r"\s*\(\s*('[^']+'|\[[^\]]*\])\s*(?:,([^()]*))?\)",
     re.IGNORECASE,
 )
@@ -3629,9 +3630,9 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
         raise UnsupportedSQL("read_* table function needs a SparkSession")
     from quackspark.sources.csvio import read_csv, read_csv_auto
 
-    kind = (m.group(1) or "parquet").lower()  # parquet_scan alias → parquet
-    pathspec = m.group(2)
-    options = _parse_read_options(m.group(3))
+    kind = (m.group(1) or m.group(2) or "parquet").lower()
+    pathspec = m.group(3)
+    options = _parse_read_options(m.group(4))
     if pathspec.startswith("["):
         paths = re.findall(r"'([^']+)'", pathspec)
         if not paths:
@@ -3644,6 +3645,38 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
         df = read_csv_auto(spark, paths[0], **options)
     elif kind == "parquet":
         df = spark.read.parquet(*paths)
+    elif kind in ("text", "blob"):
+        # whole-file rows (reference read_text/read_blob table functions):
+        # Spark's binaryFile source carries (path, modificationTime,
+        # length, content) — project to DuckDB's column names
+        from pyspark.sql import functions as F
+
+        raw = spark.read.format("binaryFile").load(paths)
+        content = (F.col("content").cast("string").alias("content")
+                   if kind == "text" else F.col("content"))
+        df = raw.select(
+            F.col("path").alias("filename"),
+            content,
+            F.col("length").alias("size"),
+            F.col("modificationTime").alias("last_modified"),
+        )
+    elif kind == "sniff_csv":
+        from quackspark.sources.sniffer import sniff_csv as _sniff
+
+        d = _sniff(paths[0])
+        df = spark.createDataFrame(
+            [(d.get("delim", ","), d.get("quote", '"'),
+              bool(d.get("header", True)), int(d.get("skip", 0)))],
+            "Delimiter string, Quote string, HasHeader boolean, SkipRows int",
+        )
+    elif kind == "parquet_schema":
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(paths[0])
+        df = spark.createDataFrame(
+            [(paths[0], f.name, str(f.type)) for f in sch],
+            "file_name string, name string, type string",
+        )
     else:  # json / json_auto / ndjson — newline-delimited JSON
         reader = spark.read
         if options.get("columns"):

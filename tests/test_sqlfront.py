@@ -488,3 +488,30 @@ def test_parquet_scan_and_glob(spark):
         spark, "SELECT count(*) AS c FROM glob('/nonexistent/*.xyz')"
     ).collect()[0][0]
     assert empty == 0
+
+
+def test_read_text_blob_sniff(spark, tmp_path):
+    """read_text/read_blob whole-file table functions (binaryFile source),
+    sniff_csv dialect table function, parquet_schema introspection."""
+    (tmp_path / "a.txt").write_text("hello world")
+    (tmp_path / "b.csv").write_text("x;y\n1;2\n3;4\n")
+    r = sqlfront.sql(
+        spark,
+        f"SELECT content, size FROM read_text('{tmp_path}/a.txt')",
+    ).collect()
+    assert r == [("hello world", 11)]
+    blob = sqlfront.sql(
+        spark, f"SELECT content FROM read_blob('{tmp_path}/a.txt')"
+    ).collect()[0][0]
+    assert bytes(blob) == b"hello world"
+    sniff = sqlfront.sql(
+        spark, f"SELECT * FROM sniff_csv('{tmp_path}/b.csv')"
+    ).collect()[0]
+    assert sniff[0] == ";" and sniff[2] is True
+    sch = sqlfront.sql(
+        spark,
+        "SELECT name, type FROM "
+        "parquet_schema('/root/testdata/sf0.001/nation.parquet')",
+    ).collect()
+    assert ("n_nationkey", "int32") == tuple(sch[0])
+    assert sqlfront.sql(spark, "CHECKPOINT").collect()[0][0].startswith("checkpoint")
