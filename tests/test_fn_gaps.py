@@ -251,6 +251,23 @@ def test_window_exclude_group_refused(con):
         )
 
 
-def test_mad_refused(con):
+def test_mad_simple_shapes_supported(con):
+    """mad() now rewrites to the two-round median join for single-table
+    blocks (sqlfront._rewrite_mad); value-matches DuckDB."""
+    from quackspark.oracle import duck_connection
+
+    q = "SELECT round(mad(CAST(c_acctbal AS DOUBLE)), 6) AS m FROM customer"
+    got = con.sql(q).df.collect()[0][0]
+    dcon = duck_connection(SF)
+    exp = dcon.sql(q).fetchall()[0][0]
+    dcon.close()
+    assert got == exp
+
+
+def test_mad_complex_shape_refused(con):
+    """Outside the single-table block (two mads), the honest refusal
+    stays — never a silent mis-translation."""
     with pytest.raises(UnsupportedSQL):
-        con.sql("SELECT mad(c_acctbal) FROM customer")
+        con.sql(
+            "SELECT mad(c_acctbal) + mad(c_custkey) FROM customer"
+        )
