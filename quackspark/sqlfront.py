@@ -3918,7 +3918,15 @@ def _escape_spark_literal(tok: str) -> str:
     (ADVICE r1, high). Applied once, at emit time, to every single-quoted
     token — pass-through DuckDB literals and _quote()-built regexes alike.
     """
-    return tok.replace("\\", "\\\\") if _is_string(tok) else tok
+    if _is_string(tok):
+        return tok.replace("\\", "\\\\")
+    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        # double-quoted identifier (SQL standard / DuckDB) → backticks.
+        # Left as-is, Spark would read it as a STRING LITERAL
+        # (doubleQuotedIdentifiers=false default) — silent wrongness.
+        name = tok[1:-1].replace('""', '"').replace("`", "``")
+        return f"`{name}`"
+    return tok
 
 
 def transpile(sql: str, spark: SparkSession | None = None) -> str:

@@ -640,6 +640,21 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- double-quoted identifiers (SQL standard; Spark would read
+        # them as STRING LITERALS — silent wrongness before the fix) ---
+        "quoted_identifiers": """
+            SELECT "n_name" AS "UPPER case", 1 AS "select",
+                   2 AS "with ""escaped"" quotes"
+            FROM "nation" ORDER BY "UPPER case" LIMIT 3
+        """,
+        "quoted_identifier_qualified": """
+            SELECT t."n_name" FROM nation t ORDER BY 1 LIMIT 2
+        """,
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
