@@ -39,8 +39,10 @@ class UnsupportedSQL(ValueError):
 _TOKEN = re.compile(
     r"""
     \$(\w*)\$.*?\$\1\$        # dollar-quoted string (PG heredoc style)
+  | [eE]'(?:\\.|''|[^'\\])*'  # escape string (E'a\nb')
   | '(?:[^']|'')*'            # single-quoted string
   | "(?:[^"]|"")*"            # double-quoted identifier
+  | `(?:[^`]|``)*`            # backtick identifier (emitted mid-pipeline)
   | --[^\n]*                  # line comment
   | /\*.*?\*/                 # block comment
   | [A-Za-z_][A-Za-z0-9_]*    # identifier / keyword
@@ -71,10 +73,49 @@ def _tokens(sql: str) -> list[str]:
             continue
         if t.startswith("$") and (dm := _DOLLAR_STR.match(t)):
             t = _quote(dm.group(2))
+        elif t[0] in "eE" and len(t) > 2 and t[1] == "'" and t.endswith("'"):
+            t = _decode_escape_string(t)
         elif t[0].isdigit() or (t[0] == "." and len(t) > 1 and t[1].isdigit()):
             t = _normalize_number(t)
         out.append(t)
     return out
+
+
+_E_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+              "\\": "\\", "'": "'"}
+
+
+def _decode_escape_string(tok: str) -> str:
+    """E'...' escape-string literal (PG syntax DuckDB accepts) → plain
+    single-quoted literal with the C escapes decoded at tokenize time."""
+    body = tok[2:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in _E_ESCAPES:
+                out.append(_E_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt == "x" and i + 3 < len(body):
+                try:
+                    out.append(chr(int(body[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+            out.append(nxt)
+            i += 2
+            continue
+        if c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return _quote("".join(out))
 
 
 def _normalize_number(t: str) -> str:
@@ -1939,6 +1980,132 @@ def _rewrite_lambda_parens(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_composite_types(toks: list[str], in_type: bool = False) -> list[str]:
+    """DuckDB's parenthesized composite type syntax in cast position:
+    `STRUCT(a T, b U)` → `STRUCT<a: T, b: U>`, `MAP(K, V)` → `MAP<K, V>`,
+    recursively, with member typenames translated. At top level fires
+    only right after AS/:: so map()/struct() constructor CALLS stay
+    calls; inside a type (recursion) the member contexts are allowed."""
+    allowed = ("as", "::", "<", ",", ":") if in_type else ("as", "::")
+    changed = True
+    while changed:
+        changed = False
+        for i in range(1, len(toks) - 1):
+            low = toks[i].lower()
+            if low not in ("struct", "map") or toks[i + 1] != "(":
+                continue
+            prev = toks[i - 1].lower()
+            # inside a type, `name STRUCT(...)` member syntax puts the
+            # member identifier right before the nested composite
+            if prev not in allowed and not (in_type and _IDENT.match(prev)):
+                continue
+            end = _find_call_end(toks, i + 1)
+            # pad so a nested composite at inner position 0 sees a
+            # member context
+            inner = _rewrite_composite_types(
+                [","] + toks[i + 2 : end], in_type=True
+            )[1:]
+
+            def _member_type(ts: list[str]) -> list[str]:
+                # resolve T[] suffixes (the main suffix pass needs a cast
+                # context) and bare typename renames
+                ts = _rewrite_array_type_suffix(["::"] + ts)[1:]
+                return [_TYPE_RENAMES.get(t.lower(), t) for t in ts]
+
+            if low == "map":
+                parts = _split_args(inner)
+                if len(parts) != 2:
+                    raise UnsupportedSQL("MAP type needs (key, value)")
+                new = (["MAP", "<"] + _member_type(parts[0]) + [","]
+                       + _member_type(parts[1]) + [">"])
+            else:
+                members: list[str] = []
+                for part in _split_args(inner):
+                    if len(part) < 2:
+                        raise UnsupportedSQL("STRUCT type member needs name TYPE")
+                    if members:
+                        members.append(",")
+                    members.extend(
+                        [f"`{part[0]}`", ":"] + _member_type(part[1:])
+                    )
+                new = ["STRUCT", "<"] + members + [">"]
+            toks = toks[:i] + new + toks[end + 1 :]
+            changed = True
+            break
+    return toks
+
+
+def _rewrite_multiword_type_literals(toks: list[str]) -> list[str]:
+    """`TIMESTAMP WITH TIME ZONE '…'` / `TIME WITH TIME ZONE` typed
+    literals → plain CAST (UTC session: instants == wall times)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (toks[i].lower() == "timestamp" and i + 4 < len(toks)
+                and toks[i + 1].lower() == "with"
+                and toks[i + 2].lower() == "time"
+                and toks[i + 3].lower() == "zone"
+                and _is_string(toks[i + 4])):
+            out.extend(["CAST", "(", toks[i + 4], "AS", "TIMESTAMP", ")"])
+            i += 5
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+_INTERVAL_UNIT_POS = {
+    "year": 0, "years": 0, "y": 0,
+    "month": 1, "months": 1, "mon": 1,
+    "week": 2, "weeks": 2,
+    "day": 3, "days": 3, "d": 3,
+    "hour": 4, "hours": 4, "h": 4,
+    "minute": 5, "minutes": 5, "min": 5, "m": 5,
+    "second": 6, "seconds": 6, "sec": 6, "s": 6,
+    "millisecond": 7, "milliseconds": 7, "ms": 7,
+    "microsecond": 8, "microseconds": 8, "us": 8,
+}
+
+
+def _rewrite_mixed_intervals(toks: list[str]) -> list[str]:
+    """`INTERVAL '1 year 2 months 3 days'` — Spark refuses literals that
+    mix year-month and day-time fields; re-emit as make_interval(...)
+    (which accepts all seven slots at once)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (toks[i].lower() == "interval" and i + 1 < len(toks)
+                and _is_string(toks[i + 1])):
+            text = _str_val(toks[i + 1]).strip()
+            parts = text.split()
+            if len(parts) >= 4 and len(parts) % 2 == 0:
+                slots = [0.0] * 9
+                ok = True
+                for k in range(0, len(parts), 2):
+                    unit = parts[k + 1].lower()
+                    if unit not in _INTERVAL_UNIT_POS:
+                        ok = False
+                        break
+                    try:
+                        slots[_INTERVAL_UNIT_POS[unit]] += float(parts[k])
+                    except ValueError:
+                        ok = False
+                        break
+                if ok:
+                    secs = slots[6] + slots[7] / 1e3 + slots[8] / 1e6
+                    args7 = [int(slots[0]), int(slots[1]), int(slots[2]),
+                             int(slots[3]), int(slots[4]), int(slots[5])]
+                    out.extend(_tokens(
+                        "make_interval(" + ", ".join(map(str, args7))
+                        + f", CAST({secs} AS DECIMAL(18,6)))"
+                    ))
+                    i += 2
+                    continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_struct_json_casts(toks: list[str]) -> list[str]:
     """`<container ctor> :: JSON` → `to_json(...)`: Spark's CAST of a
     struct/map/array to STRING is brace-notation, not JSON. Only fires
@@ -2456,6 +2623,11 @@ def _rewrite_json_arrows(toks: list[str]) -> list[str]:
 _TYPE_RENAMES = {
     "varchar": "STRING",
     "json": "STRING",
+    # UTC session: instants and wall times coincide
+    "timestamptz": "TIMESTAMP",
+    "timestamp_s": "TIMESTAMP",
+    "timestamp_ms": "TIMESTAMP",
+    "timestamp_ns": "TIMESTAMP",
     "blob": "BINARY",
     "ubigint": "DECIMAL(20,0)",
     # unsigned ints carried one size up; HUGEINT as max-precision decimal;
@@ -3953,6 +4125,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_star_modifiers(toks)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_hex_casts(toks)
+    toks = _rewrite_composite_types(toks)
     toks = _rewrite_array_type_suffix(toks)
     toks = _rewrite_list_comprehensions(toks)
     toks = _rewrite_list_literals(toks)
@@ -3970,6 +4143,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)
     toks = _rewrite_struct_json_casts(toks)
+    toks = _rewrite_multiword_type_literals(toks)
+    toks = _rewrite_mixed_intervals(toks)
     toks = _rewrite_typenames(toks)
     toks = _rewrite_any_all(toks)
     toks = _rewrite_date_sub_days(toks)

@@ -655,6 +655,28 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- escape strings, composite type syntax, mixed intervals ---
+        "escape_strings": r"SELECT E'a\nb' AS s, e'\t' = chr(9) AS t",
+        "composite_type_casts": """
+            SELECT CAST({'a': 1} AS STRUCT(a BIGINT)).a AS s,
+                   CAST({'o': {'i': 2}} AS STRUCT(o STRUCT(i BIGINT))).o.i AS n,
+                   CAST(MAP {'k': [1,2]} AS MAP(VARCHAR, BIGINT[]))['k'] AS m
+        """,
+        "timestamptz_type": """
+            SELECT '2020-01-01 10:00:00'::TIMESTAMPTZ IS NOT NULL AS a,
+                   TIMESTAMP WITH TIME ZONE '2020-01-01 10:00:00'
+                       = TIMESTAMP '2020-01-01 10:00:00' AS b
+        """,
+        "mixed_interval_literal": """
+            SELECT (DATE '2020-01-01' + INTERVAL '1 year 2 months 3 days')::VARCHAR AS a,
+                   (TIMESTAMP '2020-01-01' + INTERVAL '1 day 2 hours 30 minutes')::VARCHAR AS b,
+                   (TIMESTAMP '2020-01-01' + INTERVAL '1 second 500 milliseconds')::VARCHAR AS c
+        """,
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
