@@ -2152,6 +2152,38 @@ def _rewrite_array_overlap(toks: list[str]) -> list[str]:
     return toks
 
 
+def _rewrite_window_inheritance(toks: list[str]) -> list[str]:
+    """Named-window inheritance (`WINDOW w AS (...), w2 AS (w ORDER BY
+    ...)`): Spark parses the WINDOW clause but not a spec referencing an
+    earlier window — splice the referenced spec's tokens in."""
+    lows = [t.lower() for t in toks]
+    i = 0
+    while i < len(toks):
+        if (lows[i] == "window" and i + 3 < len(toks)
+                and _IDENT.match(toks[i + 1])
+                and lows[i + 2] == "as" and toks[i + 3] == "("):
+            specs: dict[str, list[str]] = {}
+            k = i + 1
+            while k + 2 < len(toks) and _IDENT.match(toks[k]) and \
+                    toks[k + 1].lower() == "as" and toks[k + 2] == "(":
+                end = _find_call_end(toks, k + 2)
+                name = toks[k].lower()
+                spec = toks[k + 3 : end]
+                if spec and spec[0].lower() in specs:
+                    inherited = specs[spec[0].lower()]
+                    spec = inherited + spec[1:]
+                    toks = toks[: k + 3] + spec + toks[end:]
+                    end = k + 3 + len(spec)
+                specs[name] = spec
+                lows = [t.lower() for t in toks]
+                if end + 1 < len(toks) and toks[end + 1] == ",":
+                    k = end + 2
+                else:
+                    break
+        i += 1
+    return toks
+
+
 def _rewrite_filter_clause(toks: list[str]) -> list[str]:
     """Aggregate `FILTER (pred)` shorthand (DuckDB drops the WHERE) →
     Spark's mandatory `FILTER (WHERE pred)`. Only fires right after a
@@ -4131,6 +4163,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_list_literals(toks)
     toks = _rewrite_subscripts(toks)
     toks = _rewrite_filter_clause(toks)
+    toks = _rewrite_window_inheritance(toks)
     toks = _rewrite_mad(toks)
     toks = _rewrite_array_overlap(toks)
     toks = _rewrite_lambda_parens(toks)

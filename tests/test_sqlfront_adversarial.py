@@ -677,6 +677,19 @@ CASES.update(
     }
 )
 
+CASES.update(
+    {
+        # --- named-window inheritance ---
+        "window_inheritance": """
+            SELECT n_nationkey, rank() OVER w2 AS r, count(*) OVER w AS c
+            FROM nation
+            WINDOW w AS (PARTITION BY n_regionkey),
+                   w2 AS (w ORDER BY n_nationkey DESC)
+            ORDER BY n_nationkey
+        """,
+    }
+)
+
 REFUSALS_EXTRA = {
     "json_merge_patch": """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m""",
     "json_terminal_arrow": """SELECT '{"a":"x"}'::JSON->'a' AS j""",
