@@ -2785,21 +2785,37 @@ def _rewrite_unnest(toks: list[str]) -> list[str]:
         i += 1
     if not spans:
         return toks
-    if len(set(args_seen)) > 1:
+    zip_mode = len(set(args_seen)) > 1
+    if zip_mode and any(k == "generate_subscripts" for _, _, k in spans):
         raise UnsupportedSQL(
-            f"multiple distinct unnest arguments in one scope: {sorted(set(args_seen))}"
+            "generate_subscripts mixed with multi-argument unnest"
         )
-    x_toks = _tokens(args_seen[0])
     need_pos = any(k == "generate_subscripts" for _, _, k in spans)
 
-    # replace spans (right-to-left keeps indexes valid)
-    for start, end, kind in reversed(spans):
-        repl = (
-            ["(", "__qs_pos", "+", "1", ")"]
-            if kind == "generate_subscripts"
-            else ["__qs_un"]
+    if zip_mode:
+        # parallel unnest zips positionally, padding shorter lists with
+        # NULL (DuckDB semantics): explode an index spine over the
+        # longest list, then element_at each source (NULL out-of-bounds)
+        uniq = list(dict.fromkeys(args_seen))
+        longest = "greatest(" + ", ".join(f"size(({a}))" for a in uniq) + ")"
+        x_toks = _tokens(
+            f"slice(sequence(1, greatest({longest}, 1)), 1, "
+            f"CAST({longest} AS INT))"
         )
-        toks = toks[:start] + repl + toks[end + 1 :]
+        # spans and args_seen are parallel lists
+        for (start, end, kind), arg in reversed(list(zip(spans, args_seen))):
+            repl = _tokens(f"element_at(({arg}), CAST(__qs_un AS INT))")
+            toks = toks[:start] + repl + toks[end + 1 :]
+    else:
+        x_toks = _tokens(args_seen[0])
+        # replace spans (right-to-left keeps indexes valid)
+        for start, end, kind in reversed(spans):
+            repl = (
+                ["(", "__qs_pos", "+", "1", ")"]
+                if kind == "generate_subscripts"
+                else ["__qs_un"]
+            )
+            toks = toks[:start] + repl + toks[end + 1 :]
 
     # insert LATERAL VIEW at the end of the top-level FROM clause
     depth = 0

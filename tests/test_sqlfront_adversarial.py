@@ -679,6 +679,13 @@ CASES.update(
 
 CASES.update(
     {
+        # --- parallel unnest zips positionally, NULL-padded ---
+        "parallel_unnest": """
+            SELECT unnest([1,2,3]) AS a, unnest(['x','y']) AS b
+        """,
+        "parallel_unnest_expr": """
+            SELECT unnest([1,2]) + unnest([10,20]) AS s
+        """,
         # --- named-window inheritance ---
         "window_inheritance": """
             SELECT n_nationkey, rank() OVER w2 AS r, count(*) OVER w AS c
