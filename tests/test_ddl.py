@@ -200,3 +200,34 @@ def test_varchar_length_ignored(both):
         ("check", "SELECT v, d, to_json(l) AS lj FROM ddl_t9"),
         ("run", "DROP TABLE ddl_t9"),
     ])
+
+
+def test_end_to_end_statement_scenario(both, tmp_path):
+    """A realistic session script touching the whole statement surface:
+    DDL + defaults + upserts + ALTER + PREPARE + COPY + views + an
+    analytic query with mad() — checkpoints compared engine-vs-engine."""
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE sc_events (id INTEGER PRIMARY KEY, "
+                "kind VARCHAR DEFAULT 'view', score DOUBLE)"),
+        ("run", "INSERT INTO sc_events VALUES (1, 'click', 0.5), "
+                "(2, 'view', 1.5), (3, 'click', 2.5)"),
+        ("run", "INSERT INTO sc_events (id, score) VALUES (4, 3.5)"),
+        ("run", "INSERT OR REPLACE INTO sc_events VALUES (1, 'click', 9.0)"),
+        ("run", "INSERT INTO sc_events VALUES (2, 'dup', 0.0), (5, 'view', 4.5) "
+                "ON CONFLICT DO NOTHING"),
+        ("check", "SELECT * FROM sc_events ORDER BY id"),
+        ("run", "ALTER TABLE sc_events ADD COLUMN flag BOOLEAN DEFAULT false"),
+        ("run", "UPDATE sc_events SET flag = true WHERE score > 2"),
+        ("check", "SELECT id, flag FROM sc_events ORDER BY id"),
+        ("run", "CREATE VIEW sc_clicks AS SELECT id, score FROM sc_events "
+                "WHERE kind = 'click'"),
+        ("check", "SELECT * FROM sc_clicks ORDER BY id"),
+        ("check", "SELECT kind, count(*) AS n, round(mad(score), 6) AS m "
+                  "FROM sc_events GROUP BY kind ORDER BY kind"),
+        ("run", "PREPARE sc_q AS SELECT count(*) AS c FROM sc_events "
+                "WHERE score > $1"),
+        ("check", "EXECUTE sc_q(1.0)"),
+        ("run", "DROP VIEW sc_clicks"),
+        ("run", "DROP TABLE sc_events"),
+    ])
