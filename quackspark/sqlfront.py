@@ -4149,6 +4149,66 @@ def _escape_spark_literal(tok: str) -> str:
     return tok
 
 
+_ORDER_ITEM_STOP = {
+    "limit", "offset", "union", "except", "intersect", "fetch",
+    "rows", "range", "groups", "window", "qualify", "having",
+}
+
+
+def _rewrite_order_null_defaults(toks: list[str]) -> list[str]:
+    """Default NULL placement differs: DuckDB orders NULLS LAST in both
+    directions, Spark puts NULLS FIRST on ascending sorts — silent
+    row-selection drift under LIMIT and wrong rank() numbering. Append
+    an explicit NULLS LAST to every ORDER BY item (statement-level and
+    window specs) that neither names a NULLS placement nor is DESC
+    (descending defaults agree). Runs after the calls pass, so
+    in-aggregate ORDER BY modifiers are already consumed."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if not (toks[i].lower() == "order" and i + 1 < n
+                and toks[i + 1].lower() == "by"):
+            out.append(toks[i])
+            i += 1
+            continue
+        out.extend([toks[i], toks[i + 1]])
+        i += 2
+        item: list[str] = []
+        depth = 0
+
+        def flush(item: list[str]) -> list[str]:
+            if not item:
+                return item
+            lows = [t.lower() for t in item]
+            if len(lows) >= 2 and lows[-2] == "nulls":
+                return item
+            if lows[-1] == "desc":
+                return item
+            return item + ["NULLS", "LAST"]
+
+        while i < n:
+            t = toks[i]
+            low = t.lower()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break  # end of window spec / subquery
+                depth -= 1
+            if depth == 0 and (low in _ORDER_ITEM_STOP or t == ";"):
+                break
+            if depth == 0 and t == ",":
+                out.extend(flush(item) + [","])
+                item = []
+                i += 1
+                continue
+            item.append(t)
+            i += 1
+        out.extend(flush(item))
+    return out
+
+
 def transpile(sql: str, spark: SparkSession | None = None) -> str:
     """DuckDB-dialect SQL → Spark SQL text."""
     if _handle_create_macro(sql):
@@ -4206,6 +4266,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_unnest(toks)
     toks = _rewrite_from_table_fns(toks)
     toks = _rewrite_calls(toks)
+    toks = _rewrite_order_null_defaults(toks)
     return " ".join(_escape_spark_literal(t) for t in toks)
 
 

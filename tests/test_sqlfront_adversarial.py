@@ -679,6 +679,20 @@ CASES.update(
 
 CASES.update(
     {
+        # --- default NULL placement: DuckDB orders NULLS LAST both ways;
+        # Spark's ascending default is NULLS FIRST (row-selection drift
+        # under LIMIT and wrong rank() numbering without the rewrite) ---
+        "null_ordering_defaults": """
+            SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x LIMIT 1
+        """,
+        "null_ordering_window": """
+            SELECT x, rank() OVER (ORDER BY x) AS r
+            FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY r
+        """,
+        "null_ordering_mixed_dirs": """
+            SELECT x, y FROM (VALUES (1, NULL),(1, 2),(2, 1)) t(x,y)
+            ORDER BY x ASC, y DESC
+        """,
         # --- parallel unnest zips positionally, NULL-padded ---
         "parallel_unnest": """
             SELECT unnest([1,2,3]) AS a, unnest(['x','y']) AS b
