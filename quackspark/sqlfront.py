@@ -732,14 +732,42 @@ def _split_order_by(
     return arg, None, False
 
 
+def _gather_order_keys(
+    key: list[str], desc: bool, extra_args: list[list[str]]
+) -> tuple[str, bool]:
+    """Multi-key aggregate ORDER BY: the keys after the first arrive as
+    extra top-level call arguments (the arg splitter cut at the commas).
+    Returns a \\x00,-joined key span for _sorted_collect (one struct
+    field per key). Mixed ASC/DESC cannot ride the positional struct
+    sort — refuse."""
+    keys = [(key, desc)]
+    for a in extra_args:
+        d = False
+        k = a
+        if k and k[-1].lower() == "asc":
+            k = k[:-1]
+        elif k and k[-1].lower() == "desc":
+            k = k[:-1]
+            d = True
+        keys.append((k, d))
+    if len({d for _, d in keys}) > 1:
+        raise UnsupportedSQL("aggregate ORDER BY with mixed ASC/DESC keys")
+    joined = "\x00,".join(" ".join(k) for k, _ in keys)
+    return joined, keys[0][1]
+
+
 def _sorted_collect(x: str, key: str, desc: bool = False) -> str:
     """ORDER-BY-modified list aggregate: sort-by-key via struct array_sort
     (structs order by field position), then project the value back out.
-    DESC = reverse of the ascending sort (tie order is unspecified in
-    the reference's sorted-aggregate too)."""
+    Multi-key orders arrive as \\x00,-separated spans and become one
+    struct field per key. DESC = reverse of the ascending sort (tie
+    order is unspecified in the reference's sorted-aggregate too)."""
+    keys = key.split("\x00,") if "\x00," in key else [key]
+    fields = ", ".join(
+        f"'k{n}', ({k.strip()})" for n, k in enumerate(keys)
+    )
     asc = (
-        f"array_sort(collect_list(named_struct('k', ({key}), "
-        f"'v', ({x}))))"
+        f"array_sort(collect_list(named_struct({fields}, 'v', ({x}))))"
     )
     if desc:
         asc = f"reverse({asc})"
@@ -803,7 +831,7 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         if key is not None and distinct:
             # DISTINCT + ORDER BY: only key == value is expressible
             # (per-group sort of the distinct set)
-            if [t.lower() for t in key] != [t.lower() for t in x]:
+            if len(args) > 1 or [t.lower() for t in key] != [t.lower() for t in x]:
                 raise UnsupportedSQL(
                     f"{low}(DISTINCT x ORDER BY k) with k != x"
                 )
@@ -811,24 +839,38 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
                 f"sort_array(collect_set({j(x)}), {'false' if desc else 'true'})"
             )
         if key is not None:
-            return _tokens(_sorted_collect(j([*x]), j(key), desc))
+            kj, desc = _gather_order_keys(key, desc, args[1:])
+            return _tokens(_sorted_collect(j([*x]), kj, desc))
         if low == "array_agg":
             return None  # Spark 4 has array_agg natively (incl. DISTINCT)
         inner = ", ".join(j(a) for a in args)
         if distinct:
             return _tokens(f"collect_set({j(x)})")
         return _tokens(f"collect_list({inner})")
-    if low in ("string_agg", "listagg", "group_concat") and len(args) in (1, 2):
+    if low in ("string_agg", "listagg", "group_concat") and args:
         distinct = args[0] and args[0][0].lower() == "distinct"
         if distinct:
             args = [args[0][1:]] + args[1:]
-        if len(args) == 2:
+        extra: list[list[str]] = []
+        if len(args) >= 2:
             x, sep_arg = args[0], args[1]
             sep, key, desc = _split_order_by(sep_arg)
+            extra = args[2:]
         else:
             # 1-arg form (default ',' separator), ORDER BY rides on the value
             x, key, desc = _split_order_by(args[0])
             sep = ["','"]
+        if extra and key is None:
+            raise UnsupportedSQL(f"{low} with more than 2 arguments")
+        if key is not None and extra:
+            kj, desc = _gather_order_keys(key, desc, extra)
+            if distinct:
+                raise UnsupportedSQL(
+                    "string_agg(DISTINCT …) with multi-key ORDER BY"
+                )
+            return _tokens(
+                f"array_join({_sorted_collect(j(x), kj, desc)}, {j(sep)})"
+            )
         if distinct and key is not None:
             if [t.lower() for t in key] != [t.lower() for t in x]:
                 raise UnsupportedSQL(
@@ -847,14 +889,15 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         if low == "string_agg" and len(args) == 2:
             return None  # Spark 4 has string_agg
         return _tokens(f"string_agg({j(x)}, {j(sep)})")
-    if low in ("first", "last", "any_value") and len(args) == 1:
+    if low in ("first", "last", "any_value") and args:
         x, key, desc = _split_order_by(args[0])
         if key is not None:
             # ordered first/last: sorted-collect then take an end
             # (any_value with an order is first by definition)
+            kj, desc = _gather_order_keys(key, desc, args[1:])
             pos = "-1" if low == "last" else "1"
             return _tokens(
-                f"element_at({_sorted_collect(j(x), j(key), desc)}, {pos})"
+                f"element_at({_sorted_collect(j(x), kj, desc)}, {pos})"
             )
     if low == "bitstring_agg" and len(args) == 3:
         # BIT carrier is the '0'/'1' string: bit (x - lo), counted from

@@ -693,6 +693,14 @@ CASES.update(
             SELECT x, y FROM (VALUES (1, NULL),(1, 2),(2, 1)) t(x,y)
             ORDER BY x ASC, y DESC
         """,
+        # --- multi-key ORDER BY inside aggregates (arg-split commas) ---
+        "agg_multikey_order": """
+            SELECT to_json(array_agg(x ORDER BY y, z)) AS a,
+                   to_json(array_agg(x ORDER BY y DESC, z DESC)) AS d,
+                   string_agg(CAST(x AS VARCHAR), '-' ORDER BY y, x) AS s,
+                   first(x ORDER BY y, z) AS f, last(x ORDER BY y, z) AS l
+            FROM (VALUES (1, 2, 3),(2, 2, 1),(3, 1, 9)) t(x,y,z)
+        """,
         # --- parallel unnest zips positionally, NULL-padded ---
         "parallel_unnest": """
             SELECT unnest([1,2,3]) AS a, unnest(['x','y']) AS b
