@@ -672,14 +672,23 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     if low in ("jaro_winkler_similarity", "jaro_winkler"):
         return _tokens(f"jaro_winkler_similarity({j(args[0])}, {j(args[1])})")
     if low == "time_bucket":
-        # time_bucket(INTERVAL n unit, ts) — epoch-floor arithmetic
+        # time_bucket(INTERVAL n unit | INTERVAL 'n unit', ts) —
+        # epoch-floor arithmetic
         interval = [t.lower() for t in args[0]]
+        pair = None
         if interval and interval[0] == "interval" and len(interval) == 3:
+            pair = (interval[1], interval[2])
+        elif (interval and interval[0] == "interval" and len(interval) == 2
+                and _is_string(args[0][1])):
+            words = _str_val(args[0][1]).split()
+            if len(words) == 2:
+                pair = (words[0], words[1].lower())
+        if pair:
             mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
                     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
-            unit = mult.get(interval[2])
+            unit = mult.get(pair[1])
             if unit:
-                secs = int(interval[1]) * unit
+                secs = int(pair[0]) * unit
                 ts = j(args[1])
                 return _tokens(
                     f"timestamp_seconds(unix_timestamp({ts}) "
@@ -706,6 +715,28 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     # default: passthrough untouched
     inner = ", ".join(j(a) for a in args)
     return _tokens(f"{original}({inner})")
+
+
+def _dp(unit: str, x: str) -> str:
+    return f"date_part('{unit}', {x})"
+
+
+def _date_part_fixup(unit: str, x: str) -> str | None:
+    """Units where Spark's date_part/extract numbering or support differs
+    from DuckDB (verified against the oracle): dow Sunday=0, isodow
+    Monday=1..Sunday=7, sub-second parts carry the seconds-within-minute
+    fraction."""
+    if unit == "dow":
+        return f"(dayofweek({x}) - 1)"
+    if unit == "isodow":
+        return f"(pmod(dayofweek({x}) + 5, 7) + 1)"
+    if unit in ("microsecond", "microseconds"):
+        return (f"CAST(pmod(unix_micros(CAST({x} AS TIMESTAMP)),"
+                f" 60000000) AS BIGINT)")
+    if unit in ("millisecond", "milliseconds"):
+        return (f"CAST(pmod(unix_millis(CAST({x} AS TIMESTAMP)),"
+                f" 60000) AS BIGINT)")
+    return None
 
 
 def _split_order_by(
@@ -1071,6 +1102,13 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         return _tokens(
             f"(CAST(unix_micros(CAST({src} AS TIMESTAMP)) AS DOUBLE) / 1000000)"
         )
+    if (low == "extract" and args and len(args[0]) > 2
+            and args[0][1].lower() == "from"):
+        fixed = _date_part_fixup(
+            args[0][0].lower(), " ".join(args[0][2:])
+        )
+        if fixed is not None:
+            return _tokens(fixed)
     if low in ("array_concat", "array_cat") and len(args) == 2:
         return _tokens(f"concat({j(args[0])}, {j(args[1])})")
     if low == "array_unique" and len(args) == 1:
@@ -1314,6 +1352,16 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         a, b = j(args[1]), j(args[2])
         if unit in ("day", "days", "d"):
             return _tokens(f"datediff(CAST(({b}) AS DATE), CAST(({a}) AS DATE))")
+        if unit in ("week", "weeks", "w"):
+            # week-boundary crossings (DuckDB counts truncated weeks)
+            return _tokens(
+                f"CAST(datediff(date_trunc('week', CAST(({b}) AS DATE)), "
+                f"date_trunc('week', CAST(({a}) AS DATE))) / 7 AS BIGINT)"
+            )
+        if unit in ("quarter", "quarters"):
+            return _tokens(
+                f"((year({b}) - year({a})) * 4 + (quarter({b}) - quarter({a})))"
+            )
         if unit in ("month", "months", "mon"):
             return _tokens(
                 f"((year({b}) - year({a})) * 12 + (month({b}) - month({a})))"
@@ -1394,7 +1442,25 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             if field is None:
                 raise UnsupportedSQL("date_part over age(): year/month/day only")
             return _tokens(f"({j(args[1])}).{field}")
+        fixed = _date_part_fixup(_str_val(args[0][0]).lower(), j(args[1]))
+        if fixed is not None:
+            return _tokens(fixed)
         return None
+    if (low in ("date_part", "datepart") and len(args) >= 2
+            and args[0][:2] == ["array", "("]):
+        # list form: date_part(['year','month'], x) → struct of parts.
+        # The arg splitter may have cut the array literal's commas into
+        # extra top-level args — reassemble.
+        flat = args[0] + [t for a in args[1:-1] for t in ([","] + a)]
+        close = flat and _find_call_end(flat, 1)
+        units = [_str_val(t) for t in flat[2:close] if _is_string(t)]
+        x = j(args[-1])
+        if units:
+            fields = ", ".join(
+                f"'{u}', ({_date_part_fixup(u.lower(), x) or _dp(u, x)})"
+                for u in units
+            )
+            return _tokens(f"named_struct({fields})")
     if low == "regexp_extract_all" and len(args) == 2:
         # DuckDB default = whole-match (group 0); Spark default = group 1
         return _tokens(f"regexp_extract_all({j(args[0])}, {j(args[1])}, 0)")

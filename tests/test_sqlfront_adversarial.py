@@ -693,6 +693,24 @@ CASES.update(
             SELECT x, y FROM (VALUES (1, NULL),(1, 2),(2, 1)) t(x,y)
             ORDER BY x ASC, y DESC
         """,
+        # --- date-part numbering fixups and date_diff units ---
+        "extract_dow_numbering": """
+            SELECT extract(dow FROM DATE '2024-03-17') AS dow,
+                   extract(isodow FROM DATE '2024-03-17') AS iso,
+                   extract(microseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS us,
+                   date_part('dow', DATE '2024-03-18') AS mon
+        """,
+        "date_diff_week_quarter": """
+            SELECT date_diff('week', DATE '2024-01-01', DATE '2024-02-01') AS w,
+                   date_diff('quarter', DATE '2024-01-15', DATE '2024-08-01') AS q
+        """,
+        "date_part_list_form": """
+            SELECT date_part(['year','month','day'], DATE '2024-03-14').year AS y
+        """,
+        "time_bucket_quoted_interval": """
+            SELECT time_bucket(INTERVAL '15 minutes',
+                               TIMESTAMP '2024-01-01 10:20:00')::VARCHAR AS b
+        """,
         # --- multi-key ORDER BY inside aggregates (arg-split commas) ---
         "agg_multikey_order": """
             SELECT to_json(array_agg(x ORDER BY y, z)) AS a,
