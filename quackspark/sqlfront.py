@@ -847,6 +847,31 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
     if low == "count" and not args:
         # zero-arg count() is count(*) in DuckDB (star is implicit)
         return _tokens("count(*)")
+    if (low in ("list_transform", "list_filter", "array_transform",
+                "array_filter", "list_apply", "array_apply", "apply")
+            and len(args) == 2):
+        # two-parameter lambda: DuckDB's index is 1-BASED, Spark's is
+        # 0-based — substitute i → (i + 1) in the body or the results
+        # silently shift by one element
+        lam = args[1]
+        if (len(lam) > 5 and lam[0] == "(" and _IDENT.match(lam[1])
+                and lam[2] == "," and _IDENT.match(lam[3])
+                and lam[4] == ")" and lam[5] == "->"):
+            idx = lam[3]
+            body = [
+                t if t != idx else None for t in lam[6:]
+            ]
+            new_body: list[str] = []
+            for t in body:
+                if t is None:
+                    new_body.extend(["(", idx, "+", "1", ")"])
+                else:
+                    new_body.append(t)
+            fn = "filter" if "filter" in low else "transform"
+            return _tokens(
+                f"{fn}({j(args[0])}, ({lam[1]}, {idx}) -> "
+                + " ".join(new_body) + ")"
+            )
     if low in _ORDER_INSENSITIVE_AGGS and args:
         # DuckDB accepts ORDER BY inside ANY aggregate; for
         # order-insensitive ones the modifier is semantically void — strip
@@ -1088,9 +1113,23 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             "get_json_object uses text semantics — use "
             "json_extract_string / ->> instead"
         )
-    if low == "list_sort" and len(args) == 2 and _is_string(args[1][0]):
-        asc = "true" if _str_val(args[1][0]).upper() == "ASC" else "false"
-        return _tokens(f"sort_array({j(args[0])}, {asc})")
+    if low == "list_sort" and len(args) in (2, 3) and _is_string(args[1][0]):
+        direction = _str_val(args[1][0]).upper()
+        nulls = (_str_val(args[2][0]).upper()
+                 if len(args) == 3 and _is_string(args[2][0]) else None)
+        # DuckDB's default null order is NULLS LAST in both directions;
+        # Spark: sort_array(asc)=NULLS FIRST, array_sort=asc NULLS LAST,
+        # sort_array(desc)=NULLS LAST
+        if direction == "ASC" and nulls in (None, "NULLS LAST"):
+            return _tokens(f"array_sort({j(args[0])})")
+        if direction == "ASC" and nulls == "NULLS FIRST":
+            return _tokens(f"sort_array({j(args[0])}, true)")
+        if direction == "DESC" and nulls in (None, "NULLS LAST"):
+            return _tokens(f"sort_array({j(args[0])}, false)")
+        raise UnsupportedSQL(
+            f"list_sort({direction}, {nulls}): needs a comparator Spark's "
+            f"builtins lack"
+        )
     if low == "map_extract" and len(args) == 2:
         m, k = j(args[0]), j(args[1])
         return _tokens(
@@ -1214,8 +1253,40 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             f"(CASE WHEN ({n}) >= 0 THEN {low}({s}, {n}) ELSE {neg} END)"
         )
     if low == "format" and args and _is_string(args[0][0]) and len(args[0]) == 1:
-        # fmt-style '{}' / '{0}' templates, literal format strings only
+        # fmt-style '{}' / '{0}' templates, literal format strings only;
+        # format specs ({:.2f}, {:d}, {:5}) translate to printf-style
         fmt = _str_val(args[0][0])
+        if re.search(r"\{\d*:[^}]*\}", fmt):
+            casts = {"d": "BIGINT", "x": "BIGINT", "f": "DOUBLE",
+                     "e": "DOUBLE", "E": "DOUBLE", "g": "DOUBLE",
+                     "G": "DOUBLE"}
+            out_fmt: list[str] = []
+            cast_args: list[str] = []
+            auto = 0
+            pos = 0
+            for m in re.finditer(r"\{(\d*)(?::([^}]*))?\}", fmt):
+                out_fmt.append(m.string[pos : m.start()].replace("%", "%%"))
+                pos = m.end()
+                argno = int(m.group(1)) if m.group(1) else auto
+                if not m.group(1):
+                    auto += 1
+                if argno + 1 >= len(args):
+                    raise UnsupportedSQL("format: missing argument")
+                spec = m.group(2) or ""
+                if not re.fullmatch(r"[-+ 0-9.]*[dfeEgGsx]?", spec):
+                    raise UnsupportedSQL(f"format spec {{:{spec}}}")
+                conv = spec[-1] if spec and spec[-1].isalpha() else "s"
+                body = spec[:-1] if spec and spec[-1].isalpha() else spec
+                out_fmt.append(f"%{body}{conv}")
+                a = j(args[argno + 1])
+                cast_args.append(
+                    f"CAST({a} AS {casts[conv]})" if conv in casts else a
+                )
+            out_fmt.append(fmt[pos:].replace("%", "%%"))
+            return _tokens(
+                f"format_string({_quote(''.join(out_fmt))},"
+                f" {', '.join(cast_args)})"
+            )
         parts = re.split(r"\{(\d*)\}", fmt)
         pieces: list[str] = []
         auto = 0
@@ -1950,6 +2021,21 @@ def _rewrite_subscripts(toks: list[str]) -> list[str]:
                     + b_tok + [")", "-", "("] + s_tok + [")", "+", "1", ")",
                        "AS", "INT", ")", ")"]
                 )
+        elif len(parts) == 3:
+            # step slice l[a:b:c]: 1-based inclusive with stride — walk
+            # an index sequence and element_at each position (the
+            # sequence guard avoids Spark's descending 1..0 surprise)
+            a, b, c = parts
+            e = " ".join(prim)
+            a_s = " ".join(a) if a else "1"
+            b_s = f"least({' '.join(b)}, size({e}))" if b else f"size({e})"
+            step = " ".join(c) if c else "1"
+            new = _tokens(
+                f"(CASE WHEN ({b_s}) < ({a_s}) THEN array()"
+                f" ELSE transform(sequence(CAST(({a_s}) AS INT),"
+                f" CAST(({b_s}) AS INT), CAST(({step}) AS INT)),"
+                f" __qs_si -> element_at({e}, __qs_si)) END)"
+            )
         elif len(parts) == 1:
             if len(parts[0]) == 1 and _is_string(parts[0][0]):
                 # map subscript by string key — DuckDB map extraction

@@ -693,6 +693,24 @@ CASES.update(
             SELECT x, y FROM (VALUES (1, NULL),(1, 2),(2, 1)) t(x,y)
             ORDER BY x ASC, y DESC
         """,
+        # --- 1-based lambda index params; step slices; format specs ---
+        "lambda_index_one_based": """
+            SELECT to_json(list_transform([10,20,30], (x, i) -> x + i)) AS t,
+                   to_json(list_filter([10,20,30], (x, i) -> i > 1)) AS f
+        """,
+        "step_slice": """
+            SELECT to_json(([1,2,3,4,5])[1:5:2]) AS a,
+                   to_json(([1,2,3,4,5])[2:4:2]) AS b
+        """,
+        "list_sort_null_orders": """
+            SELECT to_json(list_sort([3,NULL,1], 'ASC')) AS a,
+                   to_json(list_sort([3,NULL,1], 'DESC')) AS d,
+                   to_json(list_sort([3,NULL,1], 'ASC', 'NULLS FIRST')) AS nf
+        """,
+        "format_specs": """
+            SELECT format('{:.2f}', 3.25) AS f, format('{} = {:d}', 'x', 42) AS g,
+                   format('{1} then {0}', 'a', 'b') AS p
+        """,
         # --- date-part numbering fixups and date_diff units ---
         "extract_dow_numbering": """
             SELECT extract(dow FROM DATE '2024-03-17') AS dow,
