@@ -315,9 +315,41 @@ def _regex_with_flags(
     return _quote(f"(?{inline}){pat}" if inline else pat)
 
 
+_POSIX_CLASSES = {
+    "alpha": r"\p{Alpha}", "digit": r"\d", "alnum": r"\p{Alnum}",
+    "space": r"\s", "upper": r"\p{Upper}", "lower": r"\p{Lower}",
+    "punct": r"\p{Punct}", "xdigit": r"\p{XDigit}", "word": r"\w",
+    "blank": r"\p{Blank}", "cntrl": r"\p{Cntrl}", "graph": r"\p{Graph}",
+    "print": r"\p{Print}",
+}
+
+#: functions whose pattern arguments are regexes — POSIX [:class:] atoms
+#: (RE2) must become Java \p classes (Java reads [[:digit:]] as a literal
+#: character set — silent non-match otherwise)
+_REGEX_PATTERN_FNS = {
+    "regexp_matches", "regexp_replace", "regexp_extract",
+    "regexp_extract_all", "regexp_split_to_array", "regexp_split_to_table",
+    "string_split_regex", "str_split_regex", "regexp_full_match",
+}
+
+
+def _posix_regex(tok: str) -> str:
+    if not _is_string(tok) or "[:" not in tok:
+        return tok
+    pat = re.sub(
+        r"\[:(\w+):\]",
+        lambda m: _POSIX_CLASSES.get(m.group(1), m.group(0)),
+        _str_val(tok),
+    )
+    return _quote(pat)
+
+
 def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     def j(arg: list[str]) -> str:
         return " ".join(arg)
+
+    if low in _REGEX_PATTERN_FNS and len(args) >= 2:
+        args = [args[0]] + [[_posix_regex(t) for t in a] for a in args[1:]]
 
     if low in ("strftime", "date_format"):
         # strftime(ts, '%Y-%m-%d') — translate C directives if present
@@ -1535,6 +1567,10 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
     if low == "regexp_extract_all" and len(args) == 2:
         # DuckDB default = whole-match (group 0); Spark default = group 1
         return _tokens(f"regexp_extract_all({j(args[0])}, {j(args[1])}, 0)")
+    if low == "regexp_extract" and len(args) == 2:
+        # same group-0 default (Spark's group-1 default also ERRORS on
+        # group-less patterns)
+        return _tokens(f"regexp_extract({j(args[0])}, {j(args[1])}, 0)")
     if low == "list_prepend" and len(args) == 2:
         # DuckDB list_prepend(elem, list) ↔ Spark array_prepend(list, elem)
         return _tokens(f"array_prepend(({j(args[1])}), ({j(args[0])}))")
@@ -2442,7 +2478,7 @@ def _rewrite_similar_to(toks: list[str]) -> list[str]:
                 out.pop()
             pat = toks[i + 2]
             if _is_string(pat):
-                anchored = [_quote(f"^(?:{_str_val(pat)})$")]
+                anchored = [_quote(f"^(?:{_str_val(_posix_regex(pat))})$")]
                 i += 3
             else:
                 # non-literal pattern: anchor at runtime
@@ -2662,6 +2698,8 @@ def _rewrite_pg_operators(toks: list[str]) -> list[str]:
         left = take_left()
         rend = _forward_primary_end(toks, i2)
         right = toks[i2:rend]
+        if mid == ["RLIKE"]:
+            right = [_posix_regex(t) for t in right]
         if ci:
             right = ["concat", "(", "'(?i)'", ","] + right + [")"]
         body = ["("] + left + mid + right + [")"]

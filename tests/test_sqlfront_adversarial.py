@@ -693,6 +693,20 @@ CASES.update(
             SELECT x, y FROM (VALUES (1, NULL),(1, 2),(2, 1)) t(x,y)
             ORDER BY x ASC, y DESC
         """,
+        # --- POSIX regex classes (RE2) → Java \p classes; the Java
+        # parser reads [[:digit:]] as a literal char set — silent
+        # non-match before the translation ---
+        "posix_regex_classes": r"""
+            SELECT regexp_matches('abc123', '[[:digit:]]+') AS d,
+                   regexp_extract('a1b22', '[[:digit:]]+') AS e,
+                   regexp_replace('a1b2', '[[:digit:]]', 'X', 'g') AS r,
+                   '!!' ~ '[[:alnum:]]' AS n,
+                   'Abc' SIMILAR TO '[[:upper:]][[:lower:]]+' AS s
+        """,
+        "regexp_extract_group_default": r"""
+            SELECT regexp_extract('a1b22', '[0-9]+') AS whole,
+                   regexp_extract('ab12', '([a-z]+)([0-9]+)', 2) AS grp
+        """,
         # --- 1-based lambda index params; step slices; format specs ---
         "lambda_index_one_based": """
             SELECT to_json(list_transform([10,20,30], (x, i) -> x + i)) AS t,
