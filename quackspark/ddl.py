@@ -294,10 +294,16 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
 
     if m := _CREATE_VIEW_RE.match(duckdb_sql):
         replace, if_not_exists, view, body = m.groups()
-        if if_not_exists and any(
+        exists = any(
             v.name.lower() == view.lower() for v in spark.catalog.listTables()
-        ):
+        )
+        if if_not_exists and exists:
             return _status(spark, view=view, status="exists")
+        if not replace and not if_not_exists and exists:
+            # DuckDB errors on plain CREATE VIEW over an existing name
+            raise ValueError(
+                f'Catalog Error: View with name "{view}" already exists!'
+            )
         body_sql = transpile(body, spark)
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {view} AS {body_sql}")
         return _status(spark, view=view, status="created")
@@ -547,9 +553,24 @@ def _run_insert_conflict(
         )
         fresh.write.insertInto(table, overwrite=False)
         return _status(spark, table=table, status="inserted (conflicts ignored)")
-    # OR REPLACE: drop existing rows with matching keys, append new rows
+    # OR REPLACE: drop existing rows with matching keys, append new rows.
+    # DuckDB rejects a batch that repeats a conflict key within itself
+    # ("can not update the same row twice in the same command") — check
+    # before the swap instead of silently appending duplicate-key rows.
+    from pyspark.sql import functions as F
+
     from quackspark.sqlfront import _swap_in
 
+    dup = (
+        new_rows.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "Invalid Input Error: ON CONFLICT DO UPDATE can not update the "
+            "same row twice in the same command. Ensure that no rows proposed "
+            "for insertion within the same command have duplicate constrained "
+            "values"
+        )
     kept = existing.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti")
     _swap_in(spark, table, kept.unionByName(new_rows))
     return _status(spark, table=table, status="inserted (conflicts replaced)")

@@ -269,9 +269,11 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     med = o.groupBy("o_orderstatus").agg(
         F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("m")
-    )
+    ).withColumnRenamed("o_orderstatus", "__mad_key")
+    # null-safe key equality: a NULL-key group still gets its median row
+    # (a plain equi-join would silently drop it)
     return (
-        o.join(F.broadcast(med), "o_orderstatus")
+        o.join(F.broadcast(med), o["o_orderstatus"].eqNullSafe(F.col("__mad_key")))
         .groupBy("o_orderstatus")
         .agg(
             F.expr(

@@ -49,7 +49,7 @@ _TOKEN = re.compile(
   | 0[xX][0-9A-Fa-f][0-9A-Fa-f_]*   # hex literal
   | 0[bB][01][01_]*                 # binary literal
   | (?:\d[\d_]*\.?[\d_]*|\.\d[\d_]*)(?:[eE][+-]?\d+)?  # number (underscores, exponent, leading/trailing dot)
-  | ::|//|<=|>=|<>|!=|\|\||->>|->|<<|>>|&& # multi-char operators
+  | ::|//|<=>|<=|>=|<>|!=|\|\||->>|->|<<|>>|&& # multi-char operators
   | .                         # any single char
     """,
     re.VERBOSE | re.DOTALL,
@@ -906,10 +906,14 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             )
     if low in _ORDER_INSENSITIVE_AGGS and args:
         # DuckDB accepts ORDER BY inside ANY aggregate; for
-        # order-insensitive ones the modifier is semantically void — strip
-        x, key, desc = _split_order_by(args[-1])
-        if key is not None:
-            return _emit_call(low, original, args[:-1] + [x])
+        # order-insensitive ones the modifier is semantically void — strip.
+        # With multi-key modifiers (sum(x ORDER BY k1, k2)) the comma-split
+        # keys arrive as extra args: drop the whole modifier INCLUDING the
+        # trailing key args, whichever arg the ORDER BY starts in.
+        for ai, a in enumerate(args):
+            x, key, desc = _split_order_by(a)
+            if key is not None:
+                return _emit_call(low, original, args[:ai] + [x])
     if low in ("list", "array_agg") and args:
         first = args[0]
         distinct = first and first[0].lower() == "distinct"
@@ -1063,13 +1067,30 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             return _tokens(f"CAST({add} AS TIMESTAMP)")
         return _tokens(add)
     if low == "epoch_ms" and len(args) == 1:
-        # overloaded in DuckDB: epoch_ms(BIGINT ms) → TIMESTAMP. Only the
-        # literal-integer form is detectable at transpile time; column
-        # inputs keep the TIMESTAMP → ms reading (unix_millis, with a
-        # cast so DATE inputs work as they do in DuckDB).
-        if len(args[0]) == 1 and re.fullmatch(r"\d+", args[0][0]):
-            return _tokens(f"timestamp_millis({args[0][0]})")
-        return _tokens(f"unix_millis(CAST({j(args[0])} AS TIMESTAMP))")
+        # overloaded in DuckDB: epoch_ms(BIGINT ms) → TIMESTAMP, while
+        # epoch_ms(TIMESTAMP/DATE) → BIGINT ms. Only arguments whose type
+        # is evident at transpile time are translated; anything else
+        # (e.g. a bare column that might be a ms BIGINT) is refused
+        # rather than silently mistranslated.
+        a0 = args[0]
+        if len(a0) == 1 and re.fullmatch(r"\d+", a0[0]):
+            return _tokens(f"timestamp_millis({a0[0]})")
+        head = a0[0].lower() if a0 else ""
+        temporal = (
+            head in ("timestamp", "timestamptz", "date", "now",
+                     "current_timestamp", "current_date", "get_current_timestamp")
+            or (head == "cast" and any(
+                t.lower() in ("timestamp", "timestamptz", "date")
+                for t in a0))
+        )
+        if temporal:
+            return _tokens(f"unix_millis(CAST({j(a0)} AS TIMESTAMP))")
+        raise UnsupportedSQL(
+            "epoch_ms(expr) where the argument type is not evident at "
+            "translation time (DuckDB overloads BIGINT ms → TIMESTAMP vs "
+            "TIMESTAMP → ms) — use timestamp_millis(x) or "
+            "unix_millis(CAST(x AS TIMESTAMP)) explicitly"
+        )
     if low == "list_zip" and len(args) == 2:
         # longest-wins zip with NULL padding in both engines; DuckDB names
         # the struct fields list_1/list_2
@@ -2594,11 +2615,17 @@ def _rewrite_mad(toks: list[str]) -> list[str]:
     where_sql = f" WHERE {' '.join(where_toks)}" if where_toks else ""
     e = f"CAST(({expr}) AS DOUBLE)"
     if keys:
-        med = (f"(SELECT {', '.join(keys)}, percentile({e}, 0.5) AS "
+        # rename the subquery keys and join with null-safe <=> so a
+        # NULL-valued group key still matches its median row (JOIN USING
+        # would silently drop the NULL-key group DuckDB returns)
+        renamed = [f"{key} AS __qs_mad_k{j}" for j, key in enumerate(keys)]
+        med = (f"(SELECT {', '.join(renamed)}, percentile({e}, 0.5) AS "
                f"__qs_mad_m FROM {table}{where_sql} "
                f"GROUP BY {', '.join(keys)})")
-        join = (f"{table} JOIN {med} __qs_med "
-                f"USING ({', '.join(keys)})")
+        cond = " AND ".join(
+            f"{key} <=> __qs_mad_k{j}" for j, key in enumerate(keys)
+        )
+        join = f"{table} JOIN {med} __qs_med ON {cond}"
     else:
         med = (f"(SELECT percentile({e}, 0.5) AS __qs_mad_m "
                f"FROM {table}{where_sql})")
