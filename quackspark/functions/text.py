@@ -120,3 +120,64 @@ def quality_score(text: Column | str, stopwords: list[str]) -> Column:
         + F.lit(0.25) * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
         + F.lit(0.25) * ttr
     )
+
+
+def fingerprint_arrow(text: Column | str) -> Column:
+    """Arrow-vectorized document fingerprints, op-order-identical to the
+    expression forms (:func:`rolling_hash` fold + ``md5(concat_ws(' '))``
+    + ``array_min(transform(md5))``), following the
+    ``srp_signature_arrow`` precedent (operators/simsearch.py): one
+    batched kernel replaces three interpreted HOF walks per row.
+
+    Identity argument, pinned by tests/test_oracle_parity.py and the
+    kernel-vs-expression test: tokenization is Java-regex ``\\s+`` after
+    the empty filter, replayed with Python ``re.ASCII`` (both engines'
+    ``\\s`` is the ASCII class); the rolling fold is exact int64
+    arithmetic mod 1e9+7 (no float); per-token md5 min is order-free so
+    it runs over the distinct token set; md5 of the space-joined stream
+    is byte-identical by construction.
+
+    Returns struct<rk_fp bigint, md5_fp string, minhash1 string>
+    (NULL fields for NULL text; minhash1 NULL for token-less docs —
+    matching array_min([]) = NULL)."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    out_type = StructType([
+        StructField("rk_fp", LongType()),
+        StructField("md5_fp", StringType()),
+        StructField("minhash1", StringType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def _fp(texts):
+        rks: list = []
+        md5s: list = []
+        mins: list = []
+        for txt in texts:
+            if txt is None:
+                rks.append(None); md5s.append(None); mins.append(None)
+                continue
+            toks = [t for t in ws.split(txt) if t]
+            acc = 0
+            for t in toks:
+                acc = (acc * FP_MULT + len(t) * 31 + ord(t[0])) % FP_MOD
+            rks.append(acc)
+            md5s.append(hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest())
+            if toks:
+                mins.append(min(
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in set(toks)
+                ))
+            else:
+                mins.append(None)
+        return pd.DataFrame({"rk_fp": rks, "md5_fp": md5s, "minhash1": mins})
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _fp(c)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackspark.functions import text as T
-from quackspark.queries._util import load_table
+from quackspark.queries._util import load_table, parallelize_kernel_input
 
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "in"],
@@ -192,19 +192,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: Rabin-Karp rolling hash over the token
     stream + md5 of the normalized text + min-token-digest (a 1-permutation
-    MinHash) — the exact-dup and near-dup keys used by the dedup operators."""
-    d = load_table(spark, sf_dir, "documents")
-    # tokens materialized in their own projection: the three fingerprint
-    # expressions are interpreted (HOF fold / per-token md5) and do NOT
-    # share subexpressions, so inlining the split re-tokenizes the text
-    # 3× (measured 7.2s → 5.5s at sf1 from this hoist alone)
-    toked = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    return toked.select(
-        "doc_id",
-        T.rolling_hash(F.col("toks")).alias("rk_fp"),
-        F.md5(F.concat_ws(" ", F.col("toks"))).alias("md5_fp"),
-        F.array_min(F.transform(F.col("toks"), F.md5)).alias("minhash1"),
-    ).orderBy("doc_id")
+    MinHash) — the exact-dup and near-dup keys used by the dedup operators.
+
+    Hot path is ONE Arrow kernel (functions/text.fingerprint_arrow): the
+    expression form was three interpreted HOF walks per row (fold +
+    per-token md5) and measured 3.4× vs DuckDB at sf1 with superlinear
+    growth; the kernel computes all three fingerprints in a single batched
+    pass (tests pin kernel == expression form == oracle)."""
+    d = parallelize_kernel_input(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", T.fingerprint_arrow(F.col("text")).alias("fp"))
+        .select("doc_id", "fp.rk_fp", "fp.md5_fp", "fp.minhash1")
+        .orderBy("doc_id")
+    )
 
 
 def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
