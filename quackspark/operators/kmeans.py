@@ -19,10 +19,11 @@ bit-for-bit): seed centroids are the K smallest-id vectors; distances
 fold left in dimension order (same shape as simsearch._sql_dot); means
 go through the scaled-long exact path; ties break on centroid id.
 
-At 100 TB: the corpus is scanned once per round (cache/checkpoint the
-projected (id, vec) frame between rounds if iterating deeply); the
-only all-data shuffle is the per-vector argmin groupBy, keyed by vec
-id — uniform by construction.
+At 100 TB: the corpus is scanned once per round; above 2 rounds
+kmeans_fit automatically persists the projected (id, vec) frame (and
+cuts centroid lineage per round), eagerly unpersisting before return.
+The only all-data shuffle is the per-vector argmin groupBy, keyed by
+vec id — uniform by construction.
 """
 
 from __future__ import annotations
@@ -98,6 +99,14 @@ def kmeans_fit(
     centroids the final assignment runs against (feed this straight
     into simsearch.ivf_topk's `codebook=`)."""
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # deep iteration (> 2 rounds): cache the projected (id, vec) frame so
+    # every Lloyd round reads the corpus from memory instead of rescanning
+    # the source, and cut the centroid lineage per round (the plan would
+    # otherwise grow a full assign+update subtree per iteration). Eagerly
+    # unpersisted before returning; the 2-round benched path is untouched.
+    deep = iters > 2
+    if deep:
+        vecs = vecs.persist()
     cents = (
         vecs.orderBy("vec_id")
         .limit(k)
@@ -108,6 +117,10 @@ def kmeans_fit(
     )
     for _ in range(iters - 1):
         cents = _update(_assign(vecs, cents))
+        if deep:
+            cents = cents.localCheckpoint(eager=True)  # K rows
+    if deep:
+        vecs.unpersist()
     return cents
 
 

@@ -34,6 +34,11 @@ class UnsupportedSQL(ValueError):
     pass
 
 
+#: PIVOT output-column cap — bounds the distinct-value driver collect
+#: (DuckDB has its own pivot-width limit; see _run_pivot)
+PIVOT_MAX_VALUES = 10_000
+
+
 # --- tokenizer -------------------------------------------------------------
 
 _TOKEN = re.compile(
@@ -5014,13 +5019,20 @@ def _run_pivot(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         group_cols = [
             c for c in src_df.columns if c.lower() != on_col.lower() and c.lower() not in used
         ]
-    vals = sorted(
-        r[0]
-        for r in spark.sql(
-            f"SELECT DISTINCT {on_col} FROM ({src_spark}) __qs_pv"
-        ).collect()
-        if r[0] is not None
-    )
+    # distinct-value probe is CAPPED: an unbounded collect() on a
+    # high-cardinality ON column would OOM the driver (DuckDB caps its
+    # own pivot at ~100k columns; 10k output columns is already past
+    # what any consumer handles)
+    probe = spark.sql(
+        f"SELECT DISTINCT {on_col} FROM ({src_spark}) __qs_pv"
+    ).limit(PIVOT_MAX_VALUES + 1).collect()
+    if len(probe) > PIVOT_MAX_VALUES:
+        raise UnsupportedSQL(
+            f"PIVOT ON {on_col} has more than {PIVOT_MAX_VALUES} distinct "
+            f"values — a pivot that wide is almost certainly a mistake; "
+            f"use GROUP BY {on_col} instead, or pre-filter the ON column"
+        )
+    vals = sorted(r[0] for r in probe if r[0] is not None)
     items: list[str] = list(group_cols)
     for v in vals:
         for expr, alias in aggs:

@@ -1,0 +1,89 @@
+"""Round-4 directive pins (VERDICT r3 #4, #5): PIVOT distinct-value cap
+and automatic k-means corpus caching above 2 Lloyd rounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackspark import sqlfront
+from quackspark.operators import kmeans as KM
+from quackspark.queries._util import load_table
+from quackspark.sqlfront import UnsupportedSQL, sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pivot_high_cardinality_capped(spark, monkeypatch):
+    # shrink the cap so the test doesn't need a 10k-distinct column
+    monkeypatch.setattr(sqlfront, "PIVOT_MAX_VALUES", 5)
+    spark.range(0, 50).selectExpr(
+        "id % 2 AS g", "CAST(id AS STRING) AS wide", "id AS v"
+    ).createOrReplaceTempView("pv_wide")
+    with pytest.raises(UnsupportedSQL, match="distinct"):
+        sql(spark, "PIVOT pv_wide ON wide USING sum(v) GROUP BY g")
+
+
+def test_pivot_within_cap_still_works(spark):
+    spark.range(0, 50).selectExpr(
+        "id % 2 AS g", "CAST(id % 3 AS STRING) AS k", "id AS v"
+    ).createOrReplaceTempView("pv_ok")
+    out = sql(spark, "PIVOT pv_ok ON k USING sum(v) GROUP BY g ORDER BY g")
+    assert out.columns == ["g", "0", "1", "2"]
+    assert out.count() == 2
+
+
+def _reference_fit(vecs, k, iters):
+    """Uncached explicit Lloyd rounds — what kmeans_fit must equal."""
+    cents = (
+        vecs.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").cast("int").alias("cluster"),
+                F.col("embedding").alias("cent"))
+    )
+    for _ in range(iters - 1):
+        cents = KM._update(KM._assign(vecs, cents))
+    return cents
+
+
+def test_kmeans_deep_iteration_cached_and_identical(spark):
+    emb = load_table(spark, SF, "embeddings")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = sorted(
+        (r["cluster"], tuple(round(x, 9) for x in r["cent"]))
+        for r in KM.kmeans_fit(emb, k=4, iters=4).collect()
+    )
+    vecs = emb.select(F.col("vec_id"), F.col("embedding"))
+    want = sorted(
+        (r["cluster"], tuple(round(x, 9) for x in r["cent"]))
+        for r in _reference_fit(vecs, 4, 4).collect()
+    )
+    assert got == want
+    # the corpus cache is eagerly released; only the tiny localCheckpoint
+    # blocks of per-round centroids (K rows each) may remain
+    after = spark.sparkContext._jsc.getPersistentRDDs()
+    big = [r for r in after.values() if r.name() and "embeddings" in str(r.name())]
+    assert not big
+    for r in after.values():
+        r.unpersist()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
+
+def test_kmeans_deep_round_reads_cache_not_source(spark):
+    """Plan assertion: with the corpus persisted (what kmeans_fit does for
+    iters > 2), an assign round contains an InMemoryTableScan and NO
+    parquet scan — one source scan total per fit, not per round."""
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", "embedding").persist()
+    try:
+        vecs.count()
+        cents = vecs.orderBy("vec_id").limit(4).select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("embedding").alias("cent"),
+        )
+        plan = KM._assign(vecs, cents)._sc._jvm.PythonSQLUtils.explainString(
+            KM._assign(vecs, cents)._jdf.queryExecution(), "formatted"
+        )
+        assert "InMemoryTableScan" in plan
+        assert "Scan parquet" not in plan.split("InMemoryTableScan")[0]
+    finally:
+        vecs.unpersist()
