@@ -22,6 +22,8 @@ mis-translating — same posture as the reference's binder errors.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5406,6 +5408,67 @@ def _run_txn(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     return None
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second session attempted a copy-on-write swap on a table another
+    live session is rewriting. The single-session shim has no MVCC
+    (reference: DuckTransaction/WriteAheadLog, duckdb-internal.hpp:10232,
+    :9421) — failing loudly beats silent last-write-wins; concurrent
+    writers need a table format with a commit log (SURVEY §7 roadmap)."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+@contextlib.contextmanager
+def _writer_lock(spark: SparkSession, table: str):
+    """Per-table writer lock for the staging swap: an O_EXCL lock file in
+    the warehouse dir (the one piece of state every session writing these
+    managed tables shares). Held only across the staging write + rename.
+    A lock whose owner pid is dead is stolen (crashed writer); a lock held
+    by a LIVE other process raises ConcurrentWriteError loudly."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not wh or not os.path.isdir(wh):
+        yield  # no shared warehouse → nothing to coordinate on
+        return
+    path = os.path.join(wh, f"{table.lower()}__qs_writer.lock")
+    me = os.getpid()
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(me).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                holder = int(open(path).read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            if holder and holder != me and _pid_alive(holder):
+                raise ConcurrentWriteError(
+                    f"table {table} is being rewritten by another live "
+                    f"session (pid {holder}); concurrent DML on plain "
+                    f"parquet tables is unsupported — serialize the "
+                    f"writers or use a table format with a commit log"
+                ) from None
+            # stale (crashed writer) or our own leftover: steal it
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+
+
 def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     """Copy-on-write commit: write the rewritten rows to a staging managed
     table, then drop + rename. The staging write fully materializes before
@@ -5415,23 +5478,26 @@ def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     (duckdb.hpp:11969-11972, version machinery duckdb-internal.hpp:10232)
     gives row-level versioning; on plain parquet tables whole-table
     copy-on-write is the honest equivalent, and real deployments wanting
-    concurrent DML should use a table format with a log."""
+    concurrent DML should use a table format with a log. A per-table
+    writer lock (_writer_lock) makes a second concurrent writer fail
+    loudly instead of silently last-write-wins."""
     import shutil
     from urllib.parse import urlparse
 
-    staging = f"{table}__cow_staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    # clear an orphaned staging location from a crashed prior run (fresh
-    # metastore per session → DROP above may have been a no-op)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
-        shutil.rmtree(f"{wh}/{staging.lower()}", ignore_errors=True)
-    new_df.write.saveAsTable(staging)
-    # inside a transaction the first write keeps the original as the
-    # rollback snapshot (rename, not drop) — see _txn_keep_original
-    if not _txn_keep_original(spark, table):
-        spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    with _writer_lock(spark, table):
+        staging = f"{table}__cow_staging"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        # clear an orphaned staging location from a crashed prior run (fresh
+        # metastore per session → DROP above may have been a no-op)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(f"{wh}/{staging.lower()}", ignore_errors=True)
+        new_df.write.saveAsTable(staging)
+        # inside a transaction the first write keeps the original as the
+        # rollback snapshot (rename, not drop) — see _txn_keep_original
+        if not _txn_keep_original(spark, table):
+            spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 
 
 def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
