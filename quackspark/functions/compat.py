@@ -417,3 +417,42 @@ def isodow(ts: Column | str) -> Column:
     Spark dayofweek is Sun=1..Sat=7."""
     ts = F.col(ts) if isinstance(ts, str) else ts
     return ((F.dayofweek(ts) + 5) % 7) + 1
+
+
+#: TIME_TZ offset bound: ±15:59:59 (duckdb.hpp:931 TIME_TZ; DuckDB's
+#: Interval::MAX/MIN time-zone offset)
+TIME_TZ_MAX_OFFSET = 57_599
+
+
+def make_time_tz(micros: Column, offset_seconds: Column) -> Column:
+    """TIME_TZ carrier (LogicalTypeId TIME_TZ duckdb.hpp:931): Spark has
+    no time-with-offset type, so the portable carrier is
+    struct<micros BIGINT (wall-clock µs since midnight),
+           offset_s INT (UTC offset seconds, east positive)> —
+    the exact pair DuckDB bit-packs into its timetz_t physical value."""
+    return F.struct(
+        micros.cast("long").alias("micros"),
+        offset_seconds.cast("int").alias("offset_s"),
+    )
+
+
+def time_tz_sort_key(ttz: Column) -> Column:
+    """Total order of the TIME_TZ carrier, matching DuckDB's native
+    TIMETZ comparison (verified against DuckDB: wall-clock µs ascending,
+    then offset DESCENDING — '06:00+05:30' < '06:00+02:00' <
+    '06:00+00:00' < '06:00-02:00'). One BIGINT key so comparisons and
+    ORDER BY stay codegen'd: micros ≤ 86.4e9, offset span < 2^17 →
+    key = micros * 200000 + (57600 - offset) fits comfortably in int64."""
+    return (
+        ttz.getField("micros") * F.lit(200_000).cast("long")
+        + (F.lit(57_600) - ttz.getField("offset_s")).cast("long")
+    )
+
+
+def time_tz_to_utc_micros(ttz: Column) -> Column:
+    """Instant-equivalent µs since UTC midnight (may leave [0, 24h) —
+    callers normalize if they need a TIME again): micros − offset·1e6."""
+    return (
+        ttz.getField("micros")
+        - ttz.getField("offset_s").cast("long") * 1_000_000
+    )

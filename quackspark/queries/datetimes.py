@@ -292,8 +292,34 @@ def dt_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("typ", "b")
 
 
+def dt_time_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME_TZ carrier ops (LogicalTypeId TIME_TZ duckdb.hpp:931): build a
+    time-with-offset from the events wall clock plus a per-row whole-hour
+    offset, then exercise the two semantics DuckDB's native TIMETZ defines —
+    comparison against a TIMETZ literal and total ordering (wall µs asc,
+    offset DESC) — via the single-BIGINT sort key. The oracle constructs
+    real TIMETZ values and sorts/compares natively, so this pins the
+    carrier's order to the engine's."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    ts = F.col("ts")
+    tod = compat.time_of_day_micros(ts)
+    off = ((F.col("event_id") % 5).cast("int") - 2) * 3600
+    ttz = compat.make_time_tz(tod, off)
+    noon_plus1 = compat.make_time_tz(
+        F.lit(12 * 3_600_000_000), F.lit(3600)
+    )
+    key = compat.time_tz_sort_key(ttz)
+    return e.select(
+        "event_id",
+        ttz.getField("micros").alias("ttz_us"),
+        ttz.getField("offset_s").alias("offset_s"),
+        (key < compat.time_tz_sort_key(noon_plus1)).alias("lt_noon_plus1"),
+    ).orderBy(key, "event_id")
+
+
 QUERIES = {
     "dt_hypertable_rollup": dt_hypertable_rollup,
+    "dt_time_tz": dt_time_tz,
     "dt_gapfill": dt_gapfill,
     "dt_age_parts": dt_age_parts,
     "dt_time_of_day": dt_time_of_day,
@@ -308,6 +334,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dt_time_tz": """
+        WITH t AS (
+            SELECT event_id,
+                   (CAST(CAST(ts AS TIMESTAMP) AS TIME) ||
+                    printf('%+03d:00', CAST(event_id % 5 AS INT) - 2))::TIMETZ
+                       AS ttz
+            FROM events WHERE event_id <= 2000
+        )
+        SELECT event_id,
+               epoch_us(CAST(ttz AS TIME)) AS ttz_us,
+               CAST(datepart('timezone', ttz) AS INT) AS offset_s,
+               ttz < TIMETZ '12:00:00+01:00' AS lt_noon_plus1
+        FROM t ORDER BY ttz, event_id
+    """,
     "dt_gapfill": f"""
         WITH ag AS (
             SELECT typ, b, {o_davg("value")} AS v

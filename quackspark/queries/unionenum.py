@@ -77,12 +77,37 @@ def enum_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+#: deliberately NON-alphabetical dictionary: insertion order ≠ string
+#: order, so the ordering/comparison checks below are meaningful
+ENUM_SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+
+
+def enum_insertion_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM comparison semantics (duckdb.hpp:944): DuckDB compares and
+    sorts enums by DICTIONARY INSERTION ORDER, not string order. The
+    carrier comparison key is the 1-based insertion index (enum_code);
+    the oracle casts to a real non-alphabetical ENUM and compares/sorts
+    natively, pinning the carrier's order to the engine's."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    code = enum_code(F.col("c_mktsegment"), ENUM_SEGMENTS).cast("int")
+    household = ENUM_SEGMENTS.index("HOUSEHOLD") + 1
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        code.alias("seg_code"),
+        (code < F.lit(household)).alias("before_household"),
+    ).orderBy(code, "c_custkey")
+
+
 QUERIES = {
     "union_struct_sugar": union_struct_sugar,
     "enum_dict_roundtrip": enum_dict_roundtrip,
+    "enum_insertion_order": enum_insertion_order,
 }
 
 _SEG_LIST = "[" + ", ".join(f"'{s}'" for s in SEGMENTS) + "]"
+_ENUM_TYPE = "ENUM(" + ", ".join(f"'{s}'" for s in ENUM_SEGMENTS) + ")"
+_ENUM_LIST = "[" + ", ".join(f"'{s}'" for s in ENUM_SEGMENTS) + "]"
 
 ORACLES = {
     "union_struct_sugar": """
@@ -111,5 +136,15 @@ ORACLES = {
                'AUTOMOBILE' AS enum_first,
                'MACHINERY' AS enum_last
         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+    """,
+    "enum_insertion_order": f"""
+        SELECT c_custkey,
+               c_mktsegment AS seg,
+               CAST(list_position({_ENUM_LIST}, c_mktsegment) AS INT)
+                   AS seg_code,
+               CAST(c_mktsegment AS {_ENUM_TYPE})
+                   < CAST('HOUSEHOLD' AS {_ENUM_TYPE}) AS before_household
+        FROM customer WHERE c_custkey <= 500
+        ORDER BY CAST(c_mktsegment AS {_ENUM_TYPE}), c_custkey
     """,
 }

@@ -7,6 +7,11 @@ Per type: row 0 = minimum (or empty), row 1 = maximum (or a dense
 non-ASCII value), row 2 = NULL. Types with no parquet/Spark representation
 (INTERVAL, TIME, BIT, UNION) are excluded and documented in SURVEY §7;
 unsigned ints appear via their next-wider signed carriers as in §1.2.
+TIME_TZ (duckdb.hpp:931) rides its struct carrier `ttz` (wall-clock µs +
+offset seconds — functions/compat.make_time_tz): min
+'00:00:00+15:59:59'; max '23:59:59.999999-15:59:59' (DuckDB's literal
+max is the special 24:00:00 wall clock, which no timestamp-based
+reconstruction can express — the carrier stops one µs short).
 Dates/timestamps start at 1583 (proleptic-Gregorian safe: Spark's parquet
 rebase check rejects pre-1582 values in EXCEPTION mode).
 """
@@ -45,6 +50,15 @@ SCHEMA = T.StructType(
             ),
         ),
         T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField(
+            "ttz",
+            T.StructType(
+                [
+                    T.StructField("micros", T.LongType()),
+                    T.StructField("offset_s", T.IntegerType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -57,6 +71,7 @@ ROWS = [
         "", b"", datetime.date(1583, 1, 1),
         datetime.datetime(1583, 1, 1, 0, 0, 0, 1),
         [], [-(2**31), -1, 0, 1, 2**31 - 1], (None, None), {},
+        (0, 57599),
     ),
     (
         1, True, 127, 32767, 2**31 - 1, 2**63 - 1,
@@ -66,6 +81,7 @@ ROWS = [
         "héllo wörld 🦆" * 10, b"\x00\x01\xff", datetime.date(9999, 12, 31),
         datetime.datetime(9999, 12, 31, 23, 59, 59, 999999),
         ["a", "", "ünïcode", None], [], (42, "x"), {"k1": 1, "k2": None},
+        (86_399_999_999, -57599),
     ),
     (2,) + (None,) * (len(SCHEMA) - 1),
 ]

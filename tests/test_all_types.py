@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pytest
 
+from quackspark.functions import compat
 from quackspark.oracle import compare
 from quackspark.sources.alltypes import all_types_df
 
@@ -51,6 +52,16 @@ def test_all_types_transformation_matrix(spark, alltypes_path):
         F.col("st.a").alias("st_a"),
         F.element_at("m", "k1").alias("m_k1"),
         F.isnull("d").alias("d_isnull"),
+        # TIME_TZ carrier vs native TIMETZ: the comparison must match the
+        # engine comparing real TIMETZ values (wall µs asc, offset desc)
+        (
+            compat.time_tz_sort_key(F.col("ttz"))
+            < compat.time_tz_sort_key(
+                compat.make_time_tz(F.lit(12 * 3_600_000_000), F.lit(3600))
+            )
+        ).alias("ttz_lt_noon"),
+        F.col("ttz.micros").alias("ttz_us"),
+        F.col("ttz.offset_s").alias("ttz_off"),
     )
     # size(NULL) is -1 under Spark's legacy default — array_size matches
     # DuckDB's len(NULL) = NULL convention.
@@ -70,7 +81,17 @@ def test_all_types_transformation_matrix(spark, alltypes_path):
                il[1] AS il_first,
                st.a AS st_a,
                m['k1'][1] AS m_k1,
-               d IS NULL AS d_isnull
+               d IS NULL AS d_isnull,
+               (CAST(TIMESTAMP '1970-01-01' + to_microseconds(ttz.micros)
+                     AS TIME) ||
+                printf('%s%02d:%02d:%02d',
+                       CASE WHEN ttz.offset_s < 0 THEN '-' ELSE '+' END,
+                       abs(ttz.offset_s) // 3600,
+                       abs(ttz.offset_s) % 3600 // 60,
+                       abs(ttz.offset_s) % 60))::TIMETZ
+                   < TIMETZ '12:00:00+01:00' AS ttz_lt_noon,
+               ttz.micros AS ttz_us,
+               ttz.offset_s AS ttz_off
         FROM '{alltypes_path}/*.parquet'
     """
     problems = compare(df, sql, SF)
