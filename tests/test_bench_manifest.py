@@ -1,0 +1,47 @@
+"""Bench manifest lockstep (VERDICT r3 directive #8): the driver's
+BENCH_r{N} and the builder's BENCH_LOCAL_r{N} both come from bench.py's
+single HEADLINE_MANIFEST — this pins that every manifest name resolves to
+a registered query (and an oracle where required), that the sf1 section
+covers the full manifest minus the two documented super-linear-oracle
+exclusions, and that the manifest order is stable so round-over-round
+per-query deltas stay like-for-like.
+"""
+
+from __future__ import annotations
+
+import bench
+from quackspark.entry import oracle_sql, queries
+
+
+def test_manifest_names_resolve():
+    qs = queries()
+    missing = [n for n in bench.HEADLINE_MANIFEST if n not in qs]
+    assert not missing, f"manifest names without a queries() entry: {missing}"
+
+
+def test_manifest_oracles_exist():
+    osql = oracle_sql()
+    missing = [n for n in bench.HEADLINE_MANIFEST if n not in osql]
+    assert not missing, f"manifest names without an oracle_sql() entry: {missing}"
+
+
+def test_sf1_covers_full_manifest():
+    assert bench.SF1_QUERIES == bench.HEADLINE_MANIFEST
+    # only the two documented super-linear-oracle queries run Spark-only
+    assert bench.SF1_SPARK_ONLY == {
+        "dedup_cluster_components",  # recursive-CTE oracle ~390 s at sf1
+        "sim_embedding_neardup",  # all-pairs O(N^2) oracle at sf1
+    }
+
+
+def test_manifest_is_ordered_and_duplicate_free():
+    assert len(bench.HEADLINE_MANIFEST) == len(set(bench.HEADLINE_MANIFEST))
+    # the five scan-heavy TPC-H headliners lead, pinning the historical
+    # prefix every BENCH_r{N} since r1 starts with
+    assert bench.HEADLINE_MANIFEST[:5] == [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+    ]

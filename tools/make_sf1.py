@@ -97,6 +97,23 @@ def main() -> int:
         """)
     print("events: replicated x", COPIES, "(time-shifted)")
 
+    out = os.path.join(DST, "embeddings.parquet")
+    if not os.path.exists(out):
+        # per-replica perturbation: replicas drift by i·0.001 per element,
+        # so they are near- but not exact duplicates in embedding space
+        # (ANN/k-means shapes stay realistic at 10×)
+        con.execute(f"""
+            COPY (
+                SELECT vec_id + i * {KEY_STRIDE} AS vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x + i * 0.001 AS FLOAT))
+                           AS embedding,
+                       label
+                FROM '{SRC}/embeddings.parquet', range({COPIES}) t(i)
+            ) TO '{out}' (FORMAT PARQUET)
+        """)
+    print("embeddings: replicated x", COPIES, "(perturbed)")
+
     n = con.execute(f"SELECT count(*) FROM '{DST}/lineitem.parquet'").fetchone()[0]
     nd = con.execute(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
     print(f"sf1 ready at {DST}: lineitem rows = {n}, documents = {nd}")
