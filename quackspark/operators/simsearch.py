@@ -140,6 +140,67 @@ def srp_band_keys(sig: Column) -> Column:
     )
 
 
+#: corpus size above which embedding_neardup_pairs switches from the
+#: oracle-mirrored 4-bit banding to scale-adaptive wide banding. With
+#: FIXED-width bands, bucket occupancy grows linearly with the corpus and
+#: candidate pairs grow QUADRATICALLY — measured: 3 s at 2 k vectors,
+#: 211 s at 20 k (r4 sf1 probe). The wide path sizes band bits to
+#: log2(n / TARGET_BUCKET) so expected occupancy stays ~constant at any
+#: corpus size (the property that survives 100 TB); near-dups (cos ≥ 0.9)
+#: still collide with p ≈ 1 per band, while the low-cos candidate tail
+#: loses recall — the standard LSH trade, documented in SCALE.md.
+WIDE_BAND_ROWS = 5_000
+WIDE_PLANES = 64
+#: expected vectors per band bucket the adaptive width aims for
+TARGET_BUCKET = 32
+
+
+def adaptive_band_bits(n: int) -> int:
+    """Band width for ~constant bucket occupancy: ceil(log2(n/TARGET)),
+    clamped to [4, 16] (≥4 keeps parity with the narrow construction's
+    floor; ≤16 leaves ≥4 bands out of 64 planes for recall)."""
+    import math
+
+    if n <= TARGET_BUCKET:
+        return 4
+    return min(16, max(4, math.ceil(math.log2(n / TARGET_BUCKET))))
+
+
+def srp_band_keys_arrow(
+    vec: Column, n_planes: int = WIDE_PLANES, band_bits: int = 8
+) -> Column:
+    """'band:value' keys straight from one Arrow kernel over the wide
+    signature (no BIGINT packing, so no sign-bit games at 64 planes).
+    Same plane constants (srp_signs) and the same IEEE fold order as
+    srp_signature_arrow, just more planes."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [[float(s) for s in srp_signs(p, DIM)] for p in range(n_planes)]
+    ).T  # dim × n_planes
+    n_bands = n_planes // band_bits
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    @F.pandas_udf("array<string>")
+    def _keys(vecs):
+        a = np.vstack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((a.shape[0], n_planes))
+        for i in range(S.shape[0]):
+            acc += a[:, i : i + 1] * S[i]
+        bits = acc > 0
+        vals = np.stack(
+            [bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+             for b in range(n_bands)],
+            axis=1,
+        )
+        return pd.Series(
+            [[f"{b}:{int(v)}" for b, v in enumerate(row)] for row in vals]
+        )
+
+    return _keys(vec)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,25 +250,39 @@ def brute_force_topk(
     )
 
 
-def _banded(df: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame:
+def _banded(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    prefix: str,
+    wide: bool = False,
+    band_bits: int = 8,
+) -> DataFrame:
     """(id, vec, norm, band) rows. The signature is materialized in its own
     projection before band-splitting — band_keys references it 2× per band
     and the join consumes it twice, so inlining the 16-plane HOF expression
     would recompute it ~8× (the minhash lesson, operators/dedup.py). The
     vector norm is computed HERE, once per row, so the O(candidates)
     verification stage pays one dot-product fold per pair instead of
-    three (norms are pair-invariant)."""
+    three (norms are pair-invariant). ``wide`` switches to the 64-plane /
+    8-bit band construction (see WIDE_BAND_ROWS)."""
+    keys = (
+        srp_band_keys_arrow(F.col(vec_col), band_bits=band_bits)
+        if wide
+        else None
+    )
     sig_df = df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         F.col(vec_col).alias(f"{prefix}_vec"),
         norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
-        srp_signature_arrow(F.col(vec_col)).alias("sig"),
+        (keys if wide else srp_signature_arrow(F.col(vec_col))).alias("sig"),
     ).localCheckpoint(eager=False)
+    bands = F.col("sig") if wide else srp_band_keys(F.col("sig"))
     return sig_df.select(
         f"{prefix}_id",
         f"{prefix}_vec",
         f"{prefix}_nrm",
-        F.explode(srp_band_keys(F.col("sig"))).alias("band"),
+        F.explode(bands).alias("band"),
     )
 
 
@@ -343,8 +418,22 @@ def embedding_neardup_pairs(
     threshold: float = 0.45,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs via SRP band blocking,
-    verified by exact cosine ≥ threshold."""
-    e = _banded(corpus, vec_col, id_col, "e")
+    verified by exact cosine ≥ threshold.
+
+    Scale-adaptive banding: above WIDE_BAND_ROWS vectors the 4-bit bands
+    are replaced by log2(n/TARGET_BUCKET)-bit bands over a 64-plane
+    signature — fixed-width narrow bands make candidate pairs grow
+    quadratically with the corpus (bucket occupancy ∝ n), measured
+    3 s → 211 s for 2 k → 20 k vectors; occupancy-targeted width keeps
+    expected pairs ~linear at any corpus size. The one count() job that
+    picks the width is metadata-cheap on parquet. The sub-knee
+    (oracle-mirrored) construction is bit-stable."""
+    n = corpus.count()
+    wide = n > WIDE_BAND_ROWS
+    e = _banded(
+        corpus, vec_col, id_col, "e", wide=wide,
+        band_bits=adaptive_band_bits(n),
+    )
     a, b = e.alias("a"), e.alias("b")
     # cos is computed on raw band collisions: vectors die at the join's
     # output projection and the dedup shuffle carries only (d1, d2, cos)

@@ -5205,17 +5205,27 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         names = import_database(spark, m.group(1))
         return spark.createDataFrame([(n,) for n in sorted(names)], "table string")
     if m := re.match(
-        r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)\s*;?\s*$",
+        r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)"
+        r"\s*(?:\(\s*READ_ONLY\s*\))?\s*;?\s*$",
         duckdb_sql,
         re.I,
     ):
         # reference ATTACH (duckdb.hpp:11990): an exported-database dir
         # becomes a Spark database of external parquet tables, queryable
-        # as alias.table — the dotted-namespace semantics of the original
+        # as alias.table — the dotted-namespace semantics of the original.
+        # A native single-file .duckdb database attaches through the
+        # Arrow-streaming bridge (sources/duckfile.py).
         import json
         import os
 
         src, alias = m.group(1), m.group(2)
+        if os.path.isfile(src):
+            from quackspark.sources.duckfile import attach_duckdb_file
+
+            names = attach_duckdb_file(spark, src, alias)
+            return spark.createDataFrame(
+                [(alias, n) for n in sorted(names)], "db string, table string"
+            )
         with open(os.path.join(src, "load.json")) as fh:
             meta = json.load(fh)
         if meta.get("format") != "parquet":

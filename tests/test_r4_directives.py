@@ -126,3 +126,38 @@ def test_concurrent_writer_fails_loudly(spark):
     sql(spark, "DELETE FROM cw_t WHERE k = 2")
     assert sql(spark, "SELECT count(*) AS n FROM cw_t").collect()[0][0] == 1
     sql(spark, "DROP TABLE cw_t")
+
+
+def test_neardup_adaptive_banding_scales_and_keeps_neardups(spark):
+    """r4 scale fix: above WIDE_BAND_ROWS vectors, embedding_neardup_pairs
+    switches to occupancy-targeted wide bands (fixed 4-bit bands made
+    candidate pairs quadratic in corpus size — 3 s → 211 s for 2 k → 20 k).
+    Pins: (1) every emitted pair truly verifies cos ≥ threshold,
+    (2) true near-duplicates (perturbed replicas, cos ≈ 1) are all found,
+    (3) the sub-knee corpus still uses the oracle-mirrored narrow path
+    (covered by sim_embedding_neardup parity)."""
+    from quackspark.operators import simsearch as S
+
+    emb = load_table(spark, SF.replace("0.001", "0.01"), "embeddings")
+    # 12 perturbed replicas per vector → > WIDE_BAND_ROWS rows, with known
+    # intra-cluster near-dup pairs
+    reps = emb.selectExpr(
+        "explode(sequence(0, 11)) AS i", "vec_id", "embedding"
+    ).selectExpr(
+        "vec_id + i * 1000000 AS vec_id",
+        "transform(embedding, (x, j) -> CAST(x + i * 0.0005 AS FLOAT)) AS embedding",
+    )
+    n = reps.count()
+    assert n > S.WIDE_BAND_ROWS
+    pairs = S.embedding_neardup_pairs(reps, threshold=0.45)
+    rows = pairs.collect()
+    # (1) verification is exact on every emitted pair
+    assert all(r["cos"] >= 0.45 for r in rows)
+    # (2) replica pairs (same base id) are near-identical vectors: recall
+    # on the near-dup regime must be ~total (allow a whisker for vectors
+    # that are near a hyperplane on EVERY band)
+    base = lambda v: v % 1000000
+    found_rep = sum(1 for r in rows if base(r["d1"]) == base(r["d2"]))
+    n_base = emb.count()
+    expected_rep = n_base * 66  # 12 replicas choose 2 per base id
+    assert found_rep >= 0.97 * expected_rep, (found_rep, expected_rep)
