@@ -132,10 +132,17 @@ def _drop_persisted(spark) -> None:
     the dedup/pipeline queries): without this, ~25 queries × 3 runs of
     checkpointed partitions accumulate in the block manager and the late
     bench sections degrade 5× from GC pressure (observed: sf1 q10 1.3s
-    fresh vs 14.3s late-session)."""
+    fresh vs 14.3s late-session). The explicit System.gc() matters for a
+    second reason: Spark's ContextCleaner reclaims shuffle files,
+    broadcast blocks, and accumulators via JVM weak-reference queues — on
+    a 128 GiB heap a full GC may not happen for minutes, so 100+ queries
+    of driver metadata pile up and the LATE sf1 section measured 4-7×
+    slower than the identical query isolated (r4: text_fingerprint 1.4 s
+    isolated vs 5.2 s late-bench before this)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rdd in jmap.values():
         rdd.unpersist()
+    spark._jvm.System.gc()
 
 
 def main() -> None:

@@ -4,9 +4,19 @@ generates min/max/NULL rows for every type to drive cast-matrix and
 NULL-propagation testing (SURVEY §5, FIXTURES.md §5).
 
 Per type: row 0 = minimum (or empty), row 1 = maximum (or a dense
-non-ASCII value), row 2 = NULL. Types with no parquet/Spark representation
-(INTERVAL, TIME, BIT, UNION) are excluded and documented in SURVEY §7;
-unsigned ints appear via their next-wider signed carriers as in §1.2.
+non-ASCII value), row 2 = NULL. UNION is the one type with no carrier
+column here (its struct{tag, members} sugar is oracle-tested in
+queries/unionenum.py); unsigned ints appear via their next-wider signed
+carriers as in §1.2. The remaining DuckDB-only types ride their
+documented carriers, each reconstructed natively in the oracle matrix:
+- TIME (duckdb.hpp:914): `tm` BIGINT µs-since-midnight
+  (compat.time_of_day_micros), min 0 / max 86399999999.
+- INTERVAL (duckdb.hpp:925): `iv` struct<months INT, days INT,
+  micros BIGINT> — the exact three-field physical struct the reference
+  stores (interval_t).
+- BIT (duckdb.hpp:932): `bits` '0'/'1' string carrier (the same one the
+  frontend's get_bit/set_bit/bitstring_agg emulation uses); min is the
+  single bit '0' — DuckDB itself rejects an empty BIT.
 TIME_TZ (duckdb.hpp:931) rides its struct carrier `ttz` (wall-clock µs +
 offset seconds — functions/compat.make_time_tz): min
 '00:00:00+15:59:59'; max '23:59:59.999999-15:59:59' (DuckDB's literal
@@ -59,6 +69,18 @@ SCHEMA = T.StructType(
                 ]
             ),
         ),
+        T.StructField("tm", T.LongType()),
+        T.StructField(
+            "iv",
+            T.StructType(
+                [
+                    T.StructField("months", T.IntegerType()),
+                    T.StructField("days", T.IntegerType()),
+                    T.StructField("micros", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField("bits", T.StringType()),
     ]
 )
 
@@ -72,6 +94,7 @@ ROWS = [
         datetime.datetime(1583, 1, 1, 0, 0, 0, 1),
         [], [-(2**31), -1, 0, 1, 2**31 - 1], (None, None), {},
         (0, 57599),
+        0, (0, 0, 0), "0",
     ),
     (
         1, True, 127, 32767, 2**31 - 1, 2**63 - 1,
@@ -82,6 +105,7 @@ ROWS = [
         datetime.datetime(9999, 12, 31, 23, 59, 59, 999999),
         ["a", "", "ünïcode", None], [], (42, "x"), {"k1": 1, "k2": None},
         (86_399_999_999, -57599),
+        86_399_999_999, (14, 25, 3_723_000_456), "1011001",
     ),
     (2,) + (None,) * (len(SCHEMA) - 1),
 ]

@@ -62,6 +62,18 @@ def test_all_types_transformation_matrix(spark, alltypes_path):
         ).alias("ttz_lt_noon"),
         F.col("ttz.micros").alias("ttz_us"),
         F.col("ttz.offset_s").alias("ttz_off"),
+        # TIME carrier vs native TIME; INTERVAL struct carrier vs native
+        # interval arithmetic/extraction; BIT string carrier vs native BIT
+        F.floor(F.col("tm") / F.lit(3_600_000_000)).cast("long").alias("tm_hour"),
+        (F.col("tm") % 1_000_000).alias("tm_subsec_us"),
+        F.expr(
+            "TIMESTAMP '2000-01-15 01:02:03' + make_interval(0, iv.months, "
+            "0, iv.days, 0, 0, CAST(iv.micros AS DECIMAL(18,6)) / 1000000)"
+        ).alias("iv_plus_ts"),
+        (F.col("iv.months") % 12).cast("long").alias("iv_month_part"),
+        F.length("bits").cast("long").alias("bit_len"),
+        F.when(F.length("bits") >= 3, F.substring("bits", 3, 1) == "1")
+        .alias("bit2_set"),
     )
     # size(NULL) is -1 under Spark's legacy default — array_size matches
     # DuckDB's len(NULL) = NULL convention.
@@ -91,7 +103,19 @@ def test_all_types_transformation_matrix(spark, alltypes_path):
                        abs(ttz.offset_s) % 60))::TIMETZ
                    < TIMETZ '12:00:00+01:00' AS ttz_lt_noon,
                ttz.micros AS ttz_us,
-               ttz.offset_s AS ttz_off
+               ttz.offset_s AS ttz_off,
+               hour(CAST(TIMESTAMP '1970-01-01' + to_microseconds(tm) AS TIME))::BIGINT
+                   AS tm_hour,
+               tm % 1000000 AS tm_subsec_us,
+               TIMESTAMP '2000-01-15 01:02:03'
+                   + (to_months(iv.months) + to_days(iv.days)
+                      + to_microseconds(iv.micros)) AS iv_plus_ts,
+               date_part('month', to_months(iv.months) + to_days(iv.days)
+                                  + to_microseconds(iv.micros))::BIGINT
+                   AS iv_month_part,
+               length(bits::BIT)::BIGINT AS bit_len,
+               CASE WHEN length(bits) >= 3 THEN get_bit(bits::BIT, 2) = 1
+                    END AS bit2_set
         FROM '{alltypes_path}/*.parquet'
     """
     problems = compare(df, sql, SF)
