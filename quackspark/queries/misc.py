@@ -216,7 +216,29 @@ def misc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def misc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout key over two query dimensions —
+    the write-side clustering that makes parquet min/max stats prune
+    range predicates on EITHER column (operators/layout.py; the
+    distributed stand-in for the reference's clustered row-group zone
+    maps, duckdb-internal.hpp §storage). The key is pure shift/mask
+    codegen; production use feeds it to repartitionByRange + sorted
+    write — here the curve order itself is oracled."""
+    from quackspark.operators.layout import zorder_key
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    x = F.col("c_custkey") % 16
+    y = F.col("c_nationkey") % 16
+    return c.select(
+        "c_custkey",
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        zorder_key(x, y, bits=4).alias("z"),
+    ).orderBy("z", "c_custkey")
+
+
 QUERIES = {
+    "misc_zorder_layout": misc_zorder_layout,
     "misc_pivot_counts": misc_pivot_counts,
     "misc_unpivot": misc_unpivot,
     "misc_generic_funcs2": misc_generic_funcs2,
@@ -232,6 +254,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "misc_zorder_layout": """
+    SELECT c_custkey,
+           CAST(c_custkey % 16 AS BIGINT) AS x,
+           CAST(c_nationkey % 16 AS BIGINT) AS y,
+           CAST(((((((c_custkey % 16) & 15) >> 0) & 1) << 0) + (((((c_nationkey % 16) & 15) >> 0) & 1) << 1) + (((((c_custkey % 16) & 15) >> 1) & 1) << 2) + (((((c_nationkey % 16) & 15) >> 1) & 1) << 3) + (((((c_custkey % 16) & 15) >> 2) & 1) << 4) + (((((c_nationkey % 16) & 15) >> 2) & 1) << 5) + (((((c_custkey % 16) & 15) >> 3) & 1) << 6) + (((((c_nationkey % 16) & 15) >> 3) & 1) << 7)) AS BIGINT) AS z
+    FROM customer WHERE c_custkey <= 200
+    ORDER BY z, c_custkey
+""",
     # the reference's own friendly-PIVOT grammar IS the oracle text —
     # proving the frontend and the DataFrame form agree with it
     "misc_pivot_counts": """

@@ -376,8 +376,58 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: negatives per document for contrastive-pair sampling
+_NEG_K = 3
+
+
+def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each document draws _NEG_K pseudo-random partners via an md5 stream
+    (reproducible across retries/engines — the property a distributed
+    sampler must have, since rand() re-rolls on task retry), self-hits
+    shift by one, and the partner's metadata is fetched with ONE join
+    keyed by the uniform negative id. Corpus size joins in-plan as a
+    broadcast 1-row aggregate — no driver round-trip.
+
+    Scale shape: k·N rows shuffled once on an md5-uniform key — the
+    standard negatives-fetch join; nothing quadratic, nothing skewed."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    pairs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "doc_id",
+            "n_corpus",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+        )
+    )
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % F.col("n_corpus")
+    neg = F.when(raw == F.col("doc_id"), (raw + 1) % F.col("n_corpus")).otherwise(raw)
+    picked = pairs.select(
+        "doc_id", F.col("j").cast("long").alias("j"), neg.alias("neg_id")
+    )
+    meta = d.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return (
+        picked.join(meta, "neg_id")
+        .select("doc_id", "j", "neg_id", "neg_source", "neg_lang")
+        .orderBy("doc_id", "j")
+    )
+
+
 QUERIES = {
     "pipeline_training_prep_v2": pipeline_training_prep_v2,
+    "pipeline_negative_sampling": pipeline_negative_sampling,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_pack_stats": pipeline_pack_stats,
     "pipeline_split": pipeline_split,
@@ -564,6 +614,26 @@ ORACLES["pipeline_temperature_mix"] = f"""
 # capstone oracle: all six stages in one statement — exact dedup, LSH
 # pairs, recursive-CTE clustering with longest-member survivor,
 # lang/quality gates, α=0.5 temperature mix, per-source rollup
+ORACLES["pipeline_negative_sampling"] = f"""
+    WITH cnt AS (SELECT count(*) AS n_corpus FROM documents),
+    pairs AS (
+        SELECT doc_id, n_corpus, unnest(generate_series(0, {_NEG_K - 1})) AS j
+        FROM documents CROSS JOIN cnt
+    ), picked AS (
+        SELECT doc_id, j,
+               CASE WHEN raw = doc_id THEN (raw + 1) % n_corpus ELSE raw END
+                   AS neg_id
+        FROM (SELECT doc_id, j, n_corpus,
+                     ('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT
+                         % n_corpus AS raw
+              FROM pairs) _r
+    )
+    SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, p.neg_id,
+           d.source AS neg_source, d.lang AS neg_lang
+    FROM picked p JOIN documents d ON p.neg_id = d.doc_id
+    ORDER BY p.doc_id, p.j
+"""
+
 ORACLES["pipeline_training_prep_v2"] = f"""
     WITH RECURSIVE norm AS (
         SELECT doc_id, text, lang, source,

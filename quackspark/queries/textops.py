@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackspark.functions import text as T
-from quackspark.queries._util import load_table, parallelize_kernel_input
+from quackspark.queries._util import (
+    davg,
+    load_table,
+    o_davg,
+    parallelize_kernel_input,
+)
 
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "in"],
@@ -330,7 +335,54 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: hashed-feature buckets of the linear classifier
+_CLS_BUCKETS = 256
+
+
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference over hashed token features — the
+    fastText-style 'apply a small model to every document' pass a
+    curation pipeline runs at full-corpus scale. The model here is a
+    deterministic md5-derived weight table (so the oracle replays it
+    bit-for-bit without shipping artifacts); a real deployment swaps the
+    generated CTE for its trained weights and keeps the identical plan:
+    weights generated IN-PLAN from range(B) and broadcast into the
+    token→bucket join, per-doc mean via the exact scaled-long path, one
+    shuffle keyed by doc_id. Nothing about the plan changes when B grows
+    to a few million parameters — the broadcast is the model size."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(_CLS_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), F.col("id"))), 1, 4),
+                16, 10,
+            ).cast("long") % 2000 / 1000.0 - 1.0
+        ).alias("w"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+            % _CLS_BUCKETS
+        ).cast("int").alias("bucket"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            davg("w").alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_hashed_classifier": text_hashed_classifier,
     "text_bigram_logprob": text_bigram_logprob,
     "text_chunk_windows": text_chunk_windows,
     "text_pii_scrub": text_pii_scrub,
@@ -517,6 +569,25 @@ ORACLES = {
 
 # bigram LM scoring oracle: identical counts, identical position-ordered
 # left fold (the Spark side's array_sort(collect_list(struct)) + aggregate)
+ORACLES["text_hashed_classifier"] = f"""
+    WITH weights AS (
+        SELECT CAST(i AS INT) AS bucket,
+               ('0x' || substr(md5('w' || i), 1, 4))::BIGINT % 2000
+                   / 1000.0 - 1.0 AS w
+        FROM generate_series(0, {_CLS_BUCKETS - 1}) _r(i)
+    ), toks AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT
+                    % {_CLS_BUCKETS} AS INT) AS bucket
+        FROM (SELECT doc_id, unnest({{toks}}) AS tok FROM documents) _t
+    )
+    SELECT doc_id, count(*) AS n_tok,
+           {o_davg('w')} AS score,
+           {o_davg('w')} > 0 AS keep
+    FROM toks JOIN weights USING (bucket)
+    GROUP BY doc_id ORDER BY doc_id
+""".replace("{toks}", _SQL_TOKS_LOWER)
+
 ORACLES["text_bigram_logprob"] = f"""
     WITH toked AS (
         SELECT doc_id AS doc, {_SQL_TOKS_LOWER} AS t FROM documents

@@ -2937,7 +2937,19 @@ _TYPE_RENAMES = {
     "hugeint": "DECIMAL(38,0)",
     "uuid": "STRING",
 }
-_TYPE_UNSUPPORTED = {"time"}
+_TYPE_UNSUPPORTED = {"time", "timetz"}
+
+_TYPE_REFUSAL_HINTS = {
+    "time": "carry times as µs-since-midnight BIGINT "
+            "(compat.time_of_day_micros)",
+    "timetz": "carry TIME_TZ as struct<micros,offset_s> with "
+              "compat.make_time_tz/time_tz_sort_key (DuckDB orders wall "
+              "µs asc then offset DESC — a struct compare cannot express "
+              "the descending tiebreak)",
+    "enum": "compare/sort on the dictionary insertion index via "
+            "array_position(array('a','b',…), x) — a faithful inline "
+            "ENUM would need context-dependent label/index duality",
+}
 
 
 def _rewrite_typenames(toks: list[str]) -> list[str]:
@@ -2954,7 +2966,20 @@ def _rewrite_typenames(toks: list[str]) -> list[str]:
         ):
             # only cast positions: `::TIME` always; `AS TIME` only inside a
             # CAST(...) — a column *aliased* `AS time` stays an alias
-            raise UnsupportedSQL(f"type {t.upper()} has no Spark equivalent")
+            raise UnsupportedSQL(
+                f"type {t.upper()} has no Spark equivalent — "
+                f"{_TYPE_REFUSAL_HINTS[low]}"
+            )
+        if low == "enum" and nxt == "(" and (
+            prev == "::" or (prev == "as" and _in_cast(toks, i))
+        ):
+            # anonymous ENUM cast (duckdb.hpp:944): insertion-order
+            # comparison semantics are not expressible as a plain string
+            # column — refuse with the carrier guidance rather than let
+            # the paren list reach Spark as a parse error
+            raise UnsupportedSQL(
+                f"CAST(… AS ENUM(…)) — {_TYPE_REFUSAL_HINTS['enum']}"
+            )
         out.append(t)
     return out
 

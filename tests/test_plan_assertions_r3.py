@@ -49,17 +49,20 @@ def test_temperature_mix_rates_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_kmeans_centroids_broadcast(spark):
-    """Lloyd assignment is corpus ⨯ broadcast(K centroids) — the corpus
-    side must never be exchanged for the cross join."""
+def test_kmeans_assignment_is_map_only(spark):
+    """Lloyd assignment is a map-only Arrow argmin against driver-held
+    centroids (r4) — no join of any kind touches the corpus, and the only
+    exchanges in a fit round belong to the K×DIM mean update."""
     from quackspark.operators.kmeans import kmeans_fit
     from quackspark.session import load_table
 
     e = load_table(spark, SF, "embeddings")
     cents = kmeans_fit(e, k=4, iters=2)
     plan = _plan(cents)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_gapfill_single_sort_per_window_partition(spark):

@@ -23,10 +23,14 @@ from quackspark.sqlfront import UnsupportedSQL
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: the complete honest-failure list — anything else must MATCH
-#: (empty since round 3: LIMIT n PERCENT now runs the count pass in the
-#: frontend, BIT is emulated on the '0'/'1' string carrier)
-EXPECTED_UNSUPPORTED: set[str] = set()
+#: the complete honest-failure list — anything else must MATCH.
+#: (Was empty in round 3; the two r4 type-carrier oracles deliberately
+#: use native TIMETZ/ENUM constructions so the differential check pins
+#: carrier semantics to the engine's — the frontend refuses those types
+#: with pointed carrier guidance instead of mistranslating: TIMETZ's
+#: offset-DESCENDING tiebreak can't ride a struct compare, and an inline
+#: ENUM cast is label-or-index depending on context.)
+EXPECTED_UNSUPPORTED: set[str] = {"dt_time_tz", "enum_insertion_order"}
 
 
 def _corpus() -> dict[str, str]:
