@@ -57,6 +57,13 @@ TABLES = ["nation", "region", "customer", "orders"]
 
 STR_LITS = ["'A'", "'BRAZIL'", "'x%'", "'_a_'", "$tag$dollar ' quoted$tag$",
             "E'esc\\nline'", "'it''s'"]
+
+#: (left, right, left_key, right_key) equi-join relationships
+JOINS = [
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
 INT_LITS = ["0", "1", "7", "42", "1_000", "-3"]
 
 
@@ -234,10 +241,40 @@ class Gen:
 
     # --- composition ----------------------------------------------------------
 
+    def join_core(self):
+        """Two-table equi join: projection/aggregate over the joined pair,
+        USING-vs-ON and join-type variety."""
+        lt, rt, lk, rk = self.pick(JOINS)
+        jt = self.pick(["JOIN", "INNER JOIN", "LEFT JOIN"])
+        cond = f"ON {lk} = {rk}"
+        form = self.r.randrange(3)
+        if form == 0:
+            items = [f"{self.pick(INT_COLS[lt])} AS c0",
+                     f"{self.pick(STR_COLS[rt])} AS c1"]
+            sql = (f"SELECT {', '.join(items)} FROM {lt} {jt} {rt} {cond}")
+            names = ["c0", "c1"]
+            if self.r.random() < 0.5:
+                sql += f" WHERE {self.pred(lt)}"
+        elif form == 1:
+            key = self.pick(STR_COLS[rt])
+            sql = (f"SELECT {key} AS k, count(*) AS a0, "
+                   f"max({self.pick(INT_COLS[lt])}) AS a1 "
+                   f"FROM {lt} {jt} {rt} {cond} GROUP BY k")
+            names = ["k", "a0", "a1"]
+        else:
+            # join against an aggregated subquery (derived dimension)
+            sql = (f"SELECT {self.pick(STR_COLS[lt])} AS c0, agg.a AS c1 "
+                   f"FROM {lt} JOIN (SELECT {rk} AS jk, count(*) AS a "
+                   f"FROM {rt} GROUP BY jk) agg ON {lk} = agg.jk")
+            names = ["c0", "c1"]
+        return sql, names
+
     def statement(self):
         t = self.pick(TABLES)
-        form = self.r.randrange(10)
-        if form < 4:
+        form = self.r.randrange(12)
+        if form >= 10:
+            sql, names = self.join_core()
+        elif form < 4:
             sql, names = self.core(t)
         elif form < 6:
             # set op between two same-shaped plain cores
