@@ -381,8 +381,44 @@ def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def pipeline_lm_head_middle_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket the corpus by corpus-trained
+    LM score terciles (head = most fluent third, tail = least) — the
+    canonical perplexity-stratified curation step before sampling. The
+    tercile thresholds are ONE global percentile row broadcast back
+    (rounded 6dp on both engines so boundary docs bucket identically);
+    the LM scores come from text_bigram_logprob's plan, so the whole
+    split is counts + one tiny agg on top of the scoring pass."""
+    scores = text_bigram_logprob(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    s = scores.join(d, "doc")
+    th = s.agg(
+        F.round(F.expr("percentile(avg_logprob, 0.3333333333333333)"), 6).alias("t1"),
+        F.round(F.expr("percentile(avg_logprob, 0.6666666666666666)"), 6).alias("t2"),
+    )
+    j = s.crossJoin(F.broadcast(th))
+    bucket = (
+        F.when(F.col("avg_logprob") < F.col("t1"), "tail")
+        .when(F.col("avg_logprob") < F.col("t2"), "middle")
+        .otherwise("head")
+    )
+    return (
+        j.select(bucket.alias("bucket"), "source", "avg_logprob")
+        .groupBy("bucket", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(davg("avg_logprob"), 6).alias("mean_lp"),
+        )
+        .orderBy("bucket", "source")
+    )
+
 QUERIES = {
     "text_hashed_classifier": text_hashed_classifier,
+    "pipeline_lm_head_middle_tail": pipeline_lm_head_middle_tail,
     "text_bigram_logprob": text_bigram_logprob,
     "text_chunk_windows": text_chunk_windows,
     "text_pii_scrub": text_pii_scrub,
@@ -587,6 +623,50 @@ ORACLES["text_hashed_classifier"] = f"""
     FROM toks JOIN weights USING (bucket)
     GROUP BY doc_id ORDER BY doc_id
 """.replace("{toks}", _SQL_TOKS_LOWER)
+
+
+
+# head/middle/tail: identical scoring CTEs as text_bigram_logprob, then
+# quantile_cont terciles (rounded 6dp like the Spark side) and the rollup
+ORACLES["pipeline_lm_head_middle_tail"] = f"""
+    WITH toked AS (
+        SELECT doc_id AS doc, {_SQL_TOKS_LOWER} AS t FROM documents
+    ), bg AS (
+        SELECT doc, i AS pos, t[i] AS w1, t[i] || ' ' || t[i+1] AS b
+        FROM (SELECT doc, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toked WHERE len(t) >= 2) _e
+    ), bgc AS (
+        SELECT b, count(*) AS cb FROM bg GROUP BY b
+    ), w1c AS (
+        SELECT w1, count(*) AS cw FROM bg GROUP BY w1
+    ), scored AS (
+        SELECT doc, pos, ln(CAST(cb AS DOUBLE) / cw) AS lp
+        FROM bg JOIN bgc USING (b) JOIN w1c USING (w1)
+    ), agg AS (
+        SELECT doc, list(lp ORDER BY pos) AS lps FROM scored GROUP BY doc
+    ), per_doc AS (
+        SELECT t.doc,
+               round(coalesce(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps),
+                               (x, y) -> x + y) / len(lps),
+                   0.0), 6) AS avg_logprob,
+               d.source
+        FROM toked t LEFT JOIN agg ON agg.doc = t.doc
+        JOIN documents d ON d.doc_id = t.doc
+    ), th AS (
+        SELECT round(quantile_cont(avg_logprob, 0.3333333333333333), 6) AS t1,
+               round(quantile_cont(avg_logprob, 0.6666666666666666), 6) AS t2
+        FROM per_doc
+    )
+    SELECT CASE WHEN avg_logprob < t1 THEN 'tail'
+                WHEN avg_logprob < t2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           source,
+           count(*) AS docs,
+           round({o_davg('avg_logprob')}, 6) AS mean_lp
+    FROM per_doc CROSS JOIN th
+    GROUP BY 1, 2 ORDER BY bucket, source
+"""
 
 ORACLES["text_bigram_logprob"] = f"""
     WITH toked AS (
