@@ -256,6 +256,37 @@ def main() -> None:
                 if d1.get(n, -1) > 0 and duck.get(n, -1) > 0
             }
     print(json.dumps(out))
+    # the round driver captures only the last ~2000 chars of stdout and
+    # parses the final line — the full object above exceeds that (r3's
+    # BENCH record shows a mid-JSON truncated tail, parsed={}), so emit a
+    # compact spec-shaped summary LAST: same metric/value/unit/queries/sf
+    # keys at 3 dp plus scalar sf1 aggregates. Per-query sf1 detail lives
+    # in the full line and the committed BENCH_LOCAL_r{N}.json.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": out["sf"],
+    }
+    if "ratio_spark_vs_duckdb" in out:
+        compact["duckdb_value"] = out["duckdb_value"]
+        compact["ratio_spark_vs_duckdb"] = out["ratio_spark_vs_duckdb"]
+    if "sf1" in out:
+        s1o = out["sf1"]
+        covered = [
+            n for n, v in s1o["spark_queries"].items()
+            if v > 0 and s1o["duckdb_queries"].get(n, -1) > 0
+        ]
+        tot_s = round(sum(s1o["spark_queries"][n] for n in covered), 3)
+        tot_d = round(sum(s1o["duckdb_queries"][n] for n in covered), 3)
+        compact["sf1_summary"] = {
+            "covered_queries": len(covered),
+            "spark_total": tot_s,
+            "duckdb_total": tot_d,
+            "ratio": round(tot_s / tot_d, 3) if tot_d else None,
+        }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
