@@ -95,3 +95,34 @@ def test_detach_removes_alias(spark, duck_file):
     sql(spark, "DETACH legacy4")
     with pytest.raises(Exception):
         spark.table("legacy4.people").collect()
+
+
+def test_attach_large_table_multi_batch(spark, tmp_path):
+    """Streaming path: a table larger than 4×BATCH_ROWS must roll over
+    multiple parquet part files and come back row-complete (pins the
+    bounded-memory batch loop, not just the small-table path)."""
+    import os
+
+    from quackspark.sources import duckfile
+
+    n = 4 * duckfile.BATCH_ROWS + 12345  # > one writer's worth
+    p = str(tmp_path / "big.duckdb")
+    con = duckdb.connect(p)
+    con.execute(
+        f"CREATE TABLE big AS SELECT range AS id, range % 97 AS k, "
+        f"'v' || range AS v FROM range({n})"
+    )
+    con.close()
+    sql(spark, f"ATTACH '{p}' AS bigdb")
+    got = sql(
+        spark,
+        "SELECT count(*) AS n, sum(id) AS s, count(DISTINCT k) AS dk "
+        "FROM bigdb.big",
+    ).collect()[0]
+    assert (got["n"], got["s"], got["dk"]) == (n, n * (n - 1) // 2, 97)
+    # multiple part files were produced (splittable for Spark)
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    parts = os.listdir(os.path.join(wh, "bigdb__duckfile", "big"))
+    assert sum(1 for f in parts if f.endswith(".parquet")) >= 2
+    sql(spark, "DETACH bigdb")
