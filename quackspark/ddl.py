@@ -518,11 +518,14 @@ def _run_insert_conflict(
     conflict_target: str | None,
     do_action: str | None,
 ) -> DataFrame | None:
-    """INSERT OR IGNORE / OR REPLACE / ON CONFLICT DO NOTHING (reference
-    OnConflictInfo). IGNORE/NOTHING = anti-join the new rows against the
-    existing key set; REPLACE = delete matching keys, then append. ON
-    CONFLICT DO UPDATE (partial upsert) refuses — use OR REPLACE or a
-    table format with MERGE."""
+    """INSERT OR IGNORE / OR REPLACE / ON CONFLICT DO NOTHING / ON
+    CONFLICT DO UPDATE (reference OnConflictInfo; upsert grammar
+    duckdb-libpg_query.cpp OnConflictClause). IGNORE/NOTHING = anti-join
+    the new rows against the existing key set; REPLACE = delete matching
+    keys, then append; DO UPDATE = MERGE over the copy-on-write swap —
+    matched rows get the SET expressions (``excluded.col`` = proposed
+    row, bare ``col`` = existing row, optional DO UPDATE WHERE gates the
+    update per-row), unmatched new rows insert as-is."""
     from quackspark.sqlfront import UnsupportedSQL, transpile
 
     if or_action is None and do_action is None:
@@ -530,11 +533,6 @@ def _run_insert_conflict(
     action = (or_action or "").upper().replace(" ", "_") or (
         "OR_IGNORE" if do_action.upper() == "NOTHING" else "DO_UPDATE"
     )
-    if do_action and do_action.upper() != "NOTHING":
-        raise UnsupportedSQL(
-            "ON CONFLICT DO UPDATE: partial upsert needs MERGE — use "
-            "INSERT OR REPLACE (full-row) or a table format with a log"
-        )
     if source.lstrip().startswith("("):
         raise UnsupportedSQL(
             "INSERT conflict clause with an explicit column list — "
@@ -553,10 +551,10 @@ def _run_insert_conflict(
         )
         fresh.write.insertInto(table, overwrite=False)
         return _status(spark, table=table, status="inserted (conflicts ignored)")
-    # OR REPLACE: drop existing rows with matching keys, append new rows.
-    # DuckDB rejects a batch that repeats a conflict key within itself
-    # ("can not update the same row twice in the same command") — check
-    # before the swap instead of silently appending duplicate-key rows.
+    # OR REPLACE / DO UPDATE: DuckDB rejects a batch that repeats a
+    # conflict key within itself ("can not update the same row twice in
+    # the same command") — check before the swap instead of silently
+    # applying an arbitrary one of the duplicates.
     from pyspark.sql import functions as F
 
     from quackspark.sqlfront import _swap_in
@@ -571,9 +569,125 @@ def _run_insert_conflict(
             "for insertion within the same command have duplicate constrained "
             "values"
         )
+    if action == "DO_UPDATE":
+        final = _merge_do_update(
+            spark, existing, new_rows, keys, schema, do_action
+        )
+        _swap_in(spark, table, final)
+        return _status(spark, table=table, status="upserted (conflicts updated)")
     kept = existing.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti")
     _swap_in(spark, table, kept.unionByName(new_rows))
     return _status(spark, table=table, status="inserted (conflicts replaced)")
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside parens and string/ident quotes."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth, q = 0, None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _rewrite_excluded(expr: str) -> str:
+    """``excluded.col`` / ``excluded."col"`` → the renamed proposed-row
+    column ``__exc_col`` (bare names keep resolving to the existing row
+    because the proposed side is joined under the __exc_ prefix)."""
+    return re.sub(
+        r'(?i)\bexcluded\s*\.\s*("([^"]+)"|[A-Za-z_]\w*)',
+        lambda m: "__exc_" + (m.group(2) or m.group(1)).lower(),
+        expr,
+    )
+
+
+def _merge_do_update(
+    spark: SparkSession,
+    existing: DataFrame,
+    new_rows: DataFrame,
+    keys: list[str],
+    schema,
+    do_action: str,
+) -> DataFrame:
+    """MERGE semantics for ON CONFLICT DO UPDATE, as one lazy plan:
+    existing rows without a proposed match pass through; matched rows get
+    the SET expressions (gated by DO UPDATE WHERE if present — a FALSE/
+    NULL gate keeps the existing row, and the proposed row is dropped per
+    DuckDB); proposed rows without a match insert unchanged. One
+    anti-join + one inner join on the conflict keys, both shuffle-free
+    when the table is bucketed on its PK; no driver materialization."""
+    from pyspark.sql import functions as F
+
+    from quackspark.sqlfront import UnsupportedSQL, transpile
+
+    m = re.match(
+        r"^UPDATE\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+        do_action.strip(),
+        re.I | re.S,
+    )
+    if not m:
+        raise UnsupportedSQL(f"ON CONFLICT DO {do_action!r}: cannot parse")
+    set_part, where_part = m.group(1), m.group(2)
+    assigns: dict[str, str] = {}
+    fields = {f.name.lower(): f for f in schema.fields}
+    for a in _split_top_commas(set_part):
+        col, eq, val = a.partition("=")
+        col = col.strip().strip('"').lower()
+        if not eq or col not in fields:
+            raise UnsupportedSQL(f"DO UPDATE SET assignment {a!r}")
+        assigns[col] = transpile(_rewrite_excluded(val.strip()), spark)
+    wcond = (
+        transpile(_rewrite_excluded(where_part.strip()), spark)
+        if where_part
+        else "true"
+    )
+    exc = new_rows.select(
+        *[F.col(f.name).alias(f"__exc_{f.name.lower()}") for f in schema.fields]
+    )
+    key_eq = " AND ".join(f"`{k}` <=> `__exc_{k}`" for k in keys)
+    matched = existing.join(exc, F.expr(key_eq), "inner")
+    items = []
+    for f in schema.fields:
+        ln = f.name.lower()
+        if ln in assigns:
+            t = f.dataType.simpleString()
+            items.append(
+                f"CASE WHEN ({wcond}) THEN CAST(({assigns[ln]}) AS {t}) "
+                f"ELSE `{f.name}` END AS `{f.name}`"
+            )
+        else:
+            items.append(f"`{f.name}`")
+    updated = matched.selectExpr(*items)
+    untouched = existing.join(
+        exc.select(*[f"__exc_{k}" for k in keys])
+        .toDF(*keys)
+        .distinct(),
+        on=keys,
+        how="left_anti",
+    )
+    fresh = new_rows.join(
+        existing.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    return untouched.unionByName(updated).unionByName(fresh)
 
 
 def _run_insert_with_columns(

@@ -128,6 +128,10 @@ def fingerprint_arrow(text: Column | str) -> Column:
     + ``array_min(transform(md5))``), following the
     ``srp_signature_arrow`` precedent (operators/simsearch.py): one
     batched kernel replaces three interpreted HOF walks per row.
+    Non-BMP first chars: Python ``ord(t[0])`` is the full codepoint, and
+    so are Spark 4's ``ascii()`` and DuckDB's ``ascii()`` (verified:
+    U+1F600 → 128512 in all three) — no UTF-16 code-unit divergence;
+    pinned by tests/test_advice_r5.py with an astral-plane token.
 
     Identity argument, pinned by tests/test_oracle_parity.py and the
     kernel-vs-expression test: tokenization is Java-regex ``\\s+`` after

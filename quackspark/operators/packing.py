@@ -31,7 +31,17 @@ def with_global_cumsum(
 ) -> DataFrame:
     """Append the EXCLUSIVE global prefix sum of ``value_col`` following
     ``order_by`` order (sum of all earlier rows; 0 for the first)."""
-    sdf = df.orderBy(*order_by).withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint pins the range-sort partitioning: the per-partition
+    # totals collect below and the broadcast join after it replay the SAME
+    # lineage, and a task retry / speculative re-execution re-running the
+    # range sampling could otherwise assign rows to different partitions
+    # between the two jobs. Checkpointing makes the invariant structural
+    # rather than incidental (deterministic inputs + seeded sampling).
+    sdf = (
+        df.orderBy(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)

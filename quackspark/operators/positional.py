@@ -28,7 +28,15 @@ def with_global_position(
     df: DataFrame, order_by: list[Column | str], pos_col: str = "pos"
 ) -> DataFrame:
     """Append 1-based global ``pos`` following ``order_by`` order."""
-    sdf = df.orderBy(*order_by).withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint pins the range-sort partitioning so the counts
+    # collect and the broadcast join replay identical partition
+    # assignments even under task retry / speculative execution (see
+    # operators/packing.with_global_cumsum for the full argument).
+    sdf = (
+        df.orderBy(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("__pid").orderBy(*order_by)
     local = sdf.withColumn("__rn", F.row_number().over(w))
     counts = sorted(

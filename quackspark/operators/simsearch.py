@@ -416,6 +416,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
+    wide: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs via SRP band blocking,
     verified by exact cosine ≥ threshold.
@@ -427,9 +428,24 @@ def embedding_neardup_pairs(
     3 s → 211 s for 2 k → 20 k vectors; occupancy-targeted width keeps
     expected pairs ~linear at any corpus size. The one count() job that
     picks the width is metadata-cheap on parquet. The sub-knee
-    (oracle-mirrored) construction is bit-stable."""
+    (oracle-mirrored) construction is bit-stable.
+
+    ``wide`` pins the construction explicitly: ``False`` forces the
+    oracle-exact narrow-band path regardless of corpus size (exact
+    recall, quadratic candidate growth — caller accepts the cost),
+    ``True`` forces the occupancy-adaptive wide path, ``None`` (default)
+    auto-selects at WIDE_BAND_ROWS. The chosen mode is logged so runs
+    are attributable."""
+    import logging
+
     n = corpus.count()
-    wide = n > WIDE_BAND_ROWS
+    auto = wide is None
+    if auto:
+        wide = n > WIDE_BAND_ROWS
+    logging.getLogger(__name__).info(
+        "embedding_neardup_pairs: n=%d mode=%s (%s)",
+        n, "wide" if wide else "narrow", "auto" if auto else "pinned",
+    )
     e = _banded(
         corpus, vec_col, id_col, "e", wide=wide,
         band_bits=adaptive_band_bits(n),

@@ -68,10 +68,73 @@ def dml_update_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("o_orderkey")
 
 
+def _fresh_pk_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Like _fresh_table but created THROUGH the frontend with a PRIMARY
+    KEY so ON CONFLICT (no explicit target) resolves the conflict keys."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)  # INSERT source reads `orders`
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    sqlfront.sql(
+        spark,
+        f"CREATE TABLE {name} (o_orderkey BIGINT PRIMARY KEY, "
+        "o_orderstatus VARCHAR, o_totalprice DOUBLE)",
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    o.select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    ).write.insertInto(name)
+
+
+def dml_upsert_do_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT DO UPDATE with excluded.-references: upsert rows 1500..
+    2500 — conflicting keys get price += excluded price and the proposed
+    status; fresh keys insert (reference upsert grammar,
+    duckdb-libpg_query.cpp OnConflictClause)."""
+    name = "dml_orders_upsert"
+    _fresh_pk_table(spark, sf_dir, name)
+    sqlfront.sql(
+        spark,
+        f"INSERT INTO {name} "
+        "SELECT o_orderkey, 'U', 100.0 FROM orders "
+        "WHERE o_orderkey BETWEEN 1500 AND 2500 "
+        "ON CONFLICT (o_orderkey) DO UPDATE SET "
+        "o_totalprice = o_totalprice + excluded.o_totalprice, "
+        "o_orderstatus = excluded.o_orderstatus",
+    )
+    return spark.table(name).orderBy("o_orderkey")
+
+
+def dml_upsert_do_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DO UPDATE ... WHERE: the update only applies where the gate holds
+    (existing row references on the left, excluded on the right);
+    gated-out conflicts keep the existing row and drop the proposal."""
+    name = "dml_orders_upsert_w"
+    _fresh_pk_table(spark, sf_dir, name)
+    sqlfront.sql(
+        spark,
+        f"INSERT INTO {name} "
+        "SELECT o_orderkey, 'W', 50000.0 FROM orders "
+        "WHERE o_orderkey BETWEEN 1000 AND 2200 "
+        "ON CONFLICT (o_orderkey) DO UPDATE SET "
+        "o_totalprice = excluded.o_totalprice "
+        "WHERE o_totalprice < excluded.o_totalprice",
+    )
+    return spark.table(name).orderBy("o_orderkey")
+
+
 QUERIES = {
     "dml_update": dml_update,
     "dml_delete": dml_delete,
     "dml_update_multi": dml_update_multi,
+    "dml_upsert_do_update": dml_upsert_do_update,
+    "dml_upsert_do_update_where": dml_upsert_do_update_where,
 }
 
 _BASE = (
@@ -100,6 +163,51 @@ ORACLES = {
                         ELSE o_totalprice END AS o_totalprice
             FROM ({_BASE})
         ) WHERE NOT coalesce(o_totalprice < 50000, false)
+        ORDER BY o_orderkey
+    """,
+    "dml_upsert_do_update": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM ({_BASE})
+        ), prop AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(100.0 AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey BETWEEN 1500 AND 2500
+        )
+        SELECT b.o_orderkey,
+               CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN p.o_orderkey IS NOT NULL
+                    THEN b.o_totalprice + p.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b LEFT JOIN prop p ON b.o_orderkey = p.o_orderkey
+        UNION ALL
+        SELECT p.o_orderkey, p.o_orderstatus, p.o_totalprice
+        FROM prop p LEFT JOIN base b ON p.o_orderkey = b.o_orderkey
+        WHERE b.o_orderkey IS NULL
+        ORDER BY o_orderkey
+    """,
+    "dml_upsert_do_update_where": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM ({_BASE})
+        ), prop AS (
+            SELECT o_orderkey, 'W' AS o_orderstatus,
+                   CAST(50000.0 AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey BETWEEN 1000 AND 2200
+        )
+        SELECT b.o_orderkey, b.o_orderstatus,
+               CASE WHEN p.o_orderkey IS NOT NULL
+                         AND b.o_totalprice < p.o_totalprice
+                    THEN p.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b LEFT JOIN prop p ON b.o_orderkey = p.o_orderkey
+        UNION ALL
+        SELECT p.o_orderkey, p.o_orderstatus, p.o_totalprice
+        FROM prop p LEFT JOIN base b ON p.o_orderkey = b.o_orderkey
+        WHERE b.o_orderkey IS NULL
         ORDER BY o_orderkey
     """,
 }

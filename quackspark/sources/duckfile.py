@@ -24,6 +24,7 @@ batch at a time), never per-query.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -48,8 +49,14 @@ def list_duckdb_tables(path: str) -> list[tuple[str, str]]:
 def _stream_table_to_parquet(con, table: str, out_dir: str) -> int:
     """SELECT * streamed out as record batches → one parquet file per
     ~BATCH_ROWS rows (splittable for Spark, bounded driver memory)."""
+    import shutil
+
     import pyarrow.parquet as pq
 
+    # A re-ATTACH of the same alias must not mix old part files with new
+    # ones: if the source table shrank, leftover part-NNNNN.parquet from
+    # the prior attach would silently be read alongside the fresh files.
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     reader = con.execute(f'SELECT * FROM "{table}"').fetch_record_batch(BATCH_ROWS)
     n = 0
@@ -88,18 +95,36 @@ def attach_duckdb_file(
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
     base = os.path.join(wh, f"{alias.lower()}__duckfile")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+    q_alias = "`" + alias.replace("`", "``") + "`"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {q_alias}")
     con = duckdb.connect(path, read_only=True)
     names: list[str] = []
+    taken: set[str] = set()
     try:
         for name, _kind in list_duckdb_tables(path):
-            out = os.path.join(base, name.lower())
+            # DuckDB table names may contain spaces/dashes (legal when
+            # quoted there); Spark's catalog only accepts [A-Za-z0-9_]
+            # even backtick-quoted — sanitize deterministically, suffix
+            # on collision. Reserved words survive via backticks.
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", name) or "_"
+            base_safe, i = safe, 2
+            while safe.lower() in taken:
+                safe = f"{base_safe}_{i}"
+                i += 1
+            taken.add(safe.lower())
+            out = os.path.join(base, safe.lower())
+            if "'" in out:
+                raise ValueError(
+                    f"attach location {out!r} contains a single quote — "
+                    "unsupported in a Spark LOCATION literal"
+                )
             _stream_table_to_parquet(con, name, out)
-            spark.sql(f"DROP TABLE IF EXISTS {alias}.{name}")
+            q_name = f"`{safe}`"
+            spark.sql(f"DROP TABLE IF EXISTS {q_alias}.{q_name}")
             spark.sql(
-                f"CREATE TABLE {alias}.{name} USING parquet LOCATION '{out}'"
+                f"CREATE TABLE {q_alias}.{q_name} USING parquet LOCATION '{out}'"
             )
-            names.append(name)
+            names.append(safe)
     finally:
         con.close()
     return names

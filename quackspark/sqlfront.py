@@ -25,6 +25,7 @@ from __future__ import annotations
 import contextlib
 import os
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -5476,11 +5477,13 @@ def _writer_lock(spark: SparkSession, table: str):
         return
     path = os.path.join(wh, f"{table.lower()}__qs_writer.lock")
     me = os.getpid()
-    for _ in range(2):
+    acquired = False
+    for attempt in range(8):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(me).encode())
             os.close(fd)
+            acquired = True
             break
         except FileExistsError:
             try:
@@ -5494,9 +5497,22 @@ def _writer_lock(spark: SparkSession, table: str):
                     f"parquet tables is unsupported — serialize the "
                     f"writers or use a table format with a commit log"
                 ) from None
+            if holder == 0:
+                # unreadable holder: likely we raced the owner's pid write
+                # — back off and re-read instead of stealing a live lock
+                time.sleep(0.02 * (attempt + 1))
+                continue
             # stale (crashed writer) or our own leftover: steal it
             with contextlib.suppress(OSError):
                 os.unlink(path)
+    if not acquired:
+        # never run the body unlocked, and never unlink a lock file that
+        # may belong to another live writer that just acquired it
+        raise ConcurrentWriteError(
+            f"could not acquire writer lock for table {table} "
+            f"(holder unreadable after retries); another session may be "
+            f"mid-acquisition — retry the statement"
+        )
     try:
         yield
     finally:
