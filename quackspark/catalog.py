@@ -116,3 +116,73 @@ def summarize(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
         ),
         F.col("__n").alias("count"),
     )
+
+
+#: last explain_analyze result rows, surfaced via
+#: PRAGMA last_profiling_output (reference pragma_last_profiling_output,
+#: duckdb-6.cpp:14156-14157)
+_LAST_PROFILE: list[tuple] = []
+
+
+def explain_analyze(df: DataFrame, run: bool = True) -> DataFrame:
+    """Profiled execution: run ``df`` and return one row per
+    (operator, metric) from Spark's SQLMetrics — the portability surface
+    for the reference's ``PRAGMA last_profiling_output``
+    (duckdb-6.cpp:14156-14157): operator-level row counts, timings,
+    memory and shuffle volumes, rather than plan text.
+
+    Columns: ``op_id`` (preorder position), ``depth`` (tree depth, AQE
+    stages flattened), ``operator`` (physical node name), ``metric``,
+    ``value`` (long; SQLMetric raw value — times are in the metric's
+    native unit, ns for shuffle write, ms for most timings).
+
+    The walk descends into AdaptiveSparkPlan's executed plan and each
+    materialized QueryStage, so post-AQE reality is reported, not the
+    initial plan. Metrics accumulate on THIS DataFrame's query execution;
+    ``run=False`` reports whatever a previous action already populated
+    (zeros if never executed)."""
+    if run:
+        # execute THIS DataFrame's queryExecution without collecting rows
+        # to the driver (df.count()/collect() would profile fine too, but
+        # toRdd().count() keeps the result distributed — 100 TB safe)
+        df._jdf.queryExecution().toRdd().count()
+    node = df._jdf.queryExecution().executedPlan()
+    rows: list[tuple] = []
+    seq = [0]
+
+    def walk(n, depth: int) -> None:
+        name = n.nodeName()
+        op = seq[0]
+        seq[0] += 1
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            rows.append((op, depth, name, kv._1(), int(kv._2().value())))
+        if name == "AdaptiveSparkPlan":
+            walk(n.executedPlan(), depth + 1)
+            return
+        if "QueryStage" in name:
+            walk(n.plan(), depth + 1)
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), depth + 1)
+        # a broadcast-exchange feeding a reused subtree appears once;
+        # ReusedExchange nodes intentionally keep their single metric set
+
+    walk(node, 0)
+    global _LAST_PROFILE
+    _LAST_PROFILE = rows
+    return df.sparkSession.createDataFrame(
+        rows,
+        "op_id int, depth int, operator string, metric string, value long",
+    )
+
+
+def last_profiling_output(spark: SparkSession) -> DataFrame:
+    """The most recent explain_analyze result (PRAGMA
+    last_profiling_output)."""
+    return spark.createDataFrame(
+        _LAST_PROFILE or [(0, 0, "<none>", "<no profiled query>", 0)],
+        "op_id int, depth int, operator string, metric string, value long",
+    )

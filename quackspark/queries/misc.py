@@ -237,7 +237,31 @@ def misc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("z", "c_custkey")
 
 
+def misc_explain_analyze_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiled execution (r5): per-operator SQLMetrics for a known
+    aggregation — the portability surface for the reference's
+    pragma_last_profiling_output (duckdb-6.cpp:14156-14157). Projected to
+    the DETERMINISTIC metrics (row counts) so the result is stable:
+    timings/memory stay available via catalog.explain_analyze. Rows-only
+    driver check (engine-internal metrics are not SQL-expressible)."""
+    from quackspark.catalog import explain_analyze
+
+    q = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prof = explain_analyze(q)
+    return (
+        prof.filter(F.col("metric") == "numOutputRows")
+        .select("operator", "metric", "value")
+        .orderBy("operator", "value")
+    )
+
+
 QUERIES = {
+    "misc_explain_analyze_metrics": misc_explain_analyze_metrics,
     "misc_zorder_layout": misc_zorder_layout,
     "misc_pivot_counts": misc_pivot_counts,
     "misc_unpivot": misc_unpivot,

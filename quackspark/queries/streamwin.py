@@ -31,11 +31,48 @@ def sw_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.session_windows(ev).orderBy("user_id", "s_start")
 
 
+def _click_purchase(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(ev.event_type == "click")
+    purchases = ev.filter(ev.event_type == "purchase")
+    return E.stream_stream_join(clicks, purchases, how).orderBy(
+        "user_id", "l_id", "r_id"
+    )
+
+
+def sw_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream INNER join (clicks ×
+    purchases within 10 minutes, same user); stream==batch equivalence is
+    pinned in tests/test_streaming.py."""
+    return _click_purchase(spark, sf_dir, "inner")
+
+
+def sw_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream LEFT join (every click,
+    NULL-extended when no purchase follows within 10 minutes)."""
+    return _click_purchase(spark, sf_dir, "left")
+
+
 QUERIES = {
     "sw_tumbling": sw_tumbling,
     "sw_sliding": sw_sliding,
     "sw_session": sw_session,
+    "sw_stream_stream_join": sw_stream_stream_join,
+    "sw_stream_stream_left_join": sw_stream_stream_left_join,
 }
+
+_SSJ = """
+    SELECT l.user_id, l.event_id AS l_id, CAST(l.ts AS TIMESTAMP) AS l_ts,
+           l.value AS l_value, r.event_id AS r_id,
+           CAST(r.ts AS TIMESTAMP) AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    {join} JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+                                     + INTERVAL 10 MINUTE
+    ORDER BY l.user_id, l_id, r_id
+"""
 
 ORACLES = {
     "sw_tumbling": """
@@ -85,4 +122,6 @@ ORACLES = {
         FROM tagged
         GROUP BY user_id, sess ORDER BY user_id, s_start
     """,
+    "sw_stream_stream_join": _SSJ.format(join="INNER"),
+    "sw_stream_stream_left_join": _SSJ.format(join="LEFT"),
 }

@@ -5273,11 +5273,20 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     if m := re.match(
         r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", duckdb_sql, re.I | re.DOTALL
     ):
-        # reference EXPLAIN / EXPLAIN ANALYZE (duckdb.hpp:11995-11996)
+        # reference EXPLAIN / EXPLAIN ANALYZE (duckdb.hpp:11995-11996).
+        # ANALYZE runs the query and returns per-operator SQLMetrics rows
+        # (the profiled-metrics surface a DuckDB user's
+        # pragma_last_profiling_output scripts consume); plain EXPLAIN
+        # stays plan text.
         df = spark.sql(transpile(m.group(2), spark))
-        mode = "cost" if m.group(1) else "formatted"
+        if m.group(1):
+            from quackspark.catalog import explain_analyze
+
+            return explain_analyze(df)
         plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
         return spark.createDataFrame(
             [(line,) for line in plan.splitlines()], "explain_output string"
@@ -5306,6 +5315,10 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
             return spark.createDataFrame(
                 [(spark.version,)], "library_version string"
             )
+        if pragma == "last_profiling_output":
+            from quackspark.catalog import last_profiling_output
+
+            return last_profiling_output(spark)
         raise UnsupportedSQL(f"PRAGMA {pragma}")
     if m := re.match(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?"

@@ -205,6 +205,87 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame, on, how: str = "inner"
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_join(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Watermarked stream-stream join (inner/left): match each click to
+    purchases by the same user within the following 10 minutes.
+
+    Both sides carry their own watermark and the join condition bounds
+    event time on BOTH sides (r_ts ∈ [l_ts, l_ts + 10 min]) — that range
+    is what lets Structured Streaming evict join state: a buffered click
+    older than watermark−10min can never match a future purchase and is
+    dropped (emitting its NULL-extended row first in LEFT mode). Without
+    the range the state grows unboundedly — the 100 TB/day failure mode.
+
+    The same function runs unchanged on batch DataFrames (the batch twin
+    sw_stream_stream_join* is oracle-checked against DuckDB); the
+    stream==batch equivalence is pinned in tests/test_streaming.py."""
+    l = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = purchases.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", "10 minutes")
+        r = r.withWatermark("r_ts", "10 minutes")
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return l.join(r, cond, how).select(
+        "user_id", "l_id", "l_ts", "l_value", "r_id", "r_ts"
+    )
+
+
+def stream_events_multi(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """readStream over the events fixture staged as ``n_files``
+    time-ordered parquet splits — with ``maxFilesPerTrigger=1`` each split
+    is one micro-batch, so the watermark actually ADVANCES between
+    batches (a single-file stream never moves its watermark mid-query,
+    which would keep stream-stream join state from evicting and LEFT-join
+    NULL rows from emitting)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"qs_stream_multi_{os.path.basename(sf_dir)}_{n_files}",
+    )
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != n_files:
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        order = pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")])
+        tbl = tbl.take(order)
+        step = (tbl.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(stage, f"part-{i:03d}.parquet"),
+            )
+    schema, kind = _events_read_schema(sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    if kind == "nanos":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def run_foreach_batch(
     stream_df: DataFrame, sink: "callable", output_mode: str = "append"
 ) -> None:

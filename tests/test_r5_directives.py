@@ -81,6 +81,55 @@ def test_pack_sequences_survives_task_retry():
     assert "RETRY_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-3000:]
 
 
+# ------------------------------------------------------- #8 explain_analyze
+
+
+def test_explain_analyze_scan_and_exchange_counts(spark):
+    """Known query, known cardinalities: the scan's numOutputRows equals
+    the table row count post-pushdown, the final aggregate's equals the
+    group count — asserted from the profiled SQLMetrics rows."""
+    from quackspark.catalog import explain_analyze
+
+    base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n_orders = base.count()
+    q = base.groupBy("o_orderstatus").count()
+    n_groups = q.count()
+    prof = explain_analyze(q)
+    rows = prof.collect()
+    assert {"op_id", "depth", "operator", "metric", "value"} == set(prof.columns)
+    scan_rows = [
+        r["value"] for r in rows
+        if "Scan" in r["operator"] and r["metric"] == "numOutputRows"
+    ]
+    assert scan_rows and scan_rows[0] == n_orders
+    agg_rows = [
+        r["value"] for r in rows
+        if r["operator"] == "HashAggregate" and r["metric"] == "numOutputRows"
+    ]
+    # final agg emits one row per group (partial agg also present)
+    assert n_groups in agg_rows
+    assert any(
+        r["operator"] == "Exchange" and r["metric"] == "shuffleRecordsWritten"
+        for r in rows
+    )
+
+
+def test_explain_analyze_sql_surface(spark):
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, "/root/testdata/sf0.001")
+    prof = sqlfront.sql(
+        spark,
+        "EXPLAIN ANALYZE SELECT o_orderstatus, count(*) FROM orders "
+        "GROUP BY o_orderstatus",
+    )
+    assert "metric" in prof.columns
+    assert prof.filter("metric = 'numOutputRows'").count() > 0
+    # the pragma replays the same rows
+    again = sqlfront.sql(spark, "PRAGMA last_profiling_output")
+    assert again.count() == prof.count()
+
+
 # ---------------------------------------------------------------- #2 upsert
 
 

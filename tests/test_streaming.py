@@ -110,6 +110,85 @@ def test_stream_stream_join(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, bj.collect()))
 
 
+def test_stream_stream_join_engine_inner(spark):
+    """engine.stream_stream_join (r5): the inner join over a MULTI-batch
+    stream (4 time-ordered files, watermark advancing between batches)
+    equals the batch twin exactly."""
+    import pyspark.sql.functions as F
+
+    ev = E.stream_events_multi(spark, SF)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = E.stream_events_multi(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = E.run_to_memory(
+        E.stream_stream_join(clicks, purchases, "inner"),
+        "t_ssj_inner",
+        output_mode="append",
+    )
+    bat = load_table(spark, SF, "events")
+    exp = E.stream_stream_join(
+        bat.filter(F.col("event_type") == "click"),
+        bat.filter(F.col("event_type") == "purchase"),
+        "inner",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_stream_join_engine_left(spark):
+    """LEFT stream-stream join: matched rows equal the batch inner join;
+    NULL-extended rows emit once the watermark passes their horizon —
+    every click older than (max ts − delay − range) MUST have emitted,
+    clicks younger than that may still be buffered at availableNow
+    termination. Stream output is always a subset of the batch twin."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    ev = E.stream_events_multi(spark, SF)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = E.stream_events_multi(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = E.run_to_memory(
+        E.stream_stream_join(clicks, purchases, "left"),
+        "t_ssj_left",
+        output_mode="append",
+    )
+    bat = load_table(spark, SF, "events")
+    exp = E.stream_stream_join(
+        bat.filter(F.col("event_type") == "click"),
+        bat.filter(F.col("event_type") == "purchase"),
+        "left",
+    )
+    got_rows = set(map(tuple, got.collect()))
+    exp_rows = set(map(tuple, exp.collect()))
+    assert got_rows <= exp_rows, "stream emitted a row batch never would"
+    # matched portion is complete and exact
+    assert {r for r in got_rows if r[4] is not None} == {
+        r for r in exp_rows if r[4] is not None
+    }
+    # NULL-extension completeness behind the watermark horizon. The
+    # final watermark the query reaches is max-ts-of-the-PENULTIMATE
+    # file − 10 min delay (the watermark computed after batch k only
+    # applies during batch k+1, so the last file's own max never becomes
+    # a watermark under availableNow); a buffered click evicts when
+    # l_ts + 10 min range < watermark.
+    ts_sorted = [r[0] for r in bat.select("ts").orderBy("ts").collect()]
+    n = len(ts_sorted)
+    step = (n + 3) // 4  # mirror stream_events_multi's 4-way slicing
+    wm_base = ts_sorted[min(3 * step, n) - 1]
+    cutoff = wm_base - datetime.timedelta(minutes=25)  # delay+range+slack
+    missing = exp_rows - got_rows
+    assert all(r[4] is None for r in missing), "matched rows must all emit"
+    assert all(r[2] > cutoff for r in missing), (
+        f"unemitted rows not explained by the watermark horizon: "
+        f"{[r for r in missing if not r[2] > cutoff][:5]}"
+    )
+    # and the horizon actually did its job: some NULL-extended rows emitted
+    assert any(r[4] is None for r in got_rows)
+
+
 def test_stream_static_enrichment_join(spark):
     """Stream-static broadcast join: per-segment counts equal batch."""
     import pyspark.sql.functions as F
