@@ -260,11 +260,12 @@ def main() -> None:
     # parses the final line — the full object above exceeds that (r3's
     # BENCH record shows a mid-JSON truncated tail, parsed={}), so emit a
     # compact spec-shaped summary LAST that carries EVERY summary section
-    # (r4 verdict item 3 / r5 directive 6): per-query values are packed as
-    # a short array [sf0.1 sec, sf0.1 ratio-vs-duckdb, 10x growth, sf1
-    # ratio-vs-duckdb] (null where uncovered), keeping the whole line well
-    # under the tail window. Full per-engine detail stays in the long line
-    # above and the committed BENCH_LOCAL_r{N}.json.
+    # (r4 verdict item 3 / r5 directive 6): per-query values pack as a
+    # 4-element array [sf0.1 sec, sf0.1 ratio-vs-duckdb pct, sf1/sf0.1 10x
+    # growth factor, sf1 ratio-vs-duckdb pct] (null where uncovered), so
+    # the seconds survive even when the redundant "queries" dict is
+    # dropped to fit the tail window. Full per-engine detail stays in the
+    # long line above and the committed BENCH_LOCAL_r{N}.json.
     duck01 = out.get("duckdb_queries", {})
     s1o = out.get("sf1", {})
     s1q = s1o.get("spark_queries", {})
@@ -275,6 +276,7 @@ def main() -> None:
         d = duck01.get(n, -1)
         g = s1q.get(n, -1)
         row = [
+            round(t, 2) if t > 0 else None,
             int(round(100 * t / d)) if t > 0 and d > 0 else None,
             round(g / t, 1) if g > 0 and t > 0 else None,
             int(round(100 * g / d1q[n]))
@@ -288,8 +290,9 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items() if v > 0},
         "sf": out["sf"],
-        # q legend: [sf0.1 spark/duckdb pct, sf1/sf0.1 10x growth factor,
-        # sf1 spark/duckdb pct] — percents as ints (75 = 0.75x)
+        # q legend: [sf0.1 sec, sf0.1 spark/duckdb pct, sf1/sf0.1 10x
+        # growth factor, sf1 spark/duckdb pct] — percents as ints
+        # (75 = 0.75x)
         "q": packed,
     }
     if "ratio_spark_vs_duckdb" in out:

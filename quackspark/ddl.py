@@ -356,6 +356,8 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
 
     if m := re.match(r"^RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I):
         spark.sql(f"ALTER TABLE {table} RENAME TO {m.group(1)}")
+        if table.lower() in TABLE_DEFAULTS:
+            TABLE_DEFAULTS[m.group(1).lower()] = TABLE_DEFAULTS.pop(table.lower())
         return _status(spark, table=m.group(1), status="renamed")
 
     if m := re.match(
@@ -372,6 +374,9 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
             for f in fields
         ]
         _swap(spark, table, spark.table(table).selectExpr(*items))
+        d = TABLE_DEFAULTS.get(table.lower(), {})
+        if old.lower() in d:
+            d[new.lower()] = d.pop(old.lower())
         return _status(spark, table=table, status=f"renamed {old} -> {new}")
 
     if m := re.match(
@@ -397,6 +402,12 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
                 "*", f"CAST(({fill}) AS {spark_t}) AS `{col}`"
             ),
         )
+        if default:
+            # the DEFAULT also applies to FUTURE partial-column inserts,
+            # not just the backfill above (found by tools/fuzz_ddl.py:
+            # DuckDB fills the added column on INSERT (id, v) VALUES …,
+            # we filled NULL)
+            TABLE_DEFAULTS.setdefault(table.lower(), {})[col.lower()] = default
         return _status(spark, table=table, status=f"added {col}")
 
     if m := re.match(
@@ -410,6 +421,7 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
                 return _status(spark, table=table, status="column absent")
             raise UnsupportedSQL(f"DROP COLUMN: no column {col} in {table}")
         _swap(spark, table, spark.table(table).selectExpr(*keep))
+        TABLE_DEFAULTS.get(table.lower(), {}).pop(col.lower(), None)
         return _status(spark, table=table, status=f"dropped {col}")
 
     if m := re.match(
@@ -545,16 +557,10 @@ def _run_insert_conflict(
         src_sql = f"SELECT * FROM ({src_sql}) AS __v({', '.join(f.name for f in schema.fields)})"
     new_rows = spark.sql(src_sql).toDF(*[f.name for f in schema.fields])
     existing = spark.table(table)
-    if action in ("OR_IGNORE", "OR_NOTHING"):
-        fresh = new_rows.join(
-            existing.select(*keys).distinct(), on=keys, how="left_anti"
-        )
-        fresh.write.insertInto(table, overwrite=False)
-        return _status(spark, table=table, status="inserted (conflicts ignored)")
-    # OR REPLACE / DO UPDATE: DuckDB rejects a batch that repeats a
-    # conflict key within itself ("can not update the same row twice in
-    # the same command") — check before the swap instead of silently
-    # applying an arbitrary one of the duplicates.
+    # EVERY conflict action rejects a batch that repeats a conflict key
+    # within itself — including OR IGNORE / DO NOTHING (probed against
+    # the oracle engine; found by tools/fuzz_ddl.py state diffing).
+    # Check first instead of silently keeping an arbitrary duplicate.
     from pyspark.sql import functions as F
 
     from quackspark.sqlfront import _swap_in
@@ -564,11 +570,17 @@ def _run_insert_conflict(
     )
     if dup:
         raise ValueError(
-            "Invalid Input Error: ON CONFLICT DO UPDATE can not update the "
-            "same row twice in the same command. Ensure that no rows proposed "
-            "for insertion within the same command have duplicate constrained "
-            "values"
+            "Constraint Error: duplicate conflict key within the inserted "
+            "batch — DuckDB rejects a command whose proposed rows repeat a "
+            "constrained value (for DO UPDATE: 'can not update the same row "
+            "twice in the same command')"
         )
+    if action in ("OR_IGNORE", "OR_NOTHING"):
+        fresh = new_rows.join(
+            existing.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        fresh.write.insertInto(table, overwrite=False)
+        return _status(spark, table=table, status="inserted (conflicts ignored)")
     if action == "DO_UPDATE":
         final = _merge_do_update(
             spark, existing, new_rows, keys, schema, do_action
@@ -663,7 +675,11 @@ def _merge_do_update(
     exc = new_rows.select(
         *[F.col(f.name).alias(f"__exc_{f.name.lower()}") for f in schema.fields]
     )
-    key_eq = " AND ".join(f"`{k}` <=> `__exc_{k}`" for k in keys)
+    # Plain equality, NOT null-safe `<=>`: NULL keys never conflict in
+    # DuckDB's unique semantics (consistent with the `=` anti-joins below
+    # and the OR IGNORE/OR REPLACE paths) — a `<=>` match here would emit
+    # a NULL-key row twice: once "updated" and once "untouched".
+    key_eq = " AND ".join(f"`{k}` = `__exc_{k}`" for k in keys)
     matched = existing.join(exc, F.expr(key_eq), "inner")
     items = []
     for f in schema.fields:

@@ -78,87 +78,13 @@ def _modules():
     ]
 
 
-# The driver's correctness gate samples a fixed window of the queries()
-# dict (observed: the first 50 in insertion order — CORRECTNESS_r01..r04
-# all equal the first 50 module-order names). Rotate the newest and the
-# never-yet-sampled families to the front so each round's driver record
-# covers fresh ground; every query stays present either way, and the
-# builder's full-corpus parity run (tools/full_parity_run.py) still checks
-# all of them.
-DRIVER_FRONT: list[str] = [
-    # round-5-new
-    "dml_upsert_do_update",
-    "dml_upsert_do_update_where",
-    "sw_stream_stream_join",
-    "sw_stream_stream_left_join",
-    "misc_explain_analyze_metrics",
-    # round-4-new (driver-invisible in r04)
-    "dt_time_tz",
-    "enum_insertion_order",
-    "pipeline_negative_sampling",
-    "text_hashed_classifier",
-    "misc_zorder_layout",
-    "pipeline_lm_head_middle_tail",
-    # never-driver-sampled families, representatives
-    "q1_pricing_summary",
-    "window_range_interval_frame",
-    "window_ignore_nulls",
-    "window_topn_per_group",
-    "distinct_on_first_per_key",
-    "set_union_by_name",
-    "set_except_all",
-    "set_intersect_all",
-    "agg_grouping_sets",
-    "nested_hof_transform",
-    "nested_map_funcs",
-    "nested_unnest_explode",
-    "union_struct_sugar",
-    "enum_dict_roundtrip",
-    "mm_feature_search",
-    "str_collate",
-    "str_nfc_normalize",
-    "str_similarity",
-    "dt_hypertable_rollup",
-    "dt_gapfill",
-    "dt_strftime_roundtrip",
-    "subq_not_in_null",
-    "subq_scalar_correlated",
-    "misc_recursive_cte",
-    "misc_hash_sample",
-    "misc_pivot_counts",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "dedup_simhash_pairs",
-    "dml_update",
-    "ev_sessionize",
-    "ev_funnel",
-    "fe_asof_join",
-    "fe_list_comprehension",
-    "fts_bm25_topk",
-    "pipeline_training_prep_v2",
-    "pipeline_pack_sequences",
-    "text_fingerprint",
-    "text_quality_score",
-    "sim_embedding_neardup",
-    "sim_kmeans",
-    "sw_tumbling",
-    "sw_session",
-]
-
-
 def all_queries() -> dict[str, QueryFn]:
-    raw: dict[str, QueryFn] = {}
+    out: dict[str, QueryFn] = {}
     for m in _modules():
-        dup = raw.keys() & m.QUERIES.keys()
+        dup = out.keys() & m.QUERIES.keys()
         if dup:
             raise ValueError(f"duplicate query names {dup} in {m.__name__}")
-        raw.update(m.QUERIES)
-    out: dict[str, QueryFn] = {}
-    for name in DRIVER_FRONT:
-        if name in raw:
-            out[name] = raw[name]
-    out.update({k: v for k, v in raw.items() if k not in out})
+        out.update(m.QUERIES)
     return out
 
 

@@ -121,15 +121,17 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.unboundedPreceding, 0
         )
     )
-    labeled = d.select("user_id", "ts", "event_type", sess.alias("session_no"))
+    labeled = d.select(
+        "user_id", "ts", "event_type", sess.cast("long").alias("session_no")
+    )
     return (
         labeled.groupBy("user_id", "session_no")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
-                "duration_us"
-            ),
-            F.count_distinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("duration_us"),
+            F.count_distinct("event_type").cast("long").alias("n_types"),
         )
         .orderBy("user_id", "session_no")
     )
@@ -213,10 +215,11 @@ ORACLES["ev_sessionize"] = f"""
                                 AND CURRENT ROW) AS session_no
         FROM d
     )
-    SELECT user_id, session_no,
-           count(*) AS n_events,
-           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-           count(DISTINCT event_type) AS n_types
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+               AS duration_us,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM lab GROUP BY user_id, session_no
     ORDER BY user_id, session_no
 """

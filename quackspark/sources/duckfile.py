@@ -96,6 +96,10 @@ def attach_duckdb_file(
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "/tmp"
     base = os.path.join(wh, f"{alias.lower()}__duckfile")
     q_alias = "`" + alias.replace("`", "``") + "`"
+    # Re-ATTACH without an intervening DETACH must not leave tables that
+    # were dropped from the .duckdb file serving stale parquet: start
+    # from an empty alias database, exactly as DETACH would leave it.
+    spark.sql(f"DROP DATABASE IF EXISTS {q_alias} CASCADE")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {q_alias}")
     con = duckdb.connect(path, read_only=True)
     names: list[str] = []

@@ -201,7 +201,6 @@ _RENAMES = {
     "array_indexof": "array_position",
     "array_has": "array_contains",
     "list_has": "array_contains",
-    "list_cat": "concat",
     "array_extract": "element_at",
     "list_element": "element_at",
     "array_zip": "list_zip",
@@ -249,7 +248,6 @@ _RENAMES = {
     "list_max": "array_max",
     "list_sum": "aggregate_sum_placeholder",  # handled specially below
     "len": "size",
-    "list_concat": "concat",
     "list_prepend": "array_prepend_placeholder",  # arg order swapped below
     "list_append": "array_append",
     "array_length": "size",
@@ -741,6 +739,20 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
             f"size(filter(zip_with(split({a}, ''), split({b}, ''),"
             f" (x, y) -> x != y), m -> m))"
         )
+    if low in ("list_cat", "list_concat") and args:
+        # array concatenation: Spark's concat handles arrays natively —
+        # emitted directly (NOT via the string-concat rewrite below)
+        return _tokens(f"concat({', '.join(j(a) for a in args)})")
+    if low == "concat" and args:
+        # DuckDB's concat() SKIPS NULL inputs (concat(NULL,'_','10') =
+        # '_10'); Spark's concat returns NULL on any NULL input —
+        # concat_ws('') has exactly DuckDB's skip-NULL semantics (found
+        # by tools/fuzz_ddl.py state diffing). Args cast to STRING since
+        # concat_ws rejects non-string inputs DuckDB would stringify.
+        # (Array callers use list_cat/list_concat/array_concat/||, which
+        # keep Spark's array concat above.)
+        inner = ", ".join(f"CAST({j(a)} AS STRING)" for a in args)
+        return _tokens(f"concat_ws('', {inner})")
     extra = _emit_call_extra(low, original, args, j)
     if extra is not None:
         return extra
@@ -5515,9 +5527,19 @@ def _writer_lock(spark: SparkSession, table: str):
                 # — back off and re-read instead of stealing a live lock
                 time.sleep(0.02 * (attempt + 1))
                 continue
-            # stale (crashed writer) or our own leftover: steal it
+            # stale (crashed writer) or our own leftover: steal it and
+            # retry the open immediately — a steal on the final attempt
+            # must not fall out of the loop as a spurious failure
             with contextlib.suppress(OSError):
                 os.unlink(path)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(me).encode())
+                os.close(fd)
+                acquired = True
+                break
+            except FileExistsError:
+                continue
     if not acquired:
         # never run the body unlocked, and never unlink a lock file that
         # may belong to another live writer that just acquired it
@@ -5704,6 +5726,12 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     scripts run sequentially; the last statement's result is returned
     (the reference's Connection::Query behaves the same,
     duckdb-7.cpp:3375)."""
+    from quackspark.session import prepare_session
+
+    # UDF-backed functions (damerau_levenshtein, jaro_winkler_similarity,
+    # …) and DuckDB arithmetic semantics must hold even on a session the
+    # caller built bare (VERDICT r5 #4: fe_damerau UNRESOLVED_ROUTINE).
+    prepare_session(spark)
     stmts = _split_statements(duckdb_sql)
     if len(stmts) > 1:
         result: DataFrame | None = None

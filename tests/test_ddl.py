@@ -173,8 +173,9 @@ def test_copy_from_roundtrip(both, tmp_path):
 
 
 def test_insert_conflict_clauses(both):
-    """OR IGNORE / OR REPLACE / ON CONFLICT DO NOTHING keyed on the
-    recorded PRIMARY KEY; DO UPDATE refuses precisely (needs MERGE)."""
+    """OR IGNORE / OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE keyed
+    on the recorded PRIMARY KEY (DO UPDATE implemented round 5 as a
+    MERGE-shaped lazy plan, ddl._merge_do_update)."""
     spark, con = both
     sql(spark, "CREATE TABLE ddl_up (id INTEGER PRIMARY KEY, v VARCHAR)")
     sql(spark, "INSERT INTO ddl_up VALUES (1,'a'), (2,'b')")
@@ -185,9 +186,11 @@ def test_insert_conflict_clauses(both):
     got = [tuple(r) for r in
            sql(spark, "SELECT * FROM ddl_up ORDER BY id").collect()]
     assert got == [(1, "new"), (2, "b"), (3, "c"), (4, "d")]
-    with pytest.raises(UnsupportedSQL):
-        sql(spark, "INSERT INTO ddl_up VALUES (1,'y') "
-                   "ON CONFLICT DO UPDATE SET v = 'y'")
+    sql(spark, "INSERT INTO ddl_up VALUES (1,'y'), (5,'e') "
+               "ON CONFLICT DO UPDATE SET v = excluded.v")
+    got = [tuple(r) for r in
+           sql(spark, "SELECT * FROM ddl_up ORDER BY id").collect()]
+    assert got == [(1, "y"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
     sql(spark, "DROP TABLE ddl_up")
 
 

@@ -226,24 +226,18 @@ def test_upsert_do_update_implicit_pk_target(spark, upsert_pair):
     _diff_state(spark, d, name)
 
 
-def test_driver_front_window_has_new_ops():
+def test_query_corpus_complete_and_stable():
+    """The corpus is complete (every operator family present), stably
+    module-ordered (r6 removed the grader-window rotation — ADVICE r5
+    flagged it; coverage breadth is the full-parity artifacts' job, not
+    dict ordering's), and every oracle key names a real query."""
     import quackspark.queries as Q
 
-    first50 = list(Q.all_queries().keys())[:50]
-    for name in [
-        "dt_time_tz",
-        "enum_insertion_order",
-        "pipeline_negative_sampling",
-        "text_hashed_classifier",
-        "misc_zorder_layout",
-        "pipeline_lm_head_middle_tail",
-    ]:
-        assert name in first50, f"{name} not driver-visible"
-    # nothing lost in the rotation
-    assert len(Q.all_queries()) >= 206
-    assert set(Q.all_queries()) == set(Q.all_oracles()) | {
-        n for n in Q.all_queries() if n not in Q.all_oracles()
-    }
+    queries, oracles = Q.all_queries(), Q.all_oracles()
+    assert len(queries) >= 206
+    assert set(oracles) <= set(queries)
+    # two builds produce the identical (module-declaration) order
+    assert list(queries) == list(Q.all_queries())
 
 
 def test_bench_compact_line_fits_tail_window():

@@ -32,13 +32,41 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="run on a bare SparkSession with NO quackspark presets — "
+        "Spark-4-default ANSI-on, a non-UTC session timezone, no "
+        "pre-registered UDFs. This reproduces the round driver's "
+        "harness-owned session (VERDICT r5 'What's missing' #1): every "
+        "query must self-prepare via session.prepare_session.",
+    )
     args = ap.parse_args()
 
     from quackspark.oracle import compare
     from quackspark.queries import all_oracles, all_queries
-    from quackspark.session import get_session
 
-    spark = get_session("full-parity")
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+            )
+            .appName("bare-parity")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
+            "bare mode expects Spark-4-default ANSI on"
+        )
+    else:
+        from quackspark.session import get_session
+
+        spark = get_session("full-parity")
     queries, oracles = all_queries(), all_oracles()
     names = sorted(queries)
     if args.only:

@@ -60,6 +60,21 @@ def main() -> int:
         """)
     print("lineitem x", COPIES)
 
+    out = os.path.join(DST, "events.parquet")
+    if not os.path.exists(out):
+        # 100× events over a 100× timeline (replicas 30 days apart), same
+        # user population — added r6 so the sf10 evidence run covers
+        # json_group_rollup and the streaming-window batch twins too
+        con.execute(f"""
+            COPY (
+                SELECT event_id + i * {KEY_STRIDE} AS event_id,
+                       ts + INTERVAL (i * 30) DAY AS ts,
+                       user_id, event_type, value, props
+                FROM '{SRC}/events.parquet', range({COPIES}) t(i)
+            ) TO '{out}' (FORMAT PARQUET)
+        """)
+    print("events x", COPIES, "(time-shifted)")
+
     out = os.path.join(DST, "documents.parquet")
     if not os.path.exists(out):
         con.execute(f"""

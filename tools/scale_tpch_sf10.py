@@ -1,0 +1,182 @@
+"""Bound the TPC-H single-node gap with sf10 evidence (VERDICT r4
+directive 1, carried to r5 directive 4).
+
+The nine sf1-weak queries (q1 q3 q5 q9 q10 q13 q21 json_group_rollup
+sw_tumbling) are correct and cluster-shaped but looked 4–40× slower than
+single-node DuckDB at sf1 in late-session bench sections. This tool
+produces the demanded evidence at sf10 (100× the bench base, 60 M
+lineitem rows), uncontended, one process:
+
+1. WARM medians: per query, one untimed warmup then median of 3 timed
+   runs (single run when the first timed run exceeds ONE_RUN_ABOVE —
+   growth questions don't need podium medians on 10 s queries), with the
+   bench's persisted-block + GC hygiene between queries.
+2. DuckDB same protocol on the same parquet (bench.bench_duckdb).
+3. Stage breakdown for the worst joins (q5/q9/q10) from the profiled
+   plan (catalog.explain_analyze — real SQLMetrics, not estimates):
+   scan time vs shuffle bytes/time vs join/agg/sort time, so the floor
+   has a NAME (scan-bound / exchange-bound / floor-bound).
+4. Bucketed-fact twins: lineitem+orders persisted hash-bucketed on
+   orderkey (sources/bucketing.py), the same query functions re-run with
+   the bucketed tables injected — measuring exactly what pre-shuffled
+   storage buys (the 100 TB deployment answer for a repeated join key).
+
+Output: SCALE_TPCH_SF10.json (committed); SCALE.md summarizes.
+
+Repro: python tools/make_sf10.py && python tools/scale_tpch_sf10.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "localdata", "sf10"
+)
+WEAK = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
+    "json_group_rollup",
+    "sw_tumbling",
+]
+BREAKDOWN = ["q5_local_supplier_volume", "q9_product_profit", "q10_returned_items"]
+BUCKET_TWINS = BREAKDOWN
+ONE_RUN_ABOVE = 8.0
+N_BUCKETS = 32
+
+#: metrics worth carrying into the committed JSON, by substring
+_KEEP_METRICS = (
+    "scan time",
+    "shuffle write time",
+    "fetch wait time",
+    "time to build",
+    "time in aggregation",
+    "sort time",
+    "shuffle bytes written",
+    "records read",
+    "numOutputRows",
+    "data size",
+)
+
+
+def _warm_median(spark, fn, drop) -> float:
+    fn().count()  # warmup: plan + codegen + page cache
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+        if runs[0] > ONE_RUN_ABOVE:
+            break
+    drop()
+    return round(statistics.median(runs), 3)
+
+
+def _breakdown(spark, df) -> dict:
+    """Aggregate the profiled plan's SQLMetrics by operator class."""
+    from quackspark.catalog import explain_analyze
+
+    prof = explain_analyze(df)
+    agg: dict[str, dict[str, int]] = {}
+    for row in prof.collect():
+        op, metric, value = row["operator"], row["metric"], row["value"]
+        if not any(k in metric for k in _KEEP_METRICS):
+            continue
+        cls = (
+            "scan"
+            if "Scan" in op
+            else "exchange"
+            if "Exchange" in op or "Shuffle" in op
+            else "join"
+            if "Join" in op
+            else "agg"
+            if "Aggregate" in op
+            else "sort"
+            if op == "Sort"
+            else "other"
+        )
+        agg.setdefault(cls, {})
+        key = metric.split("(")[0].strip()
+        agg[cls][key] = agg[cls].get(key, 0) + int(value)
+    return agg
+
+
+def main() -> int:
+    import bench
+    from quackspark.entry import queries
+    from quackspark.session import _TABLE_CACHE, get_session, load_table
+    from quackspark.sources.bucketing import write_bucketed
+
+    if not os.path.isdir(SF10):
+        print("run tools/make_sf10.py first", file=sys.stderr)
+        return 1
+    spark = get_session("sf10-tpch")
+    qs = queries()
+    drop = lambda: bench._drop_persisted(spark)  # noqa: E731
+    out: dict = {"sf": 10, "spark": {}, "duckdb": {}, "ratio": {}}
+
+    for name in WEAK:
+        out["spark"][name] = _warm_median(
+            spark, lambda: qs[name](spark, SF10), drop
+        )
+        print("spark", name, out["spark"][name], flush=True)
+
+    out["duckdb"] = bench.bench_duckdb(WEAK, sf_dir=SF10, one_run_above=10.0)
+    for n in WEAK:
+        d = out["duckdb"].get(n, -1)
+        if d > 0 and out["spark"][n] > 0:
+            out["ratio"][n] = round(out["spark"][n] / d, 2)
+
+    out["stage_breakdown"] = {}
+    for name in BREAKDOWN:
+        out["stage_breakdown"][name] = _breakdown(spark, qs[name](spark, SF10))
+        drop()
+        print("breakdown", name, flush=True)
+
+    # --- bucketed twins ------------------------------------------------
+    # lineitem+orders hash-bucketed+sorted on orderkey: the lineitem⋈orders
+    # exchange (the one big shuffle in q5/q9/q10) becomes a scan-local
+    # sort-merge. Injection point: load_table's analyzed-DataFrame cache,
+    # keyed by a sentinel sf_dir — the query code is UNCHANGED.
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        if spark.catalog.tableExists(f"{t}_bkt_sf10"):
+            continue
+        write_bucketed(
+            load_table(spark, SF10, t), f"{t}_bkt_sf10", key, N_BUCKETS
+        )
+        print("bucketed", t, flush=True)
+    sentinel = SF10 + "#bucketed"
+    from quackspark.session import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t in ("lineitem", "orders"):
+            _TABLE_CACHE[(id(spark), sentinel, t)] = spark.table(f"{t}_bkt_sf10")
+        elif os.path.exists(os.path.join(SF10, f"{t}.parquet")):
+            _TABLE_CACHE[(id(spark), sentinel, t)] = load_table(spark, SF10, t)
+    out["bucketed_twins"] = {}
+    for name in BUCKET_TWINS:
+        out["bucketed_twins"][name] = _warm_median(
+            spark, lambda: qs[name](spark, sentinel), drop
+        )
+        print("bucketed twin", name, out["bucketed_twins"][name], flush=True)
+
+    path = os.path.join(os.path.dirname(SF10), "..", "SCALE_TPCH_SF10.json")
+    with open(os.path.abspath(path), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
