@@ -216,6 +216,57 @@ def misc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def misc_commitlog_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log versioned table roundtrip (sources/commitlog.py — the
+    SURVEY §4.2 MVCC/WAL analog): create a table from customer, commit a
+    key-disjoint rewrite, then read BOTH the pinned version-0 snapshot
+    and the new tip — time travel and snapshot isolation in one result.
+    The oracle recomputes both versions' aggregates from the base data,
+    so the differential check verifies the log's replay semantics, not
+    just row counts."""
+    import os
+    import shutil
+    import tempfile
+    from urllib.parse import urlparse
+
+    from quackspark.sources.commitlog import VersionedTable
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_acctbal")
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    root = os.path.join(
+        wh if wh and os.path.isdir(wh) else tempfile.gettempdir(),
+        "qs_commitlog_demo",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(os.path.join(root, "t"))
+    t.create(base, keys={"half": "lo"})
+    pinned = t.snapshot()  # version 0, file list resolved NOW
+    t.rewrite(
+        base.withColumn("c_acctbal", F.col("c_acctbal") * 2),
+        read_version=0,
+        keys={"half": "lo"},
+    )
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("long")
+            ).alias("bal_cents"),
+        )
+
+    return (
+        rollup(pinned.read(spark), 0)
+        .unionByName(rollup(t.snapshot().read(spark), 1))
+        .orderBy("version")
+    )
+
+
 def misc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) layout key over two query dimensions —
     the write-side clustering that makes parquet min/max stats prune
@@ -275,6 +326,7 @@ def misc_explain_analyze_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "misc_commitlog_timetravel": misc_commitlog_timetravel,
     "misc_explain_analyze_metrics": misc_explain_analyze_metrics,
     "misc_zorder_layout": misc_zorder_layout,
     "misc_pivot_counts": misc_pivot_counts,
@@ -292,6 +344,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    # both versions' aggregates recomputed from the base data — verifies
+    # the commit log's replay (v0 pinned, v1 tip), not just row counts
+    "misc_commitlog_timetravel": """
+        WITH base AS (
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100
+        )
+        SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS bal_cents
+        FROM base
+        UNION ALL
+        SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round(c_acctbal * 2 * 100)) AS BIGINT) AS bal_cents
+        FROM base
+        ORDER BY version
+    """,
     # the profiled plan's operator row counts ARE SQL-checkable facts:
     # DuckDB recomputes both invariants from the data (VERDICT r5 #6)
     "misc_explain_analyze_metrics": """

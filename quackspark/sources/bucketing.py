@@ -26,7 +26,18 @@ def write_bucketed(
     warehouse). `sort=True` also sorts within buckets by the keys, which
     removes the per-task Sort from subsequent merge joins."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    # Pre-repartition on the bucket keys with numPartitions == buckets:
+    # repartition's HashPartitioning uses the same Murmur3 hash as the
+    # bucket spec, so each task holds exactly one bucket and writes ONE
+    # file per bucket. Without this, every input partition spills a file
+    # into every bucket (tasks × buckets files), and a sorted-bucket READ
+    # must re-merge-sort many files per bucket — measured 2-10× slower
+    # than the plain-parquet join it was meant to beat (r6 sf10 twins).
+    w = (
+        df.repartition(buckets, *[df[k] for k in keys])
+        .write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+    )
     if sort:
         w = w.sortBy(*keys)
     w.format("parquet").saveAsTable(name)

@@ -23,6 +23,7 @@ mis-translating — same posture as the reference's binder errors.
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import re
 import time
@@ -4265,6 +4266,8 @@ def _rewrite_sequences(toks: list[str]) -> list[str]:
             name = _str_val(inner[0]).lower()
             seq = _SEQUENCES.get(name)
             if seq is None:
+                seq = _load_shared_sequence(name)
+            if seq is None:
                 raise UnsupportedSQL(f"sequence {name!r} does not exist")
             if low == "nextval":
                 if name in seen:
@@ -4273,12 +4276,27 @@ def _rewrite_sequences(toks: list[str]) -> list[str]:
                     )
                 seen.add(name)
                 _PENDING_SEQ.append(name)
-                out.extend(
-                    _tokens(
+                if seq.get("cycle", False):
+                    # two-segment walk (see _seq_cycle_params): rows before
+                    # the first boundary crossing continue from the cursor;
+                    # after it the walk is periodic from the restart
+                    # boundary. All offsets folded driver-side → the
+                    # in-plan arithmetic stays small (ANSI-safe).
+                    s, p, base = _seq_cycle_params(seq)
+                    expr = (
+                        f"CAST(CASE WHEN (row_number() OVER (ORDER BY"
+                        f" {order}) - 1) < {s} THEN {seq['next']} +"
+                        f" {seq['inc']} * (row_number() OVER (ORDER BY"
+                        f" {order}) - 1) ELSE {base} + {seq['inc']} *"
+                        f" pmod(row_number() OVER (ORDER BY {order}) - 1"
+                        f" - {s}, {p}) END AS BIGINT)"
+                    )
+                else:
+                    expr = (
                         f"CAST({seq['next']} + {seq['inc']} * (row_number()"
                         f" OVER (ORDER BY {order}) - 1) AS BIGINT)"
                     )
-                )
+                out.extend(_tokens(expr))
             else:
                 if seq["last"] is None:
                     raise UnsupportedSQL(
@@ -4292,13 +4310,148 @@ def _rewrite_sequences(toks: list[str]) -> list[str]:
     return out
 
 
+class SequenceExhausted(RuntimeError):
+    """nextval walked past MAXVALUE/MINVALUE on a NO CYCLE sequence
+    (reference exhaustion errors, duckdb-6.cpp:1919-1923)."""
+
+
+def _seq_cycle_params(seq: dict) -> tuple[int, int, int]:
+    """(first-segment length s, cycle period p, restart base) for a CYCLE
+    sequence: DuckDB (like PostgreSQL) RESTARTS at MINVALUE when an
+    ascending walk passes MAXVALUE (and at MAXVALUE descending) — it does
+    NOT continue modularly, which differs for |inc| > 1. The walk is
+    therefore next, next+inc, … (s values), then periodic from the
+    boundary with period p."""
+    inc, minv, maxv = seq["inc"], seq["min"], seq["max"]
+    if inc > 0:
+        return (maxv - seq["next"]) // inc + 1, (maxv - minv) // inc + 1, minv
+    return (seq["next"] - minv) // -inc + 1, (maxv - minv) // -inc + 1, maxv
+
+
+def _seq_value_at(seq: dict, k: int, name: str = "?") -> int:
+    """The id assigned to 0-based row k of the current statement —
+    bounds-checked (NO CYCLE raises like the reference) or wrapped
+    (CYCLE: boundary-restart walk, DuckDB semantics)."""
+    minv = seq.get("min", 1 if seq["inc"] > 0 else -(2**63 - 1))
+    maxv = seq.get("max", 2**63 - 1 if seq["inc"] > 0 else -1)
+    v = seq["next"] + seq["inc"] * k
+    if minv <= v <= maxv:
+        return v
+    if not seq.get("cycle", False):
+        bound, word = (maxv, "maximum") if seq["inc"] > 0 else (minv, "minimum")
+        raise SequenceExhausted(
+            f"nextval: reached {word} value of sequence \"{name}\" ({bound})"
+        )
+    s, p, base = _seq_cycle_params(seq)
+    return base + seq["inc"] * ((k - s) % p)
+
+
 def advance_sequences(n_rows: int) -> None:
-    """Advance every sequence consumed by the last transpile by n_rows."""
+    """Advance every sequence consumed by the last transpile by n_rows.
+
+    For NO CYCLE sequences this is also the exhaustion gate: the ids were
+    produced vectorized (one expression over the whole statement), so the
+    bound check runs once here against the statement's last row — the
+    statement fails atomically, exactly like the reference's serialized
+    cursor erroring mid-scan (nothing is returned to the caller)."""
     while _PENDING_SEQ:
-        seq = _SEQUENCES[_PENDING_SEQ.pop()]
+        name = _PENDING_SEQ.pop()
+        seq = _SEQUENCES[name]
         if n_rows > 0:
-            seq["last"] = seq["next"] + seq["inc"] * (n_rows - 1)
-            seq["next"] += seq["inc"] * n_rows
+            seq["last"] = _seq_value_at(seq, n_rows - 1, name)
+            seq["next"] = _seq_value_at(seq, n_rows, name) if seq.get(
+                "cycle", False
+            ) else seq["next"] + seq["inc"] * n_rows
+
+
+def _load_shared_sequence(name: str) -> dict | None:
+    """A sequence created by ANOTHER session sharing this warehouse:
+    adopt its persisted cursor into the local registry (the claim step
+    then keeps the two sessions' blocks disjoint)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    path = _seq_file(spark, name)
+    if path is None or not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        state = json.load(fh)
+    seq = {**state, "last": None}
+    _SEQUENCES[name] = seq
+    return seq
+
+
+def _seq_file(spark: SparkSession, name: str) -> str | None:
+    """Warehouse-shared cursor file for a sequence (None → no shared
+    warehouse, sequence stays session-local)."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not wh or not os.path.isdir(wh):
+        return None
+    d = os.path.join(wh, "_qs_seq")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}.json")
+
+
+def _seq_write(path: str, state: dict) -> None:
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, path)
+
+
+def _claim_sequence_blocks(
+    spark: SparkSession,
+    names: list[str],
+    n_rows: int,
+    registry: dict[str, dict] | None = None,
+) -> bool:
+    """Atomically reserve [next, next + inc·n) for each file-backed
+    sequence — the distributed analog of the reference's serialized
+    SequenceCatalogEntry cursor (duckdb-6.cpp:2012): concurrent SESSIONS
+    allocate disjoint id blocks through an O_EXCL lock + read-modify-write
+    on the shared cursor file. Returns True when any claimed start differs
+    from the start the statement was transpiled with (the caller must
+    re-emit the statement from the claimed start). Sequence gaps on
+    failed statements are allowed — same as the reference, where nextval
+    consumption survives rollback."""
+    moved = False
+    if n_rows <= 0:
+        return False
+    for name in names:
+        path = _seq_file(spark, name)
+        seq = (registry if registry is not None else _SEQUENCES)[name]
+        if path is None or not os.path.exists(path):
+            continue
+        lock = f"{path}.lock"
+        for attempt in range(50):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                time.sleep(0.01 * (attempt % 5 + 1))
+        else:
+            raise ConcurrentWriteError(
+                f"sequence {name}: cursor file lock is stuck ({lock})"
+            )
+        try:
+            with open(path) as fh:
+                state = json.load(fh)
+            if state["next"] != seq["next"]:
+                seq["next"] = state["next"]  # re-emit from the shared tip
+                moved = True
+            state["next"] = (
+                _seq_value_at(seq, n_rows, name)
+                if seq.get("cycle", False)
+                else seq["next"] + seq["inc"] * n_rows
+            )
+            _seq_write(path, state)
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+    return moved
 
 
 #: collation → expression wrapper (reference COLLATE binder; DuckDB ships
@@ -5253,9 +5406,6 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         # as alias.table — the dotted-namespace semantics of the original.
         # A native single-file .duckdb database attaches through the
         # Arrow-streaming bridge (sources/duckfile.py).
-        import json
-        import os
-
         src, alias = m.group(1), m.group(2)
         if os.path.isfile(src):
             from quackspark.sources.duckfile import attach_duckdb_file
@@ -5339,18 +5489,54 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         re.I | re.DOTALL,
     ):
         name, rest = m.group(1).lower(), m.group(2)
-        start = 1
+        # NO MINVALUE/NO MAXVALUE/NO CYCLE mean "the default" — strip them
+        # so the value regexes below can't mis-bind
+        rest = re.sub(r"\bNO\s+(MINVALUE|MAXVALUE|CYCLE)\b", "", rest, flags=re.I)
         inc = 1
-        if sm := re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", rest, re.I):
-            start = int(sm.group(1))
         if im := re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", rest, re.I):
             inc = int(im.group(1))
-        _SEQUENCES[name] = {"start": start, "inc": inc, "next": start, "last": None}
+        if inc == 0:
+            raise UnsupportedSQL("CREATE SEQUENCE: INCREMENT must be non-zero")
+        # DuckDB defaults (duckdb-6.cpp sequence binder): ascending →
+        # [1, 2^63-1] starting at MINVALUE; descending → [-(2^63-1), -1]
+        # starting at MAXVALUE
+        minv = 1 if inc > 0 else -(2**63 - 1)
+        maxv = 2**63 - 1 if inc > 0 else -1
+        if vm := re.search(r"\bMINVALUE\s+(-?\d+)", rest, re.I):
+            minv = int(vm.group(1))
+        if vm := re.search(r"\bMAXVALUE\s+(-?\d+)", rest, re.I):
+            maxv = int(vm.group(1))
+        start = minv if inc > 0 else maxv
+        if sm := re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", rest, re.I):
+            start = int(sm.group(1))
+        if not minv <= start <= maxv:
+            raise UnsupportedSQL(
+                f"CREATE SEQUENCE: START {start} outside [{minv}, {maxv}]"
+            )
+        cycle = bool(re.search(r"\bCYCLE\b", rest, re.I))
+        _SEQUENCES[name] = {
+            "start": start,
+            "inc": inc,
+            "next": start,
+            "last": None,
+            "min": minv,
+            "max": maxv,
+            "cycle": cycle,
+        }
+        # persist the cursor so OTHER sessions sharing the warehouse see
+        # the sequence and claim disjoint id blocks (_claim_sequence_blocks)
+        if path := _seq_file(spark, name):
+            state = dict(_SEQUENCES[name])
+            state.pop("last")
+            _seq_write(path, state)
         return spark.createDataFrame([(name,)], "sequence string")
     if m := re.match(
         r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", duckdb_sql, re.I
     ):
         _SEQUENCES.pop(m.group(1).lower(), None)
+        if path := _seq_file(spark, m.group(1).lower()):
+            with contextlib.suppress(OSError):
+                os.unlink(path)
         return spark.createDataFrame([(m.group(1).lower(),)], "dropped string")
     if m := _COPY_RE.match(duckdb_sql):
         src, path, opts = m.group(1), m.group(2), _parse_copy_options(m.group(3))
@@ -5768,7 +5954,15 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
         return handled
     df = spark.sql(transpile(duckdb_sql, spark))
     if _PENDING_SEQ:
-        # a sequence was consumed: advance its cursor by the statement's row
-        # count now (one extra execution — sequences are serial by nature)
-        advance_sequences(df.count())
+        # a sequence was consumed: count the statement's rows (one extra
+        # execution — sequences are serial by nature), atomically claim
+        # that block on the warehouse-shared cursor, and if another
+        # session moved the cursor since transpile, re-emit the statement
+        # from the claimed start so concurrent sessions never overlap ids
+        pending = list(dict.fromkeys(_PENDING_SEQ))
+        n = df.count()
+        if _claim_sequence_blocks(spark, pending, n):
+            _PENDING_SEQ.clear()
+            df = spark.sql(transpile(duckdb_sql, spark))
+        advance_sequences(n)
     return df

@@ -64,6 +64,7 @@ _KEEP_METRICS = (
     "time in aggregation",
     "sort time",
     "shuffle bytes written",
+    "records written",
     "records read",
     "numOutputRows",
     "data size",
@@ -150,8 +151,15 @@ def main() -> int:
     # sort-merge. Injection point: load_table's analyzed-DataFrame cache,
     # keyed by a sentinel sf_dir — the query code is UNCHANGED.
     for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        if spark.catalog.tableExists(f"{t}_bkt_sf10"):
-            continue
+        # fresh session + leftover warehouse dir from a prior run →
+        # LOCATION_ALREADY_EXISTS on saveAsTable; clear both first
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {t}_bkt_sf10")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(os.path.join(wh, f"{t}_bkt_sf10"), ignore_errors=True)
         write_bucketed(
             load_table(spark, SF10, t), f"{t}_bkt_sf10", key, N_BUCKETS
         )
