@@ -46,6 +46,68 @@ def duckdb_columns(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def duckdb_constraints(spark: SparkSession) -> DataFrame:
+    """The reference's ``duckdb_constraints()`` over the r6 enforcement
+    registries: one row per enforced constraint (PRIMARY KEY / UNIQUE /
+    NOT NULL / CHECK / FOREIGN KEY) with its column/expression text."""
+    from quackspark.ddl import (
+        TABLE_CHECKS,
+        TABLE_FKEYS,
+        TABLE_NOTNULL,
+        TABLE_PKEYS,
+        TABLE_UNIQUES,
+    )
+
+    rows: list[tuple[str, str, str]] = []
+    for t, cols in TABLE_NOTNULL.items():
+        rows.extend((t, "NOT NULL", c) for c in cols)
+    for t, sets in TABLE_UNIQUES.items():
+        pk = TABLE_PKEYS.get(t)
+        for i, ks in enumerate(sets):
+            kind = "PRIMARY KEY" if i == 0 and pk == ks else "UNIQUE"
+            rows.append((t, kind, ", ".join(ks)))
+    for t, exprs in TABLE_CHECKS.items():
+        rows.extend((t, "CHECK", e) for e in exprs)
+    for t, fks in TABLE_FKEYS.items():
+        for fk in fks:
+            pcols = fk["pcols"] or TABLE_PKEYS.get(fk["parent"], [])
+            rows.append((
+                t,
+                "FOREIGN KEY",
+                f"{', '.join(fk['cols'])} -> {fk['parent']}({', '.join(pcols)})",
+            ))
+    return spark.createDataFrame(
+        sorted(rows),
+        "table_name string, constraint_type string, constraint_text string",
+    )
+
+
+def duckdb_sequences(spark: SparkSession) -> DataFrame:
+    """The reference's ``duckdb_sequences()`` (duckdb-6.cpp:14150-14176
+    catalog family) over the sequence registry: name, bounds, increment,
+    cycle flag and the next-dispensed value (last_value is NULL until the
+    first nextval, like the engine)."""
+    from quackspark.sqlfront import _SEQUENCES
+
+    rows = [
+        (
+            name,
+            s["start"],
+            s.get("min", 1 if s["inc"] > 0 else -(2**63 - 1)),
+            s.get("max", 2**63 - 1 if s["inc"] > 0 else -1),
+            s["inc"],
+            bool(s.get("cycle", False)),
+            s["last"],
+        )
+        for name, s in sorted(_SEQUENCES.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sequence_name string, start_value long, min_value long, "
+        "max_value long, increment_by long, cycle boolean, last_value long",
+    )
+
+
 def duckdb_functions(spark: SparkSession) -> DataFrame:
     """Registered function inventory (built-ins + ours)."""
     rows = [(f.name, f.isTemporary) for f in spark.catalog.listFunctions()]

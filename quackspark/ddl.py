@@ -5,12 +5,15 @@ AlterTableInfo).
 
 Spark-side semantics, documented per statement:
 
-- ``CREATE TABLE (col defs)`` → managed parquet table. Constraints
-  (PRIMARY KEY / UNIQUE / CHECK / NOT NULL / FOREIGN KEY) are parsed and
-  accepted but NOT enforced — Spark has no constraint enforcement; the
-  reference enforces them via its ART index (duckdb-internal.hpp). They
-  are recorded for introspection. ``DEFAULT`` expressions ARE honored:
-  partial-column INSERTs fill missing columns with their default.
+- ``CREATE TABLE (col defs)`` → managed parquet table. Constraints:
+  PRIMARY KEY / UNIQUE / NOT NULL / CHECK / FOREIGN KEY are parsed AND
+  enforced (r6) — the reference enforces them per-row via its ART index
+  (duckdb-internal.hpp); we enforce them per-STATEMENT with one bounded
+  validation job before the write lands (see _enforce_insert /
+  enforce_update / enforce_parent_keys; a referenced parent also cannot
+  be dropped while a child exists). ``DEFAULT`` expressions ARE
+  honored: partial-column INSERTs fill missing columns with their
+  default.
 - ``TEMP TABLE`` → ordinary managed table: the metastore/warehouse of
   this deployment is already session-scoped, which is exactly DuckDB's
   temp-table lifetime.
@@ -36,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: per-table column DEFAULT expressions (DuckDB text), applied on
 #: partial-column INSERT
 TABLE_DEFAULTS: dict[str, dict[str, str]] = {}
-#: accepted-but-unenforced constraints, for introspection
+#: raw constraint text, for introspection
 TABLE_CONSTRAINTS: dict[str, list[str]] = {}
 #: CREATE INDEX shim registry
 INDEXES: dict[str, str] = {}
@@ -45,6 +48,37 @@ INDEXES: dict[str, str] = {}
 TABLE_PKEYS: dict[str, list[str]] = {}
 #: COMMENT ON registry
 COMMENTS: dict[str, str] = {}
+#: enforced-constraint registries (r6 — the reference enforces these via
+#: its ART index + binder, duckdb-internal.hpp; we enforce them with one
+#: bounded validation job per DML statement, see _enforce_insert)
+TABLE_NOTNULL: dict[str, list[str]] = {}
+TABLE_CHECKS: dict[str, list[str]] = {}  # DuckDB-dialect expressions
+TABLE_UNIQUES: dict[str, list[list[str]]] = {}  # key sets; PK set first
+#: child table → [{"cols": [...], "parent": str, "pcols": [...]}]
+TABLE_FKEYS: dict[str, list[dict]] = {}
+
+
+class ConstraintError(ValueError):
+    """A PRIMARY KEY / UNIQUE / NOT NULL / CHECK violation — mirrors the
+    reference's ConstraintException (its messages start the same way:
+    ``Constraint Error: …``)."""
+
+
+def drop_table_metadata(table: str) -> None:
+    """Forget every registry entry for ``table`` (DROP TABLE, and the
+    start of a fresh CREATE TABLE so re-created tables never inherit a
+    previous definition's constraints/defaults)."""
+    key = table.lower()
+    for reg in (
+        TABLE_DEFAULTS,
+        TABLE_CONSTRAINTS,
+        TABLE_PKEYS,
+        TABLE_NOTNULL,
+        TABLE_CHECKS,
+        TABLE_UNIQUES,
+        TABLE_FKEYS,
+    ):
+        reg.pop(key, None)
 
 _CONSTRAINT_KEYWORDS = {
     "primary", "unique", "not", "check", "references", "default", "collate",
@@ -143,16 +177,51 @@ def _parse_column_defs(defs_sql: str, table: str):
 
     cols: list[tuple[str, str, str | None]] = []
     constraints: list[str] = []
+    drop_table_metadata(table)  # a fresh definition replaces the old one
+    key = table.lower()
+
+    def _paren_cols(toks: list[str]) -> list[str]:
+        inner = toks[toks.index("(") + 1 : len(toks) - 1 - toks[::-1].index(")")]
+        return [t.strip('"').lower() for t in inner if t != ","]
+
+    def _add_pk(pk_cols: list[str]) -> None:
+        TABLE_PKEYS[key] = pk_cols
+        TABLE_UNIQUES.setdefault(key, []).insert(0, pk_cols)
+        nn = TABLE_NOTNULL.setdefault(key, [])
+        nn.extend(c for c in pk_cols if c not in nn)  # PK implies NOT NULL
+
     for item in _split_args(_tokens(defs_sql)):
         head = item[0].lower()
         if head in ("primary", "unique", "check", "foreign", "constraint"):
             constraints.append(" ".join(item))
+            if head == "constraint":  # CONSTRAINT <name> <definition>
+                item = item[2:]
+                head = item[0].lower() if item else ""
             low_toks = [t.lower() for t in item]
             if low_toks[:2] == ["primary", "key"] and "(" in item:
-                inner = item[item.index("(") + 1 : len(item) - 1 - item[::-1].index(")")]
-                TABLE_PKEYS[table.lower()] = [
-                    t.strip('"').lower() for t in inner if t != ","
-                ]
+                _add_pk(_paren_cols(item))
+            elif head == "unique" and "(" in item:
+                TABLE_UNIQUES.setdefault(key, []).append(_paren_cols(item))
+            elif head == "check" and "(" in item:
+                i0 = item.index("(")
+                i1 = len(item) - 1 - item[::-1].index(")")
+                TABLE_CHECKS.setdefault(key, []).append(
+                    " ".join(item[i0 + 1 : i1])
+                )
+            elif head == "foreign":
+                # FOREIGN KEY (cols) REFERENCES parent [(pcols)]
+                low_toks = [t.lower() for t in item]
+                if "references" not in low_toks or "(" not in item:
+                    raise UnsupportedSQL(f"FOREIGN KEY form: {' '.join(item)}")
+                ri = low_toks.index("references")
+                fcols = _paren_cols(item[:ri])
+                parent = item[ri + 1].strip('"').lower()
+                pcols = (
+                    _paren_cols(item[ri + 1 :]) if "(" in item[ri + 1 :] else []
+                )
+                TABLE_FKEYS.setdefault(key, []).append(
+                    {"cols": fcols, "parent": parent, "pcols": pcols}
+                )
             continue
         name = item[0].strip('"')
         type_toks: list[str] = []
@@ -190,15 +259,80 @@ def _parse_column_defs(defs_sql: str, table: str):
                 default = " ".join(expr)
                 i = j
             else:
-                if item[i].lower() == "primary":
-                    pk = TABLE_PKEYS.setdefault(table.lower(), [])
+                low = item[i].lower()
+                if low == "primary":  # PRIMARY [KEY]
+                    pk = TABLE_PKEYS.setdefault(key, [])
                     if name.lower() not in pk:
                         pk.append(name.lower())
-                constraints.append(f"{name} {item[i]}")
-                i += 1
+                    constraints.append(f"{name} {item[i]}")
+                    i += 1
+                elif low == "not" and i + 1 < len(item) and item[i + 1].lower() == "null":
+                    nn = TABLE_NOTNULL.setdefault(key, [])
+                    if name.lower() not in nn:
+                        nn.append(name.lower())
+                    constraints.append(f"{name} not null")
+                    i += 2
+                elif low == "unique":
+                    TABLE_UNIQUES.setdefault(key, []).append([name.lower()])
+                    constraints.append(f"{name} unique")
+                    i += 1
+                elif low == "references" and i + 1 < len(item):
+                    parent = item[i + 1].strip('"').lower()
+                    j = i + 2
+                    pcols: list[str] = []
+                    if j < len(item) and item[j] == "(":
+                        k2 = j
+                        d2 = 0
+                        while k2 < len(item):
+                            if item[k2] == "(":
+                                d2 += 1
+                            elif item[k2] == ")":
+                                d2 -= 1
+                                if d2 == 0:
+                                    break
+                            k2 += 1
+                        pcols = [
+                            t.strip('"').lower()
+                            for t in item[j + 1 : k2]
+                            if t != ","
+                        ]
+                        j = k2 + 1
+                    TABLE_FKEYS.setdefault(key, []).append(
+                        {"cols": [name.lower()], "parent": parent, "pcols": pcols}
+                    )
+                    constraints.append(f"{name} references {parent}")
+                    i = j
+                elif low == "check" and i + 1 < len(item) and item[i + 1] == "(":
+                    j = i + 1
+                    d = 0
+                    while j < len(item):
+                        if item[j] == "(":
+                            d += 1
+                        elif item[j] == ")":
+                            d -= 1
+                            if d == 0:
+                                break
+                        j += 1
+                    TABLE_CHECKS.setdefault(key, []).append(
+                        " ".join(item[i + 2 : j])
+                    )
+                    constraints.append(f"{name} check")
+                    i = j + 1
+                else:
+                    constraints.append(f"{name} {item[i]}")
+                    i += 1
         if not type_toks:
             raise UnsupportedSQL(f"column {name} needs a type")
         cols.append((name, _translate_type(type_toks), default))
+    if key in TABLE_PKEYS:
+        # inline single-column PRIMARY KEY: register its unique set and
+        # implied NOT NULL (the table-level path did this in _add_pk)
+        pk_cols = TABLE_PKEYS[key]
+        uq = TABLE_UNIQUES.setdefault(key, [])
+        if not uq or uq[0] != pk_cols:
+            uq.insert(0, pk_cols)
+        nn = TABLE_NOTNULL.setdefault(key, [])
+        nn.extend(c for c in pk_cols if c not in nn)
     if constraints:
         TABLE_CONSTRAINTS[table.lower()] = constraints
     return cols
@@ -342,7 +476,68 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     if m := _INSERT_COLS_RE.match(duckdb_sql):
         return _run_insert_with_columns(spark, *m.groups())
 
+    if m := _INSERT_PLAIN_RE.match(duckdb_sql):
+        return _run_insert_plain(spark, m.group(1), m.group(2))
+
+    if m := re.match(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)", duckdb_sql, re.I
+    ):
+        # refuse to drop a table other tables still reference (DuckDB FK
+        # dependency error), else forget its metadata and fall through
+        # (return None) so the normal paths execute the actual drop
+        dropped = m.group(1).lower()
+        children = [
+            child
+            for child, fks in TABLE_FKEYS.items()
+            if child != dropped and any(fk["parent"] == dropped for fk in fks)
+        ]
+        if children:
+            raise ConstraintError(
+                f"Constraint Error: Could not drop the table because this "
+                f"table is main key table of the table {children[0]}"
+            )
+        drop_table_metadata(dropped)
+
     return None
+
+
+_INSERT_PLAIN_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*"
+    r"((?:VALUES|SELECT|FROM|TABLE)\b.*?|\(\s*(?:SELECT|FROM)\b.*?\))\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _run_insert_plain(
+    spark: SparkSession, table: str, source: str
+) -> DataFrame | None:
+    """Full-column INSERT on a table WITH enforced constraints: bind the
+    source, validate (see _enforce_insert), then append. Unconstrained
+    tables return None and keep the zero-overhead spark.sql path."""
+    if not has_enforced_constraints(table):
+        return None
+    from quackspark.sqlfront import transpile
+
+    s = source.strip()
+    if s.startswith("(") and s.endswith(")"):
+        source = s[1:-1]  # parenthesized SELECT source
+    schema = spark.table(table).schema
+    src_sql = transpile(source, spark)
+    if re.match(r"^\s*VALUES\b", src_sql, re.I):
+        names = ", ".join(f.name for f in schema.fields)
+        src_sql = f"SELECT * FROM ({src_sql}) AS __v({names})"
+    elif re.match(r"^\s*FROM\b", src_sql, re.I):
+        src_sql = f"SELECT * {src_sql}"
+    src = spark.sql(src_sql).toDF(*[f.name for f in schema.fields])
+    src = src.selectExpr(
+        *[
+            f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in schema.fields
+        ]
+    )
+    _enforce_insert(spark, table, src)
+    src.write.insertInto(table, overwrite=False)
+    return _status(spark, table=table, status="inserted")
 
 
 def _swap(spark: SparkSession, table: str, df: DataFrame) -> None:
@@ -356,8 +551,16 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
 
     if m := re.match(r"^RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I):
         spark.sql(f"ALTER TABLE {table} RENAME TO {m.group(1)}")
-        if table.lower() in TABLE_DEFAULTS:
-            TABLE_DEFAULTS[m.group(1).lower()] = TABLE_DEFAULTS.pop(table.lower())
+        for reg in (
+            TABLE_DEFAULTS,
+            TABLE_CONSTRAINTS,
+            TABLE_PKEYS,
+            TABLE_NOTNULL,
+            TABLE_CHECKS,
+            TABLE_UNIQUES,
+        ):
+            if table.lower() in reg:
+                reg[m.group(1).lower()] = reg.pop(table.lower())
         return _status(spark, table=m.group(1), status="renamed")
 
     if m := re.match(
@@ -420,8 +623,21 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
             if re.search(r"IF\s+EXISTS", action, re.I):
                 return _status(spark, table=table, status="column absent")
             raise UnsupportedSQL(f"DROP COLUMN: no column {col} in {table}")
+        if any(
+            col.lower() in ks for ks in TABLE_UNIQUES.get(table.lower(), [])
+        ):
+            # DuckDB refuses to drop a column an index/key depends on
+            raise ConstraintError(
+                f"Constraint Error: Cannot drop column {col}: it is part "
+                f"of a PRIMARY KEY or UNIQUE constraint on {table}"
+            )
         _swap(spark, table, spark.table(table).selectExpr(*keep))
         TABLE_DEFAULTS.get(table.lower(), {}).pop(col.lower(), None)
+        # a dropped column takes its NOT NULL with it; CHECKs referencing
+        # it fail to bind on the next DML, matching a missing-column error
+        nn = TABLE_NOTNULL.get(table.lower())
+        if nn and col.lower() in nn:
+            nn.remove(col.lower())
         return _status(spark, table=table, status=f"dropped {col}")
 
     if m := re.match(
@@ -502,10 +718,231 @@ def _run_copy_from(
               .csv(path))
     else:
         raise UnsupportedSQL(f"COPY FROM format {fmt!r}")
-    df.select(*[f"`{f.name}`" for f in schema.fields]).write.insertInto(
-        table, overwrite=False
-    )
+    df = df.select(*[f"`{f.name}`" for f in schema.fields])
+    if has_enforced_constraints(table):
+        _enforce_insert(spark, table, df)
+    df.write.insertInto(table, overwrite=False)
     return _status(spark, table=table, status="copied")
+
+
+def has_enforced_constraints(table: str) -> bool:
+    key = table.lower()
+    return bool(
+        TABLE_NOTNULL.get(key)
+        or TABLE_CHECKS.get(key)
+        or TABLE_UNIQUES.get(key)
+        or TABLE_FKEYS.get(key)
+        or table_is_fk_parent(key)
+    )
+
+
+def _dup_key_msg(keys: list[str], row, kind: str) -> str:
+    kv = ", ".join(f"{k}: {row[k]}" for k in keys)
+    return f'Constraint Error: Duplicate key "{kv}" violates {kind} constraint'
+
+
+def _unique_kind(table: str, i: int, keys: list[str]) -> str:
+    pk = TABLE_PKEYS.get(table.lower())
+    return "primary key" if i == 0 and pk == keys else "unique"
+
+
+def _enforce_insert(
+    spark: SparkSession,
+    table: str,
+    src_df: DataFrame,
+    *,
+    uniques: bool = True,
+    against_existing: bool = True,
+) -> None:
+    """Validate proposed rows BEFORE they land, failing the statement
+    atomically like the reference's ConstraintException.
+
+    Cost model (the 100 TB posture): the reference pays a per-row ART
+    probe (duckdb-internal.hpp index machinery); we pay per-STATEMENT
+    distributed jobs — ONE aggregate over the proposed rows for every
+    NOT NULL + CHECK at once, then per key set one duplicate probe whose
+    result is a single offending key (bounded metadata, never row data).
+    NULL key parts never conflict (DuckDB unique semantics); CHECK
+    passes on NULL (SQL three-valued logic)."""
+    from pyspark.sql import functions as F
+
+    from quackspark.sqlfront import transpile
+
+    key = table.lower()
+    cols = {c.lower() for c in src_df.columns}
+    aggs, labels = [], []
+    for c in TABLE_NOTNULL.get(key, []):
+        if c in cols:
+            aggs.append(F.max(F.col(c).isNull()).alias(f"v{len(labels)}"))
+            labels.append(("notnull", c))
+    for expr in TABLE_CHECKS.get(key, []):
+        sexpr = transpile(expr, spark)
+        aggs.append(
+            F.max(~F.coalesce(F.expr(sexpr), F.lit(True))).alias(f"v{len(labels)}")
+        )
+        labels.append(("check", expr))
+    if aggs:
+        row = src_df.agg(*aggs).first()
+        for (kind, what), bad in zip(labels, row):
+            if bad:
+                if kind == "notnull":
+                    raise ConstraintError(
+                        f"Constraint Error: NOT NULL constraint failed: "
+                        f"{table}.{what}"
+                    )
+                raise ConstraintError(
+                    f"Constraint Error: CHECK constraint failed on table "
+                    f"{table} with expression CHECK(({what}))"
+                )
+    for fk in TABLE_FKEYS.get(key, []):
+        fcols = fk["cols"]
+        if not set(fcols) <= cols:
+            continue
+        pcols = fk["pcols"] or TABLE_PKEYS.get(fk["parent"], [])
+        if not pcols or len(pcols) != len(fcols):
+            continue  # unresolvable target → recorded-only
+        pk_df = spark.table(fk["parent"]).select(
+            *[F.col(p).alias(c) for p, c in zip(pcols, fcols)]
+        )
+        missing = (
+            src_df.select(*fcols)
+            .na.drop("any")
+            .distinct()
+            .join(pk_df, on=list(fcols), how="left_anti")
+            .limit(1)
+            .collect()
+        )
+        if missing:
+            kv = ", ".join(f"{c}: {missing[0][c]}" for c in fcols)
+            raise ConstraintError(
+                f'Constraint Error: Violates foreign key constraint because '
+                f'key "{kv}" does not exist in the referenced table'
+            )
+    if not uniques:
+        return
+    for i, keys in enumerate(TABLE_UNIQUES.get(key, [])):
+        if not set(keys) <= cols:
+            continue
+        kind = _unique_kind(table, i, keys)
+        proposed = src_df.select(*keys).na.drop("any")
+        dup = (
+            proposed.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ConstraintError(_dup_key_msg(keys, dup[0], kind))
+        if against_existing:
+            hit = (
+                proposed.join(
+                    spark.table(table).select(*keys), on=list(keys), how="left_semi"
+                )
+                .limit(1)
+                .collect()
+            )
+            if hit:
+                raise ConstraintError(_dup_key_msg(keys, hit[0], kind))
+
+
+def table_is_fk_parent(table: str) -> bool:
+    return any(
+        fk["parent"] == table.lower()
+        for fks in TABLE_FKEYS.values()
+        for fk in fks
+    )
+
+
+def enforce_parent_keys(
+    spark: SparkSession, table: str, post_image: DataFrame
+) -> None:
+    """DELETE / key-UPDATE on a referenced parent: every child FK value
+    must still resolve against the parent's POST-image — a key removed
+    while still referenced fails the statement (reference FK semantics:
+    the delete side of the ART FK machinery)."""
+    from pyspark.sql import functions as F
+
+    for child, fks in TABLE_FKEYS.items():
+        for fk in fks:
+            if fk["parent"] != table.lower():
+                continue
+            pcols = fk["pcols"] or TABLE_PKEYS.get(table.lower(), [])
+            if not pcols or len(pcols) != len(fk["cols"]):
+                continue
+            child_df = (
+                post_image if child == table.lower() else spark.table(child)
+            )
+            child_vals = (
+                child_df.select(
+                    *[
+                        F.col(c).alias(p)
+                        for c, p in zip(fk["cols"], pcols)
+                    ]
+                )
+                .na.drop("any")
+                .distinct()
+            )
+            dangling = (
+                child_vals.join(
+                    post_image.select(*pcols), on=list(pcols), how="left_anti"
+                )
+                .limit(1)
+                .collect()
+            )
+            if dangling:
+                kv = ", ".join(f"{p}: {dangling[0][p]}" for p in pcols)
+                raise ConstraintError(
+                    f'Constraint Error: Violates foreign key constraint '
+                    f'because key "{kv}" is still referenced by a foreign '
+                    f'key in table {child}'
+                )
+
+
+def enforce_update(
+    spark: SparkSession,
+    table: str,
+    updated_rows: DataFrame,
+    post_image: DataFrame,
+    assigned_cols: set[str],
+) -> None:
+    """UPDATE-side enforcement: NOT NULL + CHECK + child-side FK evaluate
+    on the post-image of the rows the statement modifies; key sets that
+    intersect the assigned columns re-verify uniqueness over the table's
+    full post-image (one count-aggregate per affected key set); assigning
+    a column some CHILD references re-verifies the children against the
+    parent post-image."""
+    from pyspark.sql import functions as F
+
+    _enforce_insert(
+        spark, table, updated_rows, uniques=False, against_existing=False
+    )
+    for i, keys in enumerate(TABLE_UNIQUES.get(table.lower(), [])):
+        if not assigned_cols & set(keys):
+            continue
+        dup = (
+            post_image.select(*keys)
+            .na.drop("any")
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ConstraintError(
+                _dup_key_msg(keys, dup[0], _unique_kind(table, i, keys))
+            )
+    if table_is_fk_parent(table):
+        referenced = {
+            p
+            for fks in TABLE_FKEYS.values()
+            for fk in fks
+            if fk["parent"] == table.lower()
+            for p in (fk["pcols"] or TABLE_PKEYS.get(table.lower(), []))
+        }
+        if assigned_cols & referenced:
+            enforce_parent_keys(spark, table, post_image)
 
 
 def _conflict_keys(spark: SparkSession, table: str, target: str | None):
@@ -556,6 +993,11 @@ def _run_insert_conflict(
     if re.match(r"^\s*VALUES\b", src_sql, re.I):
         src_sql = f"SELECT * FROM ({src_sql}) AS __v({', '.join(f.name for f in schema.fields)})"
     new_rows = spark.sql(src_sql).toDF(*[f.name for f in schema.fields])
+    # NOT NULL / CHECK apply to the proposed rows regardless of conflict
+    # action; the key-duplicate handling below IS the unique enforcement
+    # for the conflict target (other unique sets are checked too, minus
+    # rows the IGNORE path drops — kept simple: conflict actions own keys)
+    _enforce_insert(spark, table, new_rows, uniques=False)
     existing = spark.table(table)
     # EVERY conflict action rejects a batch that repeats a conflict key
     # within itself — including OR IGNORE / DO NOTHING (probed against
@@ -585,6 +1027,10 @@ def _run_insert_conflict(
         final = _merge_do_update(
             spark, existing, new_rows, keys, schema, do_action
         )
+        # the SET expressions can write values the proposed rows never
+        # carried (e.g. x = excluded.x + x) — NOT NULL/CHECK re-validate
+        # on the merged post-image, like the engine's updated-row check
+        _enforce_insert(spark, table, final, uniques=False)
         _swap_in(spark, table, final)
         return _status(spark, table=table, status="upserted (conflicts updated)")
     kept = existing.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti")
@@ -730,8 +1176,15 @@ def _run_insert_with_columns(
             items.append(f"CAST(({d}) AS {t}) AS `{f.name}`")
         else:
             items.append(f"CAST(NULL AS {t}) AS `{f.name}`")
-    spark.sql(
-        f"INSERT INTO {table} SELECT {', '.join(items)} "
-        f"FROM ({src_sql}) AS __src({alias_cols})"
-    )
+    if has_enforced_constraints(table):
+        df = spark.sql(
+            f"SELECT {', '.join(items)} FROM ({src_sql}) AS __src({alias_cols})"
+        )
+        _enforce_insert(spark, table, df)
+        df.write.insertInto(table, overwrite=False)
+    else:
+        spark.sql(
+            f"INSERT INTO {table} SELECT {', '.join(items)} "
+            f"FROM ({src_sql}) AS __src({alias_cols})"
+        )
     return _status(spark, table=table, status="inserted")

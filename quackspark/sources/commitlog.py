@@ -191,7 +191,22 @@ class VersionedTable:
 
     # ---- public write ops --------------------------------------------
 
-    def create(self, df, keys: dict | None = None) -> int:
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version committed under ``app_id`` (the
+        Delta-style idempotent-writer protocol: a writer that stamps its
+        commits with (app, version) can re-run a batch after a crash and
+        skip versions that already landed — exactly-once sinks, see
+        streaming/engine.py stream_append_versioned)."""
+        best: int | None = None
+        for v in self._versions():
+            txn = self._read_commit(v).get("txn")
+            if txn and txn.get("app") == app_id:
+                best = max(best, txn["version"]) if best is not None else txn[
+                    "version"
+                ]
+        return best
+
+    def create(self, df, keys: dict | None = None, txn: dict | None = None) -> int:
         """Commit 0. Fails if the table already has a log."""
         rel, schema = self._write_files(df)
         commit = {
@@ -201,15 +216,24 @@ class VersionedTable:
             "keys": keys or {},
             "schema": schema,
             "read_version": -1,
+            "txn": txn,
             "ts": time.time(),
         }
         if not self._claim(0, commit):
             raise CommitConflict(f"table {self.path} already created")
         return 0
 
-    def append(self, df, keys: dict | None = None, max_retries: int = 20) -> int:
+    def append(
+        self,
+        df,
+        keys: dict | None = None,
+        max_retries: int = 20,
+        txn: dict | None = None,
+    ) -> int:
         """Append rows. Appends never remove files, so they commit against
-        ANY concurrent history — the claim loop just rebases onto the tip."""
+        ANY concurrent history — the claim loop just rebases onto the tip.
+        An optional ``txn={"app": …, "version": …}`` stamp makes the
+        append idempotent-checkable via last_txn_version."""
         rel, schema = self._write_files(df)
         commit = {
             "op": "append",
@@ -218,6 +242,7 @@ class VersionedTable:
             "keys": keys or {},
             "schema": schema,
             "read_version": None,  # filled per attempt
+            "txn": txn,
             "ts": time.time(),
         }
         for _ in range(max_retries):

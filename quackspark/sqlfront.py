@@ -5828,6 +5828,17 @@ def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
                 f"SELECT {returning} FROM (SELECT {post} FROM {table} "
                 f"WHERE coalesce({cond}, false)) __qs_ret", spark
             )).localCheckpoint(eager=True)
+        from quackspark.ddl import enforce_update, has_enforced_constraints
+
+        if has_enforced_constraints(table):
+            post = ", ".join(
+                applied(f.name) for f in spark.table(table).schema.fields
+            )
+            upd_rows = spark.sql(transpile(
+                f"SELECT {post} FROM {table} WHERE coalesce({cond}, false)",
+                spark,
+            ))
+            enforce_update(spark, table, upd_rows, new_df, set(assigns))
         _swap_in(spark, table, new_df)
         return ret_df if ret_df is not None else spark.createDataFrame(
             [(table,)], "updated string"
@@ -5845,6 +5856,10 @@ def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
                 f"SELECT {returning} FROM (SELECT * FROM {table} "
                 f"WHERE {kept}) __qs_ret", spark
             )).localCheckpoint(eager=True)
+        from quackspark.ddl import enforce_parent_keys, table_is_fk_parent
+
+        if table_is_fk_parent(table):
+            enforce_parent_keys(spark, table, new_df)
         _swap_in(spark, table, new_df)
         return ret_df if ret_df is not None else spark.createDataFrame(
             [(table,)], "deleted string"

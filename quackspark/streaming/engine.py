@@ -301,6 +301,56 @@ def run_foreach_batch(
     q.awaitTermination(120)
 
 
+def versioned_batch_sink(table, app_id: str):
+    """The idempotent foreachBatch body (factored out so tests can drive
+    the crash-replay path directly): create on first batch, skip any
+    batch id at or below the app's last committed txn version, else
+    append with the txn stamp."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not table.exists():
+            table.create(batch_df, txn={"app": app_id, "version": batch_id})
+            return
+        last = table.last_txn_version(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed after restart — this batch already landed
+        table.append(batch_df, txn={"app": app_id, "version": batch_id})
+
+    return sink
+
+
+def stream_append_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint_dir: str,
+) -> "VersionedTable":
+    """Exactly-once streaming sink into a commit-log versioned table
+    (sources/commitlog.py — the SURVEY §4.2 MVCC/WAL analog).
+
+    foreachBatch gives at-least-once: after a crash between the table
+    commit and the streaming checkpoint, the restarted query REPLAYS the
+    last micro-batch. The commit log closes the gap the way Delta's
+    idempotent writes do (public txnAppId/txnVersion protocol): every
+    append is stamped ``txn={"app": app_id, "version": batch_id}``, and a
+    replayed batch whose version is <= last_txn_version(app_id) is
+    skipped. Restartable, concurrent-writer-safe (appends always rebase),
+    and every micro-batch is one atomic version — readers pinned to a
+    snapshot never see a torn batch."""
+    from quackspark.sources.commitlog import VersionedTable
+
+    table = VersionedTable(table_path)
+    sink = versioned_batch_sink(table, app_id)
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return table
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str | None = None
 ) -> DataFrame:

@@ -35,6 +35,47 @@ def test_duckdb_columns(spark):
     assert cols[0]["data_type"] == "int"
 
 
+def test_duckdb_constraints_view(spark):
+    """r6: duckdb_constraints() lists the enforced-constraint registries."""
+    from quackspark.sqlfront import sql
+
+    sql(spark, "DROP TABLE IF EXISTS cat_c1")
+    sql(spark, "DROP TABLE IF EXISTS cat_c2")
+    sql(spark, "CREATE TABLE cat_c1 (id INTEGER PRIMARY KEY, "
+               "v VARCHAR NOT NULL, n INTEGER CHECK (n > 0))")
+    sql(spark, "CREATE TABLE cat_c2 (cid INTEGER, "
+               "pid INTEGER REFERENCES cat_c1(id))")
+    rows = {
+        (r["table_name"], r["constraint_type"], r["constraint_text"])
+        for r in C.duckdb_constraints(spark).collect()
+    }
+    assert ("cat_c1", "PRIMARY KEY", "id") in rows
+    assert ("cat_c1", "NOT NULL", "v") in rows
+    assert ("cat_c1", "NOT NULL", "id") in rows  # PK implies NOT NULL
+    assert any(t == "cat_c1" and k == "CHECK" for t, k, _ in rows)
+    assert ("cat_c2", "FOREIGN KEY", "pid -> cat_c1(id)") in rows
+    sql(spark, "DROP TABLE cat_c2")
+    sql(spark, "DROP TABLE cat_c1")
+
+
+def test_duckdb_sequences_view(spark):
+    """r6: duckdb_sequences() mirrors the reference's catalog function."""
+    from quackspark.sqlfront import sql
+
+    sql(spark, "DROP SEQUENCE IF EXISTS cat_seq")
+    sql(spark, "CREATE SEQUENCE cat_seq START 5 INCREMENT 2 "
+               "MINVALUE 1 MAXVALUE 99 CYCLE")
+    rows = {r["sequence_name"]: r for r in C.duckdb_sequences(spark).collect()}
+    r = rows["cat_seq"]
+    assert (r["start_value"], r["min_value"], r["max_value"]) == (5, 1, 99)
+    assert (r["increment_by"], r["cycle"], r["last_value"]) == (2, True, None)
+    sql(spark, "SELECT nextval('cat_seq') AS i FROM nation "
+               "WHERE n_nationkey < 3").collect()
+    rows = {r["sequence_name"]: r for r in C.duckdb_sequences(spark).collect()}
+    assert rows["cat_seq"]["last_value"] == 9  # 5, 7, 9
+    sql(spark, "DROP SEQUENCE cat_seq")
+
+
 def test_duckdb_functions_nonempty(spark):
     fns = {r["function_name"] for r in C.duckdb_functions(spark).collect()}
     assert {"sum", "transform", "percentile_approx"} <= fns

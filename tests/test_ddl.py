@@ -101,20 +101,188 @@ def test_views_and_update_delete(both):
     ])
 
 
-def test_constraints_accepted_not_enforced(both):
-    """PRIMARY KEY/NOT NULL/CHECK parse and record; enforcement is
-    documented out of scope (Spark has none) — the data path still works."""
+def test_constraints_recorded(both):
+    """PRIMARY KEY/NOT NULL/CHECK parse into the enforcement registries;
+    the data path still works for valid rows."""
     spark, con = both
     run_script(spark, con, [
         ("run", "CREATE TABLE ddl_t6 (id INTEGER PRIMARY KEY, "
                 "v VARCHAR NOT NULL, CHECK (id > 0))"),
         ("run", "INSERT INTO ddl_t6 VALUES (1, 'ok')"),
         ("check", "SELECT * FROM ddl_t6"),
-        ("run", "DROP TABLE ddl_t6"),
     ])
     from quackspark.ddl import TABLE_CONSTRAINTS
 
     assert "ddl_t6" in TABLE_CONSTRAINTS
+    run_script(spark, con, [("run", "DROP TABLE ddl_t6")])
+    # r6: DROP TABLE forgets the registries (a re-created ddl_t6 must not
+    # inherit this definition's constraints)
+    assert "ddl_t6" not in TABLE_CONSTRAINTS
+
+
+def _both_reject(spark, con, stmt):
+    """The statement must raise on BOTH engines; ours with a message the
+    reference's ConstraintException family would use."""
+    with pytest.raises(Exception) as se:
+        sql(spark, stmt)
+    with pytest.raises(Exception):
+        con.sql(stmt)
+    assert "Constraint Error" in str(se.value), str(se.value)
+
+
+class TestConstraintEnforcement:
+    """r6: PRIMARY KEY / UNIQUE / NOT NULL / CHECK enforce on DML —
+    engine-vs-engine: violations raise on both, valid data matches
+    (reference ConstraintException via ART index probes; here one
+    bounded validation job per statement, ddl._enforce_insert)."""
+
+    def test_insert_violations(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c1 (id INTEGER PRIMARY KEY, "
+                    "v VARCHAR NOT NULL, n INTEGER CHECK (n >= 0))"),
+            ("run", "INSERT INTO ddl_c1 VALUES (1, 'a', 0), (2, 'b', 5)"),
+        ])
+        _both_reject(spark, con, "INSERT INTO ddl_c1 VALUES (3, NULL, 1)")
+        _both_reject(spark, con, "INSERT INTO ddl_c1 VALUES (3, 'c', -1)")
+        _both_reject(spark, con, "INSERT INTO ddl_c1 VALUES (1, 'dup', 1)")
+        _both_reject(
+            spark, con,
+            "INSERT INTO ddl_c1 VALUES (7, 'x', 1), (7, 'y', 2)",
+        )
+        _both_reject(spark, con, "INSERT INTO ddl_c1 VALUES (NULL, 'z', 1)")
+        # CHECK passes on NULL (three-valued logic) and failed statements
+        # left nothing behind (atomicity)
+        run_script(spark, con, [
+            ("run", "INSERT INTO ddl_c1 VALUES (3, 'c', NULL)"),
+            ("check", "SELECT * FROM ddl_c1 ORDER BY id"),
+            ("run", "DROP TABLE ddl_c1"),
+        ])
+
+    def test_partial_insert_not_null(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c2 (id INTEGER, v VARCHAR NOT NULL, "
+                    "w VARCHAR NOT NULL DEFAULT 'd')"),
+            # missing w fills from DEFAULT → valid
+            ("run", "INSERT INTO ddl_c2 (id, v) VALUES (1, 'a')"),
+            ("check", "SELECT * FROM ddl_c2 ORDER BY id"),
+        ])
+        # missing v has no default → NULL → rejected by both
+        _both_reject(spark, con, "INSERT INTO ddl_c2 (id, w) VALUES (2, 'x')")
+        run_script(spark, con, [
+            ("check", "SELECT * FROM ddl_c2 ORDER BY id"),
+            ("run", "DROP TABLE ddl_c2"),
+        ])
+
+    def test_unique_nulls_never_conflict(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c3 (id INTEGER, u VARCHAR UNIQUE)"),
+            ("run", "INSERT INTO ddl_c3 VALUES (1, 'a'), (2, NULL), (3, NULL)"),
+            ("run", "INSERT INTO ddl_c3 VALUES (4, NULL)"),
+            ("check", "SELECT * FROM ddl_c3 ORDER BY id"),
+        ])
+        _both_reject(spark, con, "INSERT INTO ddl_c3 VALUES (5, 'a')")
+        run_script(spark, con, [("run", "DROP TABLE ddl_c3")])
+
+    def test_table_level_composite_unique(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c4 (a INTEGER, b INTEGER, v VARCHAR, "
+                    "UNIQUE (a, b))"),
+            ("run", "INSERT INTO ddl_c4 VALUES (1, 1, 'x'), (1, 2, 'y')"),
+        ])
+        _both_reject(spark, con, "INSERT INTO ddl_c4 VALUES (1, 1, 'z')")
+        run_script(spark, con, [
+            ("check", "SELECT * FROM ddl_c4 ORDER BY a, b"),
+            ("run", "DROP TABLE ddl_c4"),
+        ])
+
+    def test_update_violations(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c5 (id INTEGER PRIMARY KEY, "
+                    "n INTEGER CHECK (n >= 0), v VARCHAR NOT NULL)"),
+            ("run", "INSERT INTO ddl_c5 VALUES (1, 0, 'a'), (2, 5, 'b')"),
+        ])
+        _both_reject(spark, con, "UPDATE ddl_c5 SET n = -1 WHERE id = 1")
+        _both_reject(spark, con, "UPDATE ddl_c5 SET v = NULL WHERE id = 2")
+        _both_reject(spark, con, "UPDATE ddl_c5 SET id = 2 WHERE id = 1")
+        run_script(spark, con, [
+            # untouched-row CHECK state can't fail a disjoint update
+            ("run", "UPDATE ddl_c5 SET n = 9 WHERE id = 2"),
+            ("check", "SELECT * FROM ddl_c5 ORDER BY id"),
+            ("run", "DROP TABLE ddl_c5"),
+        ])
+
+    def test_insert_select_enforced(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c6 (k INTEGER PRIMARY KEY, "
+                    "name VARCHAR NOT NULL)"),
+            ("run", "INSERT INTO ddl_c6 SELECT n_nationkey, n_name "
+                    "FROM nation WHERE n_nationkey < 10"),
+            ("check", "SELECT * FROM ddl_c6 ORDER BY k"),
+        ])
+        # re-inserting the same key range collides with existing rows
+        _both_reject(
+            spark, con,
+            "INSERT INTO ddl_c6 SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey < 3",
+        )
+        run_script(spark, con, [("run", "DROP TABLE ddl_c6")])
+
+    def test_drop_key_column_refused(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c7 (id INTEGER PRIMARY KEY, v VARCHAR)"),
+            ("run", "INSERT INTO ddl_c7 VALUES (1, 'a')"),
+        ])
+        _both_reject(spark, con, "ALTER TABLE ddl_c7 DROP COLUMN id")
+        run_script(spark, con, [
+            ("run", "ALTER TABLE ddl_c7 DROP COLUMN v"),  # non-key is fine
+            ("check", "SELECT * FROM ddl_c7"),
+            ("run", "DROP TABLE ddl_c7"),
+        ])
+
+    def test_foreign_key_enforced(self, both):
+        """r6: FOREIGN KEY — inserts must resolve against the parent,
+        NULL FKs pass, deleting referenced parent keys fails, dropping a
+        referenced parent fails; drop child-then-parent succeeds."""
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_p (pid INTEGER PRIMARY KEY, "
+                    "name VARCHAR)"),
+            ("run", "CREATE TABLE ddl_ch (cid INTEGER PRIMARY KEY, "
+                    "pid INTEGER REFERENCES ddl_p(pid))"),
+            ("run", "INSERT INTO ddl_p VALUES (1, 'a'), (2, 'b')"),
+            ("run", "INSERT INTO ddl_ch VALUES (10, 1), (11, NULL)"),
+        ])
+        _both_reject(spark, con, "INSERT INTO ddl_ch VALUES (12, 99)")
+        _both_reject(spark, con, "DELETE FROM ddl_p WHERE pid = 1")
+        run_script(spark, con, [
+            ("run", "DELETE FROM ddl_p WHERE pid = 2"),  # unreferenced: fine
+            ("check", "SELECT * FROM ddl_p ORDER BY pid"),
+            ("check", "SELECT * FROM ddl_ch ORDER BY cid"),
+        ])
+        _both_reject(spark, con, "DROP TABLE ddl_p")
+        run_script(spark, con, [
+            ("run", "DROP TABLE ddl_ch"),
+            ("run", "DROP TABLE ddl_p"),
+        ])
+
+    def test_recreate_clears_old_constraints(self, both):
+        spark, con = both
+        run_script(spark, con, [
+            ("run", "CREATE TABLE ddl_c8 (id INTEGER PRIMARY KEY, v VARCHAR)"),
+            ("run", "DROP TABLE ddl_c8"),
+            ("run", "CREATE TABLE ddl_c8 (id INTEGER, v VARCHAR)"),
+            # the re-created table has no PK: duplicates are legal again
+            ("run", "INSERT INTO ddl_c8 VALUES (1, 'a'), (1, 'b')"),
+            ("check", "SELECT * FROM ddl_c8 ORDER BY id, v"),
+            ("run", "DROP TABLE ddl_c8"),
+        ])
 
 
 def test_index_shim_and_comment(both):

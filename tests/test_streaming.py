@@ -279,3 +279,44 @@ def test_foreach_batch_sink(spark, tmp_path):
     n = load_table(spark, SF, "events").count()
     assert len(seen) >= 1
     assert spark.read.parquet(out).count() == n
+
+
+def test_stream_append_versioned_exactly_once(spark, tmp_path):
+    """r6: streaming sink into a commit-log table. 4 micro-batches → one
+    create + 3 txn-stamped appends; readback == source; a REPLAYED batch
+    (the crash-between-commit-and-checkpoint case) is skipped via
+    last_txn_version; a restart with the same checkpoint adds nothing."""
+    stream = E.stream_events_multi(spark, SF).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path, ckpt = str(tmp_path / "vt"), str(tmp_path / "ckpt")
+    table = E.stream_append_versioned(stream, path, "app1", ckpt)
+    versions = table._versions()
+    assert versions == [0, 1, 2, 3]
+    n_src = load_table(spark, SF, "events").count()
+    assert table.snapshot().read(spark).count() == n_src
+    assert table.last_txn_version("app1") == 3
+
+    # crash-replay simulation: re-delivering an already-committed batch id
+    # must be a no-op (this is exactly what foreachBatch re-runs after a
+    # failure between the table commit and the checkpoint write)
+    replay = load_table(spark, SF, "events").limit(7).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    from quackspark.sources.commitlog import VersionedTable
+
+    t2 = VersionedTable(path)
+    E.versioned_batch_sink(t2, "app1")(replay, 3)  # re-delivered batch 3
+    assert t2._versions() == [0, 1, 2, 3]
+    assert t2.snapshot().read(spark).count() == n_src
+
+    # restart with the same checkpoint: no new files → no new batches
+    table = E.stream_append_versioned(stream, path, "app1", ckpt)
+    assert table._versions() == [0, 1, 2, 3]
+    assert table.snapshot().read(spark).count() == n_src
+
+    # a DIFFERENT writer app appends freely (optimistic concurrency)
+    t2.append(replay, txn={"app": "other", "version": 0})
+    assert t2.snapshot().read(spark).count() == n_src + 7
+    assert t2.last_txn_version("app1") == 3
+    assert t2.last_txn_version("other") == 0

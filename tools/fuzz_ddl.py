@@ -15,13 +15,14 @@ column names). Outcomes:
 
   STATE_MATCH       states equal after the statement          → good
   UNSUPPORTED       sqlfront refused loudly (UnsupportedSQL)  → honest
-  BOTH_REJECT       both engines errored; state unchanged     → noise
+  BOTH_REJECT       both engines errored; state unchanged —
+                    since r6 this is the constraint-parity
+                    signal (PK/NOT NULL/CHECK enforce on both) → parity
   ACCEPT_DIVERGE    one engine accepted what the other
-                    rejected (e.g. DuckDB enforces PRIMARY
-                    KEY, quackspark documents constraints as
-                    parsed-not-enforced, ddl.py header) — the
-                    spark state is resynced from DuckDB and
-                    the episode continues                     → logged
+                    rejected — since r6 (constraints enforced,
+                    ddl._enforce_insert) this class should be
+                    EMPTY; the spark state is resynced from
+                    DuckDB and the episode continues          → a bug
   STATE_MISMATCH    both accepted, states differ              → THE BUG
                     CLASS; gate: zero tolerated
                     (tests/test_ddl_fuzz.py)
@@ -42,7 +43,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STR_POOL = ["'a'", "'it''s'", "'x y'", "'Z'", "NULL", "'%_'", "''"]
-DBL_POOL = ["0.5", "-1.25", "2.0", "NULL", "100.125", "0.0"]
+#: -200.5 deliberately violates the constrained episodes' CHECK (x >
+#: -100.0) — both engines must reject it there, both accept it on plain
+DBL_POOL = ["0.5", "-1.25", "2.0", "NULL", "100.125", "0.0", "-200.5"]
 BOOL_POOL = ["true", "false", "NULL"]
 
 
@@ -149,14 +152,16 @@ class Gen:
 
     def statement(self) -> str:
         form = self.r.randrange(20)
-        if form < 5:  # plain INSERT, fresh PKs (both engines accept)
+        if form < 5:  # plain INSERT — mostly fresh PKs, sometimes reused
             if self.r.random() < 0.3:  # partial column list → DEFAULT/NULL fill
                 self.next_id += 1
                 return (
                     f"INSERT INTO fz (id, v) VALUES "
                     f"({self.next_id}, {self.pick(STR_POOL)})"
                 )
-            return f"INSERT INTO fz VALUES {self._rows(fresh_pk=True)}"
+            # 20%: reused PK range — since r6 BOTH engines must reject the
+            # duplicate (PRIMARY KEY is enforced); error-parity checked
+            return f"INSERT INTO fz VALUES {self._rows(fresh_pk=self.r.random() >= 0.2)}"
         if form < 7:
             return f"INSERT OR IGNORE INTO fz VALUES {self._rows(fresh_pk=False)}"
         if form < 9:
@@ -210,6 +215,13 @@ CREATE = (
     "CREATE TABLE fz (id INTEGER PRIMARY KEY, v VARCHAR, "
     "x DOUBLE DEFAULT 0.25, b BOOLEAN DEFAULT false)"
 )
+#: r6 alternate episode shape — NOT NULL and CHECK in play, so the value
+#: pools' NULLs and extremes now exercise the enforcement path on BOTH
+#: engines (statements that violate must BOTH_REJECT, never diverge)
+CREATE_CONSTRAINED = (
+    "CREATE TABLE fz (id INTEGER PRIMARY KEY, v VARCHAR NOT NULL, "
+    "x DOUBLE DEFAULT 0.25 CHECK (x > -100.0), b BOOLEAN DEFAULT false)"
+)
 
 
 def run_fuzz(
@@ -232,25 +244,21 @@ def run_fuzz(
         df = qsql(spark, "SELECT * FROM fz")
         return _canon(df.columns, [tuple(r) for r in df.collect()])
 
+    episode = {"create": CREATE, "added": 0}
+
     def resync():
         """Rebuild the spark table from DuckDB's rows (engine-acceptance
-        divergence recovery — keeps the episode comparable)."""
+        divergence recovery — keeps the episode comparable). Recreated
+        with the episode's own constraint shape — DuckDB's rows already
+        satisfy it, and later statements keep enforcing."""
         cur = con.execute("SELECT * FROM fz")
-        cols = [d[0] for d in cur.description]
-        types = {
-            "id": "INTEGER", "v": "VARCHAR", "x": "DOUBLE", "b": "BOOLEAN",
-        }
         qsql(spark, "DROP TABLE IF EXISTS fz")
-        qsql(
-            spark,
-            "CREATE TABLE fz ("
-            + ", ".join(
-                f"{c} {types.get(c, 'VARCHAR')}"
-                + (" PRIMARY KEY" if c == "id" else "")
-                for c in cols
+        qsql(spark, episode["create"])
+        for k in range(1, episode["added"] + 1):
+            qsql(
+                spark,
+                f"ALTER TABLE fz ADD COLUMN c_add{k} VARCHAR DEFAULT 'd{k}'",
             )
-            + ")",
-        )
         rows = cur.fetchall()
         if rows:
             def lit(v):
@@ -281,11 +289,19 @@ def run_fuzz(
     for i in range(n):
         if i % episode_len == 0:  # fresh episode: new table, re-seeded shape
             gen = Gen(random.Random(seed * 1_000_003 + i))
+            # alternate shapes: even episodes plain, odd ones with
+            # NOT NULL + CHECK live (r6 enforcement parity)
+            episode["create"] = (
+                CREATE if (i // episode_len) % 2 == 0 else CREATE_CONSTRAINED
+            )
+            episode["added"] = 0
             con.execute("DROP TABLE IF EXISTS fz")
-            con.execute(CREATE)
+            con.execute(episode["create"])
             qsql(spark, "DROP TABLE IF EXISTS fz")
-            qsql(spark, CREATE)
+            qsql(spark, episode["create"])
         stmt = gen.statement()
+        if stmt.startswith("ALTER TABLE fz ADD COLUMN"):
+            episode["added"] += 1
         duck_err = spark_err = None
         try:
             con.execute(stmt)
