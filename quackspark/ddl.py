@@ -89,6 +89,11 @@ _CREATE_TABLE_RE = re.compile(
     r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*$",
     re.I | re.S,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*?)\s*;?\s*$",
+    re.I | re.S,
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
     r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+(.*?)\s*;?\s*$",
@@ -384,9 +389,25 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     from quackspark.sqlfront import UnsupportedSQL, transpile
 
     if re.match(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", duckdb_sql, re.I):
-        # reference WAL checkpoint (duckdb.hpp storage surface) — Spark
-        # managed-parquet tables are durable at write; nothing to flush
-        return _status(spark, status="checkpoint noop (no WAL)")
+        # reference WAL checkpoint (duckdb.hpp storage surface;
+        # checkpoint fn duckdb-6.cpp:9490) — plain managed-parquet tables
+        # are durable at write, but versioned (commit-log) tables have a
+        # real analog: force a full-state log checkpoint at the current
+        # tip so snapshot replay restarts from here
+        from quackspark import versioned as _versioned
+
+        forced = []
+        for key, (vt, tip) in list(_versioned._REGISTRY.items()):
+            if vt.force_checkpoint(tip):
+                forced.append(key)
+        return _status(
+            spark,
+            status=(
+                f"checkpointed {len(forced)} versioned table(s)"
+                if forced
+                else "checkpoint noop (no WAL)"
+            ),
+        )
 
     if m := _PREPARE_RE.match(duckdb_sql):
         PREPARED[m.group(1).lower()] = m.group(2)
@@ -407,6 +428,25 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     if m := _CREATE_TABLE_RE.match(duckdb_sql):
         replace, if_not_exists, table, defs = m.groups()
         cols = _parse_column_defs(defs, table)
+        from quackspark import versioned as _versioned
+
+        if _versioned.enabled(spark) or _versioned.is_versioned(spark, table):
+            schema_sql = ", ".join(f"`{n}` {t}" for n, t, _ in cols)
+            created = _versioned.create(
+                spark,
+                table,
+                spark.createDataFrame([], schema_sql),
+                replace=bool(replace),
+                if_not_exists=bool(if_not_exists),
+            )
+            defaults = {n.lower(): d for n, _, d in cols if d is not None}
+            if defaults:
+                TABLE_DEFAULTS[table.lower()] = defaults
+            return _status(
+                spark,
+                table=table,
+                status="created (versioned)" if created else "exists",
+            )
         if replace:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
         # clear an orphaned warehouse dir from a crashed prior session
@@ -426,6 +466,27 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
             TABLE_DEFAULTS[table.lower()] = defaults
         return _status(spark, table=table, status="created")
 
+    if m := _CTAS_RE.match(duckdb_sql):
+        replace, if_not_exists, table, body = m.groups()
+        from quackspark import versioned as _versioned
+
+        if _versioned.enabled(spark) or _versioned.is_versioned(spark, table):
+            df = spark.sql(transpile(body, spark))
+            created = _versioned.create(
+                spark,
+                table,
+                df,
+                replace=bool(replace),
+                if_not_exists=bool(if_not_exists),
+            )
+            return _status(
+                spark,
+                table=table,
+                status="created (versioned)" if created else "exists",
+            )
+        # plain CTAS: fall through to the generic transpile → spark.sql
+        # path (managed parquet CREATE TABLE AS)
+
     if m := _CREATE_VIEW_RE.match(duckdb_sql):
         replace, if_not_exists, view, body = m.groups()
         exists = any(
@@ -443,7 +504,12 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         return _status(spark, view=view, status="created")
 
     if m := _TRUNCATE_RE.match(duckdb_sql):
-        spark.sql(f"TRUNCATE TABLE {m.group(1)}")
+        from quackspark import versioned as _versioned
+
+        if _versioned.is_versioned(spark, m.group(1)):
+            _versioned.truncate(spark, m.group(1))
+        else:
+            spark.sql(f"TRUNCATE TABLE {m.group(1)}")
         return _status(spark, table=m.group(1), status="truncated")
 
     if m := _DROP_CASCADE_RE.match(duckdb_sql):
@@ -473,6 +539,9 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     ):
         return _run_insert_conflict(spark, *m.groups())
 
+    if m := _INSERT_BY_NAME_RE.match(duckdb_sql):
+        return _run_insert_by_name(spark, *m.groups())
+
     if m := _INSERT_COLS_RE.match(duckdb_sql):
         return _run_insert_with_columns(spark, *m.groups())
 
@@ -497,6 +566,11 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
                 f"table is main key table of the table {children[0]}"
             )
         drop_table_metadata(dropped)
+        from quackspark import versioned as _versioned
+
+        if _versioned.is_versioned(spark, dropped):
+            _versioned.drop(spark, dropped)
+            return _status(spark, table=dropped, status="dropped")
 
     return None
 
@@ -506,15 +580,49 @@ _INSERT_PLAIN_RE = re.compile(
     r"((?:VALUES|SELECT|FROM|TABLE)\b.*?|\(\s*(?:SELECT|FROM)\b.*?\))\s*;?\s*$",
     re.I | re.S,
 )
+_INSERT_BY_NAME_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+BY\s+NAME\s+"
+    r"((?:SELECT|FROM|VALUES|TABLE)\b.*?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _run_insert_by_name(spark: SparkSession, table: str, source: str) -> DataFrame:
+    """``INSERT INTO t BY NAME SELECT …`` (DuckDB's by-name insert,
+    insert grammar duckdb-libpg_query.cpp): the source's column NAMES
+    pick the target columns; unnamed target columns fill with DEFAULT or
+    NULL; a source column the table lacks is a binder error. Lowers onto
+    the column-list insert (same DEFAULT binding, constraint checks, and
+    versioned-table chokepoint)."""
+    from quackspark.sqlfront import transpile
+
+    src_sql = transpile(source, spark)
+    if re.match(r"^\s*FROM\b", src_sql, re.I):
+        src_sql = f"SELECT * {src_sql}"
+    src_cols = [c.lower() for c in spark.sql(src_sql).columns]
+    table_cols = {f.name.lower() for f in spark.table(table).schema.fields}
+    unknown = [c for c in src_cols if c not in table_cols]
+    if unknown:
+        raise ValueError(
+            f'Binder Error: Column "{unknown[0]}" of the INSERT BY NAME '
+            f"source does not exist in table {table}"
+        )
+    return _run_insert_with_columns(spark, table, ", ".join(src_cols), source)
 
 
 def _run_insert_plain(
     spark: SparkSession, table: str, source: str
 ) -> DataFrame | None:
-    """Full-column INSERT on a table WITH enforced constraints: bind the
-    source, validate (see _enforce_insert), then append. Unconstrained
-    tables return None and keep the zero-overhead spark.sql path."""
-    if not has_enforced_constraints(table):
+    """Full-column INSERT on a table WITH enforced constraints (or a
+    versioned table, whose appends must go through the commit log): bind
+    the source, validate (see _enforce_insert), then append. Plain
+    unconstrained tables return None and keep the zero-overhead
+    spark.sql path."""
+    from quackspark import versioned as _versioned
+
+    if not has_enforced_constraints(table) and not _versioned.is_versioned(
+        spark, table
+    ):
         return None
     from quackspark.sqlfront import transpile
 
@@ -536,7 +644,8 @@ def _run_insert_plain(
         ]
     )
     _enforce_insert(spark, table, src)
-    src.write.insertInto(table, overwrite=False)
+    if not _versioned.intercept_append(spark, table, src):
+        src.write.insertInto(table, overwrite=False)
     return _status(spark, table=table, status="inserted")
 
 
@@ -550,7 +659,12 @@ def _run_alter(spark: SparkSession, table: str, action: str) -> DataFrame:
     from quackspark.sqlfront import UnsupportedSQL, transpile
 
     if m := re.match(r"^RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I):
-        spark.sql(f"ALTER TABLE {table} RENAME TO {m.group(1)}")
+        from quackspark import versioned as _versioned
+
+        if _versioned.is_versioned(spark, table):
+            _versioned.rename(spark, table, m.group(1))
+        else:
+            spark.sql(f"ALTER TABLE {table} RENAME TO {m.group(1)}")
         for reg in (
             TABLE_DEFAULTS,
             TABLE_CONSTRAINTS,
@@ -721,7 +835,10 @@ def _run_copy_from(
     df = df.select(*[f"`{f.name}`" for f in schema.fields])
     if has_enforced_constraints(table):
         _enforce_insert(spark, table, df)
-    df.write.insertInto(table, overwrite=False)
+    from quackspark import versioned as _versioned
+
+    if not _versioned.intercept_append(spark, table, df):
+        df.write.insertInto(table, overwrite=False)
     return _status(spark, table=table, status="copied")
 
 
@@ -1021,7 +1138,10 @@ def _run_insert_conflict(
         fresh = new_rows.join(
             existing.select(*keys).distinct(), on=keys, how="left_anti"
         )
-        fresh.write.insertInto(table, overwrite=False)
+        from quackspark import versioned as _versioned
+
+        if not _versioned.intercept_append(spark, table, fresh):
+            fresh.write.insertInto(table, overwrite=False)
         return _status(spark, table=table, status="inserted (conflicts ignored)")
     if action == "DO_UPDATE":
         final = _merge_do_update(
@@ -1176,12 +1296,15 @@ def _run_insert_with_columns(
             items.append(f"CAST(({d}) AS {t}) AS `{f.name}`")
         else:
             items.append(f"CAST(NULL AS {t}) AS `{f.name}`")
-    if has_enforced_constraints(table):
+    from quackspark import versioned as _versioned
+
+    if has_enforced_constraints(table) or _versioned.is_versioned(spark, table):
         df = spark.sql(
             f"SELECT {', '.join(items)} FROM ({src_sql}) AS __src({alias_cols})"
         )
         _enforce_insert(spark, table, df)
-        df.write.insertInto(table, overwrite=False)
+        if not _versioned.intercept_append(spark, table, df):
+            df.write.insertInto(table, overwrite=False)
     else:
         spark.sql(
             f"INSERT INTO {table} SELECT {', '.join(items)} "

@@ -129,12 +129,54 @@ def dml_upsert_do_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("o_orderkey")
 
 
+def dml_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log versioned table at the SQL layer (quackspark/versioned.py;
+    reference MVCC+WAL, duckdb-internal.hpp:10232/:9421): PRAGMA-opted
+    CTAS (v0), UPDATE (v1), DELETE (v2), then one statement reading the
+    pre-DML snapshot via ``AT (VERSION => 0)`` time travel next to the
+    current state. Every write is an atomic commit-log version; the
+    snapshot read is pinned to immutable files, so the v0 scan is correct
+    even mid-rewrite."""
+    from quackspark.session import register_testdata_views
+
+    name = "dml_vt_orders"
+    register_testdata_views(spark, sf_dir)
+    sqlfront.sql(spark, "PRAGMA versioned_tables = true")
+    try:
+        sqlfront.sql(spark, f"DROP TABLE IF EXISTS {name}")
+        sqlfront.sql(
+            spark,
+            f"CREATE TABLE {name} AS "
+            "SELECT o_orderkey, o_orderstatus, "
+            "CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+            "FROM orders WHERE o_orderkey <= 2000",
+        )
+        sqlfront.sql(
+            spark,
+            f"UPDATE {name} SET o_totalprice = round(o_totalprice, 0) "
+            "WHERE o_orderstatus = 'F'",
+        )
+        sqlfront.sql(spark, f"DELETE FROM {name} WHERE o_orderkey % 5 = 0")
+        return sqlfront.sql(
+            spark,
+            f"SELECT 'v0' AS snap, o_orderkey, o_orderstatus, o_totalprice "
+            f"FROM {name} AT (VERSION => 0) "
+            f"UNION ALL "
+            f"SELECT 'current' AS snap, o_orderkey, o_orderstatus, "
+            f"o_totalprice FROM {name} "
+            f"ORDER BY snap, o_orderkey",
+        )
+    finally:
+        sqlfront.sql(spark, "PRAGMA versioned_tables = false")
+
+
 QUERIES = {
     "dml_update": dml_update,
     "dml_delete": dml_delete,
     "dml_update_multi": dml_update_multi,
     "dml_upsert_do_update": dml_upsert_do_update,
     "dml_upsert_do_update_where": dml_upsert_do_update_where,
+    "dml_versioned_timetravel": dml_versioned_timetravel,
 }
 
 _BASE = (
@@ -209,5 +251,22 @@ ORACLES = {
         FROM prop p LEFT JOIN base b ON p.o_orderkey = b.o_orderkey
         WHERE b.o_orderkey IS NULL
         ORDER BY o_orderkey
+    """,
+    "dml_versioned_timetravel": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT 'v0' AS snap, o_orderkey, o_orderstatus, o_totalprice
+        FROM base
+        UNION ALL
+        SELECT 'current' AS snap, o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN round(o_totalprice, 0)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base
+        WHERE o_orderkey % 5 <> 0
+        ORDER BY snap, o_orderkey
     """,
 }

@@ -49,6 +49,11 @@ __all__ = [
 
 _LOG_DIR = "_qs_log"
 _DATA_DIR = "data"
+#: write a full-state checkpoint every N commits so snapshot replay cost
+#: stays O(N) instead of O(version) — the Delta checkpoint-parquet idea,
+#: metadata-only (a streaming sink commits once per micro-batch; without
+#: this a long-lived table would re-read its whole history per refresh)
+_CHECKPOINT_EVERY = 20
 
 
 class CommitConflict(Exception):
@@ -138,10 +143,64 @@ class VersionedTable:
         finally:
             os.unlink(tmp)
 
+    # ---- checkpoints ---------------------------------------------------
+
+    def _checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        suffix = ".checkpoint.json"
+        return sorted(
+            int(f[: -len(suffix)])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+        )
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Best-effort full-state checkpoint at ``version`` (tmp + atomic
+        rename; a crash mid-write leaves no partial checkpoint and replay
+        falls back to the previous one). Never raises — checkpointing is
+        an optimization, not part of commit durability."""
+        if version == 0 or version % _CHECKPOINT_EVERY:
+            return
+        try:
+            self.force_checkpoint(version)
+        except OSError:
+            pass
+
+    def force_checkpoint(self, version: int | None = None) -> bool:
+        """Write a checkpoint at ``version`` (default: tip) regardless of
+        the interval — the CHECKPOINT statement's analog for commit-log
+        tables (reference checkpoint fn duckdb-6.cpp:9490 flushes the
+        WAL; ours compacts log replay). Returns False when there is
+        nothing to do (empty log, version 0, or already checkpointed)."""
+        versions = self._versions()
+        if not versions:
+            return False
+        version = versions[-1] if version is None else version
+        if version == 0 or version in self._checkpoints():
+            return False
+        snap = self.snapshot(version)
+        payload = {
+            "version": version,
+            "files": {
+                os.path.relpath(f, self.path): snap.file_keys.get(f, {})
+                for f in snap.files
+            },
+            "schema": snap.schema,
+        }
+        final = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, final)
+        return True
+
     # ---- snapshots ---------------------------------------------------
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        """Replay the log up to ``version`` (default: latest). Time
+        """Replay the log up to ``version`` (default: latest), starting
+        from the newest checkpoint at or below it — replay work is
+        bounded by the checkpoint interval, not the table's age. Time
         travel = pass an older version."""
         versions = self._versions()
         if not versions:
@@ -154,7 +213,23 @@ class VersionedTable:
             )
         files: dict[str, dict] = {}
         schema = None
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= version]
+        if ckpts:
+            try:
+                ckpt_file = os.path.join(
+                    self.log_dir, f"{ckpts[-1]:020d}.checkpoint.json"
+                )
+                with open(ckpt_file) as fh:
+                    payload = json.load(fh)
+                files = dict(payload["files"])
+                schema = payload.get("schema")
+                start = payload["version"] + 1
+            except (OSError, ValueError, KeyError):
+                files, schema, start = {}, None, 0  # corrupt → full replay
         for v in versions:
+            if v < start:
+                continue
             if v > version:
                 break
             c = self._read_commit(v)
@@ -249,6 +324,7 @@ class VersionedTable:
             tip = self._versions()[-1]
             commit["read_version"] = tip
             if self._claim(tip + 1, commit):
+                self._maybe_checkpoint(tip + 1)
                 return tip + 1
         raise CommitConflict(
             f"append to {self.path}: lost the version race {max_retries} "
@@ -296,9 +372,59 @@ class VersionedTable:
                         f"overlaps keys={keys}; re-read and retry"
                     )
             if self._claim(tip + 1, commit):
+                self._maybe_checkpoint(tip + 1)
                 return tip + 1
         raise CommitConflict(
             f"rewrite of {self.path}: lost the version race "
+            f"{max_retries} times — retry"
+        )
+
+    def restore(
+        self,
+        version: int,
+        max_retries: int = 20,
+        require_app: str | None = None,
+        own_versions: set[int] | None = None,
+    ) -> int:
+        """Re-point the table at ``version``'s files — a metadata-only
+        rollback (no data copy; the reference's transaction rollback
+        likewise undoes versioned row-groups without rewriting them,
+        duckdb-internal.hpp:10232). When ``require_app`` is given, every
+        commit after ``version`` must carry that txn app stamp (or be
+        listed in ``own_versions``) — restoring across a FOREIGN
+        session's commit raises CommitConflict instead of silently
+        erasing its rows."""
+        target = self.snapshot(version)
+        add = [os.path.relpath(f, self.path) for f in target.files]
+        for _ in range(max_retries):
+            tip = self._versions()[-1]
+            if require_app is not None:
+                for v in range(version + 1, tip + 1):
+                    if own_versions and v in own_versions:
+                        continue
+                    txn = self._read_commit(v).get("txn") or {}
+                    if txn.get("app") != require_app:
+                        raise CommitConflict(
+                            f"restore of {self.path} to version {version}: "
+                            f"commit {v} was made by another writer "
+                            f"(app={txn.get('app')}); cannot roll it back"
+                        )
+            cur = self.snapshot(tip)
+            commit = {
+                "op": "restore",
+                "add": add,
+                "remove": [os.path.relpath(f, self.path) for f in cur.files],
+                "keys": {},
+                "schema": target.schema,
+                "read_version": tip,
+                "restored_version": version,
+                "ts": time.time(),
+            }
+            if self._claim(tip + 1, commit):
+                self._maybe_checkpoint(tip + 1)
+                return tip + 1
+        raise CommitConflict(
+            f"restore of {self.path}: lost the version race "
             f"{max_retries} times — retry"
         )
 

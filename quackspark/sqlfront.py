@@ -4081,6 +4081,31 @@ def _rewrite_by_all(toks: list[str]) -> list[str]:
 _PATH_SCAN = re.compile(r"\bFROM\s+'([^']+\.(?:csv|csv\.gz|tsv|parquet|parq|json))'", re.IGNORECASE)
 
 
+_AT_VERSION_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s+AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)", re.I
+)
+
+
+def _rewrite_at_version(sql: str, spark: SparkSession | None) -> str:
+    """``FROM t AT (VERSION => 3)`` — time travel on a commit-log
+    versioned table (the DuckLake surface) → a snapshot-pinned view."""
+    if spark is None or "=>" not in sql:
+        return sql
+
+    def sub(m: re.Match) -> str:
+        from quackspark import versioned as _versioned
+
+        name, version = m.group(1), int(m.group(2))
+        if not _versioned.is_versioned(spark, name):
+            raise UnsupportedSQL(
+                f"AT (VERSION => …): {name} is not a versioned table "
+                f"(PRAGMA versioned_tables = true before CREATE TABLE)"
+            )
+        return _versioned.snapshot_view(spark, name, version)
+
+    return _AT_VERSION_RE.sub(sub, sql)
+
+
 def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
     def sub(m: re.Match) -> str:
         path = m.group(1)
@@ -4671,6 +4696,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     """DuckDB-dialect SQL → Spark SQL text."""
     if _handle_create_macro(sql):
         return "SELECT 'macro registered' AS status"
+    sql = _rewrite_at_version(sql, spark)
     sql = _rewrite_replacement_scans(sql, spark)
     sql = _rewrite_window_exclude(sql)
     sql = _rewrite_asof(sql)
@@ -5481,6 +5507,22 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
             from quackspark.catalog import last_profiling_output
 
             return last_profiling_output(spark)
+        if pragma == "table_versions" and arg:
+            from quackspark import versioned as _versioned
+
+            return _versioned.versions_df(spark, arg)
+        if pragma == "vacuum_versioned" and arg:
+            from quackspark import versioned as _versioned
+            from quackspark.sources.commitlog import VersionedTable as _VT
+            from urllib.parse import urlparse as _urlparse
+
+            wh = _urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "")
+            ).path
+            removed = _VT(os.path.join(wh, arg.lower())).vacuum()
+            return spark.createDataFrame(
+                [(f,) for f in removed] or [], "removed_file string"
+            )
         raise UnsupportedSQL(f"PRAGMA {pragma}")
     if m := re.match(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
@@ -5554,6 +5596,173 @@ _UPDATE_RE = re.compile(
     r"(?:\s+RETURNING\s+(.*?))?\s*;?\s*$",
     re.I | re.DOTALL,
 )
+_UPDATE_FROM_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.I | re.DOTALL,
+)
+_SQL_KEYWORDS_NOT_ALIAS = {"where", "as", "on", "set", "returning"}
+
+
+def _qualify_bare(expr: str, names: set[str], prefix: str) -> str:
+    """Qualify bare references to ``names`` with ``prefix`` — outside
+    string literals, not already qualified (`x.` before), not a call
+    (`(` after)."""
+    pattern = re.compile(
+        r"'(?:[^']|'')*'"  # string literal — passed through
+        r"|(?<![\w.\"])([A-Za-z_]\w*)(?!\s*\()(?![\w.])",
+    )
+
+    def sub(m: re.Match) -> str:
+        tok = m.group(1)
+        if tok is None or tok.lower() not in names:
+            return m.group(0)
+        return f"{prefix}.{tok}"
+
+    return pattern.sub(sub, expr)
+
+
+def _run_update_from(
+    spark: SparkSession,
+    table: str,
+    set_clause: str,
+    src: str,
+    src_alias: str | None,
+    pred: str | None,
+) -> DataFrame:
+    """``UPDATE t SET c = s.expr FROM s WHERE pred`` (reference update
+    grammar, duckdb-libpg_query.cpp UpdateStmt with fromClause) as a
+    join rewrite on the copy-on-write DML layer:
+
+    1. per DISTINCT target tuple, pick ONE matching source row
+       (row_number over the source columns — DETERMINISTIC, a strict
+       refinement of the engine's 'arbitrary match wins' contract);
+    2. null-safe-join the chosen rows back onto the target (duplicate
+       target rows all update, like the engine's per-physical-row
+       update);
+    3. apply SET expressions where matched; swap the post-image in.
+
+    One join + one window + one join — all distributed, no driver data
+    path, no row ids needed."""
+    alias = (src_alias or src).lower()
+    if alias in _SQL_KEYWORDS_NOT_ALIAS:
+        raise UnsupportedSQL(f"UPDATE ... FROM: unsupported alias {alias!r}")
+    if pred and re.search(r"\bRETURNING\b", pred, re.I):
+        raise UnsupportedSQL(
+            "UPDATE ... FROM ... RETURNING — run the UPDATE, then SELECT"
+        )
+    tgt_fields = spark.table(table).schema.fields
+    tcols = [f.name for f in tgt_fields]
+    types = {f.name.lower(): f.dataType.simpleString() for f in tgt_fields}
+    scols = spark.table(src).columns
+    assigns: dict[str, str] = {}
+    for item in _split_args(_tokens(set_clause)):
+        if len(item) < 3 or item[1] != "=":
+            raise UnsupportedSQL(f"UPDATE SET expects col = expr: {item}")
+        col = item[0].lower()
+        if col not in types:
+            raise UnsupportedSQL(f"UPDATE column not in {table}: {col}")
+        assigns[col] = " ".join(item[2:])
+
+    # chosen: one source row per distinct target tuple (source columns
+    # exported as __s_<name> so they never collide with target names)
+    on = transpile(pred, spark) if pred else "TRUE"
+    s_proj = ", ".join(f"{alias}.`{c}` AS `__s_{c}`" for c in scols)
+    t_proj = ", ".join(f"{table}.`{c}`" for c in tcols)
+    part = ", ".join(f"{table}.`{c}`" for c in tcols)
+    order = ", ".join(f"{alias}.`{c}`" for c in scols)
+    chosen = spark.sql(
+        f"SELECT * FROM ("
+        f"  SELECT {t_proj}, {s_proj}, "
+        f"    ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) AS __rn"
+        f"  FROM {table} {table} JOIN {src} {alias} ON ({on})"
+        f") WHERE __rn = 1"
+    )
+    chosen.createOrReplaceTempView("__qs_upd_from")
+
+    # SET expressions: source refs (alias.c / src.c / bare source-only
+    # names) → m.__s_c; target refs → t-side qualified
+    src_only = {c.lower() for c in scols} - {c.lower() for c in tcols}
+
+    def rewrite_expr(e: str) -> str:
+        # _tokens spaces out qualifier dots ("us . nv") — re-glue them so
+        # the qualified-reference rewrites below can see them
+        e = re.sub(r"(\w)\s*\.\s*(\w)", r"\1.\2", transpile(e, spark))
+        e = re.sub(
+            rf"(?<![\w.])(?:{re.escape(alias)}|{re.escape(src.lower())})\.(\w+)",
+            r"m.`__s_\1`",
+            e,
+            flags=re.I,
+        )
+        e = re.sub(
+            rf"(?<![\w.]){re.escape(table.lower())}\.(\w+)",
+            r"t.`\1`",
+            e,
+            flags=re.I,
+        )
+        e = _qualify_bare(e, src_only, "__qs_src")
+        e = e.replace("__qs_src.", "m.__s_")
+        e = _qualify_bare(e, {c.lower() for c in tcols}, "t")
+        return e
+
+    join_on = " AND ".join(f"t.`{c}` <=> m.`{c}`" for c in tcols)
+    items = []
+    for f in tgt_fields:
+        c = f.name
+        if c.lower() in assigns:
+            items.append(
+                f"CASE WHEN m.__rn IS NOT NULL THEN "
+                f"CAST(({rewrite_expr(assigns[c.lower()])}) AS "
+                f"{types[c.lower()]}) ELSE t.`{c}` END AS `{c}`"
+            )
+        else:
+            items.append(f"t.`{c}` AS `{c}`")
+    new_df = spark.sql(
+        f"SELECT {', '.join(items)} FROM {table} t "
+        f"LEFT JOIN __qs_upd_from m ON {join_on}"
+    )
+    from quackspark.ddl import _enforce_insert, has_enforced_constraints
+
+    if has_enforced_constraints(table):
+        _enforce_insert(spark, table, new_df, against_existing=False)
+    _swap_in(spark, table, new_df)
+    return spark.createDataFrame([(table,)], "updated string")
+
+
+def _run_delete_using(
+    spark: SparkSession,
+    table: str,
+    src: str,
+    src_alias: str | None,
+    pred: str | None,
+) -> DataFrame:
+    """``DELETE FROM t USING s WHERE pred`` (reference delete grammar
+    with usingClause): semi-join delete — a target row is removed when
+    ANY source row matches; duplicate target rows all go. One anti-join,
+    fully distributed."""
+    alias = (src_alias or src).lower()
+    if alias in _SQL_KEYWORDS_NOT_ALIAS:
+        raise UnsupportedSQL(f"DELETE ... USING: unsupported alias {alias!r}")
+    if pred and re.search(r"\bRETURNING\b", pred, re.I):
+        raise UnsupportedSQL(
+            "DELETE ... USING ... RETURNING — SELECT the doomed rows first"
+        )
+    on = transpile(pred, spark) if pred else "TRUE"
+    new_df = spark.sql(
+        f"SELECT {table}.* FROM {table} {table} WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {src} {alias} WHERE {on})"
+    )
+    from quackspark.ddl import enforce_parent_keys, table_is_fk_parent
+
+    if table_is_fk_parent(table):
+        enforce_parent_keys(spark, table, new_df)
+    _swap_in(spark, table, new_df)
+    return spark.createDataFrame([(table,)], "deleted string")
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+RETURNING\s+(.*?))?\s*;?\s*$",
@@ -5610,10 +5819,16 @@ def _txn_keep_original(spark: SparkSession, table: str) -> bool:
 
 def _txn_snapshot_copy(spark: SparkSession, table: str) -> None:
     """Snapshot ``table`` by full copy — used before in-place appends
-    (INSERT), where the rename trick can't apply."""
+    (INSERT), where the rename trick can't apply. Versioned tables need
+    neither: their write chokepoints record the pre-transaction VERSION
+    (metadata-only) and ROLLBACK restores it."""
     if _TXN is None:
         return
     key = table.lower()
+    from quackspark import versioned as _versioned
+
+    if _versioned.is_versioned(spark, key):
+        return
     if key in _TXN["snapshots"]:
         return
     snap = f"{table}__txn_snapshot"
@@ -5642,7 +5857,7 @@ def _run_txn(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
             raise TransactionError("no transaction is active")
         for snap in _TXN["snapshots"].values():
             _drop_table_and_location(spark, snap)
-        _TXN = None
+        _TXN = None  # versioned tables: their commits are already durable
         return spark.createDataFrame([("COMMIT",)], "status string")
     if _ROLLBACK_RE.match(duckdb_sql):
         if _TXN is None:
@@ -5650,6 +5865,14 @@ def _run_txn(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         for table, snap in _TXN["snapshots"].items():
             _drop_table_and_location(spark, table)
             spark.sql(f"ALTER TABLE {snap} RENAME TO {table}")
+        versioned_pre = _TXN.get("versioned", {})
+        if versioned_pre:
+            from quackspark import versioned as _versioned
+
+            for table, pre_version in versioned_pre.items():
+                # metadata-only restore; CommitConflict if a FOREIGN
+                # session committed to this table mid-transaction
+                _versioned.txn_rollback(spark, table, pre_version)
         _TXN = None
         return spark.createDataFrame([("ROLLBACK",)], "status string")
     return None
@@ -5756,6 +5979,13 @@ def _swap_in(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     import shutil
     from urllib.parse import urlparse
 
+    from quackspark import versioned as _versioned
+
+    if _versioned.intercept_rewrite(spark, table, new_df):
+        # commit-log table: the rewrite committed as a new version pinned
+        # at the statement's read version (optimistic concurrency —
+        # CommitConflict on overlap, no writer lock)
+        return
     with _writer_lock(spark, table):
         staging = f"{table}__cow_staging"
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -5778,12 +6008,16 @@ def _run_dml(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     (post-image for UPDATE, deleted rows for DELETE — DuckDB semantics).
     The RETURNING result materializes (eager localCheckpoint) BEFORE the
     staging swap so it can't observe the rewritten table."""
+    if m := _UPDATE_FROM_RE.match(duckdb_sql):
+        return _run_update_from(spark, *m.groups())
+    if m := _DELETE_USING_RE.match(duckdb_sql):
+        return _run_delete_using(spark, *m.groups())
     if re.search(r"\bUPDATE\b.*\bFROM\b|\bDELETE\b.*\bUSING\b", duckdb_sql, re.I | re.S) \
             and (duckdb_sql.lstrip()[:6].upper() in ("UPDATE", "DELETE")):
         raise UnsupportedSQL(
-            "UPDATE ... FROM / DELETE ... USING need row identity for the "
-            "join rewrite — stage the join into a temp view and use a "
-            "plain predicate, or a table format with a log"
+            "UPDATE ... FROM / DELETE ... USING with a non-table source, "
+            "RETURNING, or multiple sources — stage the source into a "
+            "table/view and use the single-table form (supported since r6)"
         )
     if m := _UPDATE_RE.match(duckdb_sql):
         table, set_clause, pred, returning = m.groups()
@@ -5933,6 +6167,11 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     # …) and DuckDB arithmetic semantics must hold even on a session the
     # caller built bare (VERDICT r5 #4: fe_damerau UNRESOLVED_ROUTINE).
     prepare_session(spark)
+    # versioned (commit-log) tables: re-pin any referenced view whose log
+    # tip advanced — another session's commit becomes visible here
+    from quackspark import versioned as _versioned
+
+    _versioned.sync_referenced(spark, duckdb_sql)
     stmts = _split_statements(duckdb_sql)
     if len(stmts) > 1:
         result: DataFrame | None = None

@@ -154,3 +154,25 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     open(orphan, "wb").close()
     assert t.vacuum() == [os.path.join("data", "deadbeef", "part-orphan.parquet")]
     assert not os.path.exists(orphan)
+
+
+def test_checkpointed_replay_equivalence(spark, tmp_path):
+    """Every _CHECKPOINT_EVERY commits a full-state checkpoint lands;
+    snapshots resolved through a checkpoint are identical to full replay,
+    at the tip, between checkpoints, and below the first one (time
+    travel). The Delta checkpoint idea — replay cost bounded by the
+    interval, not table age."""
+    import glob
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(_df(spark, [("seed", 0)]))
+    for i in range(1, 46):
+        t.append(_df(spark, [("row", i)]))
+    assert t._checkpoints() == [20, 40]
+    by_ckpt = {v: sorted(t.snapshot(v).files) for v in (5, 20, 25, 45)}
+    for f in glob.glob(os.path.join(t.log_dir, "*.checkpoint.json")):
+        os.unlink(f)
+    for v, files in by_ckpt.items():
+        assert sorted(t.snapshot(v).files) == files, f"version {v}"
+    # checkpoint files never count as versions
+    assert t._versions() == list(range(46))

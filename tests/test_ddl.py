@@ -54,6 +54,32 @@ def test_create_insert_defaults(both):
     ])
 
 
+def test_insert_by_name(both):
+    """INSERT INTO … BY NAME (DuckDB by-name insert binding): source
+    column names pick the target columns, order-independent; unnamed
+    columns fill with DEFAULT/NULL; an unknown source column is a binder
+    error on both engines."""
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE ddl_bn (id INTEGER, name VARCHAR, "
+                "score DOUBLE DEFAULT 1.5)"),
+        ("run", "INSERT INTO ddl_bn BY NAME SELECT 'a' AS name, 1 AS id"),
+        ("run", "INSERT INTO ddl_bn BY NAME "
+                "SELECT 9.0 AS score, 2 AS id"),
+        ("run", "INSERT INTO ddl_bn BY NAME "
+                "SELECT n_nationkey AS id, n_name AS name "
+                "FROM nation WHERE n_nationkey = 3"),
+        ("check", "SELECT * FROM ddl_bn ORDER BY id"),
+        ("run", "DROP TABLE ddl_bn"),
+    ])
+    with pytest.raises(Exception, match="(?i)binder"):
+        sql(spark, "CREATE TABLE ddl_bn2 (id INTEGER)")
+        try:
+            sql(spark, "INSERT INTO ddl_bn2 BY NAME SELECT 1 AS nope")
+        finally:
+            sql(spark, "DROP TABLE ddl_bn2")
+
+
 def test_alter_column_lifecycle(both):
     spark, con = both
     run_script(spark, con, [
@@ -283,6 +309,53 @@ class TestConstraintEnforcement:
             ("check", "SELECT * FROM ddl_c8 ORDER BY id, v"),
             ("run", "DROP TABLE ddl_c8"),
         ])
+
+
+def test_update_from_delete_using(both):
+    """UPDATE … FROM / DELETE … USING (reference update/delete grammar
+    with from/usingClause) as distributed join rewrites — engine-vs-
+    engine on scripts with unique matches (the engine's multi-match pick
+    is arbitrary; ours is deterministic, pinned separately below)."""
+    spark, con = both
+    run_script(spark, con, [
+        ("run", "CREATE TABLE uf_t (id INTEGER, v VARCHAR, x DOUBLE)"),
+        ("run", "INSERT INTO uf_t VALUES (1,'a',1.0),(2,'b',2.0),"
+                "(3,'c',3.0),(3,'c',3.0)"),
+        ("run", "CREATE TABLE uf_s (id INTEGER, nv VARCHAR, bump DOUBLE)"),
+        ("run", "INSERT INTO uf_s VALUES (1,'A',10.0),(3,'C',30.0),(9,'Z',90.0)"),
+        # qualified source refs; duplicate target rows must BOTH update
+        ("run", "UPDATE uf_t SET v = uf_s.nv, x = x + uf_s.bump "
+                "FROM uf_s WHERE uf_t.id = uf_s.id"),
+        ("check", "SELECT * FROM uf_t ORDER BY id, v, x"),
+        # alias + bare source-only column reference
+        ("run", "UPDATE uf_t SET v = upper(nv) FROM uf_s AS z "
+                "WHERE uf_t.id = z.id AND z.bump < 20"),
+        ("check", "SELECT * FROM uf_t ORDER BY id, v, x"),
+        # semi-join delete removes every matching physical row
+        ("run", "DELETE FROM uf_t USING uf_s WHERE uf_t.id = uf_s.id "
+                "AND uf_s.bump > 20"),
+        ("check", "SELECT * FROM uf_t ORDER BY id, v, x"),
+        ("run", "DROP TABLE uf_t"),
+        ("run", "DROP TABLE uf_s"),
+    ])
+
+
+def test_update_from_multi_match_deterministic(spark):
+    """When several source rows match one target row the engine picks
+    one arbitrarily; we pin the DETERMINISTIC choice (smallest source
+    tuple) so re-runs and task retries agree."""
+    sql(spark, "DROP TABLE IF EXISTS ufm_t")
+    sql(spark, "DROP TABLE IF EXISTS ufm_s")
+    sql(spark, "CREATE TABLE ufm_t (id INTEGER, v VARCHAR)")
+    sql(spark, "INSERT INTO ufm_t VALUES (1,'a')")
+    sql(spark, "CREATE TABLE ufm_s (id INTEGER, nv VARCHAR)")
+    sql(spark, "INSERT INTO ufm_s VALUES (1,'ZZ'),(1,'AA'),(1,'MM')")
+    sql(spark, "UPDATE ufm_t SET v = ufm_s.nv FROM ufm_s WHERE ufm_t.id = ufm_s.id")
+    assert [tuple(r) for r in sql(spark, "SELECT * FROM ufm_t").collect()] == [
+        (1, "AA")
+    ]
+    sql(spark, "DROP TABLE ufm_t")
+    sql(spark, "DROP TABLE ufm_s")
 
 
 def test_index_shim_and_comment(both):

@@ -26,11 +26,14 @@ from fuzz_ddl import run_fuzz  # noqa: E402
 
 
 def test_ddl_fuzz_no_state_divergence(spark):
+    # n=120 spans three episode shapes: plain, constrained, and (r6)
+    # VERSIONED+constrained — the commit-log chokepoints fuzz in CI
     stats = run_fuzz(n=120, seed=1, spark=spark)
     failures = stats.pop("failures")
     bad = [f for f in failures if f[0] in ("STATE_MISMATCH", "ACCEPT_DIVERGE")]
     assert not bad, bad
-    assert stats["STATE_MATCH"] >= 100, stats
+    assert stats["STATE_MATCH"] >= 90, stats
+    assert stats["STATE_MATCH"] + stats["BOTH_REJECT"] == 120, stats
 
 
 def test_ddl_fuzz_alternate_seed(spark):

@@ -154,12 +154,16 @@ def test_dml_returning_differential(spark, stmt):
     assert _rows(spark, name) == _duck_rows(d, name)
 
 
-def test_update_from_refused(spark):
+def test_update_from_self_source(spark):
+    """UPDATE … FROM with the table as its own (aliased) source —
+    supported since r6 via the join rewrite; engine-equivalent result."""
     name = "txn_updfrom"
     _fresh(spark, name)
-    with pytest.raises(sqlfront.UnsupportedSQL):
-        sqlfront.sql(
-            spark,
-            f"UPDATE {name} SET o_totalprice = 0 FROM {name} b "
-            f"WHERE {name}.o_orderkey = b.o_orderkey",
-        )
+    d = _duck_fresh(name)
+    stmt = (
+        f"UPDATE {name} SET o_totalprice = 0 FROM {name} b "
+        f"WHERE {name}.o_orderkey = b.o_orderkey"
+    )
+    sqlfront.sql(spark, stmt)
+    d.execute(stmt)
+    assert _rows(spark, name) == _duck_rows(d, name)

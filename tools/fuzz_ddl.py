@@ -179,8 +179,26 @@ class Gen:
             if self.r.random() < 0.4:
                 sql += f" WHERE {self.pick(['id > 10', 'v IS NOT NULL', 'x > 0'])}"
             return sql
-        if form < 17:
+        if form < 16:
             return f"UPDATE fz SET {self._set_clause()} WHERE {self._pred()}"
+        if form < 17:
+            # r6 join-DML: source table fzsrc(id, nv, bump) is static per
+            # episode with UNIQUE ids, so the engine's arbitrary multi-
+            # match pick never diverges from our deterministic one
+            if self.r.random() < 0.5:
+                import re as _re
+
+                pred = _re.sub(
+                    r"\b(id|v|x|b|c_add\d+)\b", r"fz.\1", self._pred()
+                )
+                return (
+                    "UPDATE fz SET v = fzsrc.nv FROM fzsrc "
+                    f"WHERE fz.id = fzsrc.id AND ({pred})"
+                )
+            return (
+                "DELETE FROM fz USING fzsrc "
+                f"WHERE fz.id = fzsrc.id AND fzsrc.bump > 0.5"
+            )
         if form < 19:
             return f"DELETE FROM fz WHERE {self._pred()}"
         # ALTER: add a typed column with a default (bounded so episodes
@@ -222,6 +240,14 @@ CREATE_CONSTRAINED = (
     "CREATE TABLE fz (id INTEGER PRIMARY KEY, v VARCHAR NOT NULL, "
     "x DOUBLE DEFAULT 0.25 CHECK (x > -100.0), b BOOLEAN DEFAULT false)"
 )
+#: static join-DML source (r6 UPDATE…FROM / DELETE…USING templates):
+#: UNIQUE ids so the engine's arbitrary multi-match pick can't diverge
+#: from our deterministic one; nv NOT NULL so constrained episodes'
+#: `SET v = fzsrc.nv` never trips NOT NULL asymmetrically
+FZSRC_CREATE = "CREATE TABLE fzsrc (id INTEGER, nv VARCHAR, bump DOUBLE)"
+FZSRC_INSERT = "INSERT INTO fzsrc VALUES " + ", ".join(
+    f"({i}, 's{i}', {round((i % 4) * 0.3, 1)})" for i in range(0, 40, 3)
+)
 
 
 def run_fuzz(
@@ -244,7 +270,7 @@ def run_fuzz(
         df = qsql(spark, "SELECT * FROM fz")
         return _canon(df.columns, [tuple(r) for r in df.collect()])
 
-    episode = {"create": CREATE, "added": 0}
+    episode = {"create": CREATE, "added": 0, "versioned": False}
 
     def resync():
         """Rebuild the spark table from DuckDB's rows (engine-acceptance
@@ -253,6 +279,10 @@ def run_fuzz(
         satisfy it, and later statements keep enforcing."""
         cur = con.execute("SELECT * FROM fz")
         qsql(spark, "DROP TABLE IF EXISTS fz")
+        qsql(
+            spark,
+            f"PRAGMA versioned_tables = {str(episode['versioned']).lower()}",
+        )
         qsql(spark, episode["create"])
         for k in range(1, episode["added"] + 1):
             qsql(
@@ -289,16 +319,27 @@ def run_fuzz(
     for i in range(n):
         if i % episode_len == 0:  # fresh episode: new table, re-seeded shape
             gen = Gen(random.Random(seed * 1_000_003 + i))
-            # alternate shapes: even episodes plain, odd ones with
-            # NOT NULL + CHECK live (r6 enforcement parity)
-            episode["create"] = (
-                CREATE if (i // episode_len) % 2 == 0 else CREATE_CONSTRAINED
-            )
+            # rotate shapes: plain → constrained → VERSIONED+constrained
+            # (the commit-log write chokepoints, quackspark/versioned.py —
+            # identical state expected, every statement a log commit)
+            shape = (i // episode_len) % 3
+            episode["create"] = CREATE if shape == 0 else CREATE_CONSTRAINED
+            episode["versioned"] = shape == 2
             episode["added"] = 0
             con.execute("DROP TABLE IF EXISTS fz")
             con.execute(episode["create"])
             qsql(spark, "DROP TABLE IF EXISTS fz")
+            qsql(
+                spark,
+                f"PRAGMA versioned_tables = {str(episode['versioned']).lower()}",
+            )
             qsql(spark, episode["create"])
+            if i == 0:  # static join-DML source, shared by all episodes
+                con.execute(FZSRC_CREATE)
+                con.execute(FZSRC_INSERT)
+                qsql(spark, "DROP TABLE IF EXISTS fzsrc")
+                qsql(spark, FZSRC_CREATE)
+                qsql(spark, FZSRC_INSERT)
         stmt = gen.statement()
         if stmt.startswith("ALTER TABLE fz ADD COLUMN"):
             episode["added"] += 1
