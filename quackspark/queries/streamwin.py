@@ -54,6 +54,21 @@ def sw_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _click_purchase(spark, sf_dir, "left")
 
 
+def sw_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream RIGHT join (every
+    purchase, NULL-extended when no click preceded it within 10 minutes —
+    r6 completes the outer family; state eviction bounds as in inner)."""
+    return _click_purchase(spark, sf_dir, "right")
+
+
+def sw_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream FULL OUTER join —
+    unmatched rows on BOTH sides emit NULL-extended once their side's
+    watermark passes the range bound (Structured Streaming supports full
+    outer with two-sided event-time ranges; same eviction contract)."""
+    return _click_purchase(spark, sf_dir, "full_outer")
+
+
 def sw_stream_to_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → commit-log table end-to-end (r6): the events fixture
     streamed as 4 time-ordered micro-batches lands in a versioned table
@@ -100,6 +115,8 @@ QUERIES = {
     "sw_session": sw_session,
     "sw_stream_stream_join": sw_stream_stream_join,
     "sw_stream_stream_left_join": sw_stream_stream_left_join,
+    "sw_stream_stream_right_join": sw_stream_stream_right_join,
+    "sw_stream_stream_full_join": sw_stream_stream_full_join,
     "sw_stream_to_versioned": sw_stream_to_versioned,
 }
 
@@ -166,6 +183,8 @@ ORACLES = {
     """,
     "sw_stream_stream_join": _SSJ.format(join="INNER"),
     "sw_stream_stream_left_join": _SSJ.format(join="LEFT"),
+    "sw_stream_stream_right_join": _SSJ.format(join="RIGHT"),
+    "sw_stream_stream_full_join": _SSJ.format(join="FULL"),
     "sw_stream_to_versioned": """
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

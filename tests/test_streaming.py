@@ -320,3 +320,37 @@ def test_stream_append_versioned_exactly_once(spark, tmp_path):
     assert t2.snapshot().read(spark).count() == n_src + 7
     assert t2.last_txn_version("app1") == 3
     assert t2.last_txn_version("other") == 0
+
+
+def test_stream_stream_join_engine_right_and_full(spark):
+    """RIGHT and FULL OUTER stream-stream joins (r6 completes the outer
+    family): the matched portion equals the batch twin exactly; NULL-
+    extended rows are a subset of the batch result (unmatched rows still
+    inside the watermark horizon may be buffered at availableNow
+    termination — same contract the LEFT test pins in detail)."""
+    import pyspark.sql.functions as F
+
+    bat = load_table(spark, SF, "events")
+    for how, sink in (("right", "t_ssj_right"), ("full_outer", "t_ssj_full")):
+        clicks = E.stream_events_multi(spark, SF).filter(
+            F.col("event_type") == "click"
+        )
+        purchases = E.stream_events_multi(spark, SF).filter(
+            F.col("event_type") == "purchase"
+        )
+        got = E.run_to_memory(
+            E.stream_stream_join(clicks, purchases, how),
+            sink,
+            output_mode="append",
+        )
+        exp = E.stream_stream_join(
+            bat.filter(F.col("event_type") == "click"),
+            bat.filter(F.col("event_type") == "purchase"),
+            how,
+        )
+        got_rows = set(map(tuple, got.collect()))
+        exp_rows = set(map(tuple, exp.collect()))
+        assert got_rows <= exp_rows, f"{how}: stream emitted a row batch never would"
+        # matched rows (both sides present) are complete and exact
+        matched = lambda rows: {r for r in rows if r[1] is not None and r[4] is not None}
+        assert matched(got_rows) == matched(exp_rows), how
