@@ -513,6 +513,19 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         return _status(spark, table=m.group(1), status="truncated")
 
     if m := _DROP_CASCADE_RE.match(duckdb_sql):
+        # a versioned table must drop through its commit-log root, or the
+        # on-disk log resurrects it at the next reference
+        from quackspark import versioned as _versioned
+
+        if tm := re.match(
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)",
+            m.group(1),
+            re.I,
+        ):
+            drop_table_metadata(tm.group(1))
+            if _versioned.is_versioned(spark, tm.group(1)):
+                _versioned.drop(spark, tm.group(1))
+                return _status(spark, table=tm.group(1), status="dropped")
         return spark.sql(m.group(1))
 
     if m := _CREATE_INDEX_RE.match(duckdb_sql):

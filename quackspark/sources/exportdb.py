@@ -33,7 +33,14 @@ def export_database(
     """Write every (or the named) catalog table/view to `target_dir` and
     return the manifest {table: relative data path}."""
     if tables is None:
-        tables = [t.name for t in spark.catalog.listTables()]
+        # skip internal helper views (__qs_*): they are statement-scoped
+        # scratch and may lazily reference files a copy-on-write swap has
+        # since removed
+        tables = [
+            t.name
+            for t in spark.catalog.listTables()
+            if not t.name.startswith("__qs_")
+        ]
     os.makedirs(target_dir, exist_ok=True)
     manifest: dict[str, str] = {}
     ddl: list[str] = []

@@ -5728,9 +5728,15 @@ def _run_update_from(
     )
     from quackspark.ddl import _enforce_insert, has_enforced_constraints
 
-    if has_enforced_constraints(table):
-        _enforce_insert(spark, table, new_df, against_existing=False)
-    _swap_in(spark, table, new_df)
+    try:
+        if has_enforced_constraints(table):
+            _enforce_insert(spark, table, new_df, against_existing=False)
+        _swap_in(spark, table, new_df)
+    finally:
+        # the helper view lazily references the PRE-swap table files — a
+        # later scan of it (e.g. EXPORT DATABASE walking the catalog)
+        # would read dropped files
+        spark.catalog.dropTempView("__qs_upd_from")
     return spark.createDataFrame([(table,)], "updated string")
 
 

@@ -131,7 +131,10 @@ def refresh(spark: SparkSession, name: str, force: bool = False) -> None:
     vt = _REGISTRY.get(key, (None, None))[0] or VersionedTable(_root(spark, key))
     versions = vt._versions()
     if not versions:
-        _REGISTRY.pop(key, None)
+        # dropped (possibly by another session): forget it fully, or the
+        # stale temp view would keep serving deleted files
+        if _REGISTRY.pop(key, None) is not None:
+            spark.catalog.dropTempView(key)
         return
     tip = versions[-1]
     if not force and _REGISTRY.get(key, (None, -2))[1] == tip:
@@ -185,8 +188,12 @@ def create(
                 f'Catalog Error: Table with name "{name}" already exists!'
             )
         drop(spark, key)
-    elif replace or True:
-        # clear an orphaned plain-table location (crashed prior session)
+    else:
+        # clear a plain managed table occupying the location — drop the
+        # temp view FIRST (it shadows name resolution, so a bare DROP
+        # TABLE would hit the view and leave the metastore entry pointing
+        # at files we are about to delete), then the metastore table
+        spark.catalog.dropTempView(key)
         spark.sql(f"DROP TABLE IF EXISTS {key}")
         shutil.rmtree(root, ignore_errors=True)
     vt = VersionedTable(root)
@@ -205,7 +212,11 @@ def _txn_note(spark: SparkSession, name: str) -> dict | None:
     key = name.lower()
     vers = sqlfront._TXN.setdefault("versioned", {})
     if key not in vers:
-        refresh(spark, key)
+        if key not in _REGISTRY:
+            refresh(spark, key)
+        # the pre-transaction version = the pin at this first write; a
+        # re-refresh here could fold a foreign mid-statement commit into
+        # "ours" and let ROLLBACK erase it
         vers[key] = registered_version(key)
     n = sqlfront._TXN["versioned_seq"] = (
         sqlfront._TXN.get("versioned_seq", 0) + 1
@@ -250,8 +261,13 @@ def intercept_rewrite(spark: SparkSession, name: str, df: DataFrame) -> bool:
     key = name.lower()
     if not is_versioned(spark, key):
         return False
+    if key not in _REGISTRY:
+        refresh(spark, key)  # cold API path; SQL statements pin at entry
     txn = _txn_note(spark, key)
-    refresh(spark, key)
+    # read_version = the version the statement's view was pinned at when
+    # `df` was built (sync_referenced at sql() entry) — do NOT re-refresh
+    # here: advancing the pin past a foreign mid-statement commit would
+    # make the conflict check pass and silently erase that commit
     vt, read_v = _REGISTRY[key]
     new_v = vt.rewrite(df, read_version=read_v)
     if txn is not None:
@@ -276,6 +292,10 @@ def truncate(spark: SparkSession, name: str) -> None:
 def drop(spark: SparkSession, name: str) -> None:
     key = name.lower()
     spark.catalog.dropTempView(key)
+    # a same-named metastore table can linger if a plain table once
+    # occupied this location — drop it too or its entry keeps pointing
+    # at the directory we remove
+    spark.sql(f"DROP TABLE IF EXISTS {key}")
     _REGISTRY.pop(key, None)
     shutil.rmtree(_root(spark, key), ignore_errors=True)
 

@@ -321,3 +321,44 @@ def test_checkpoint_statement_compacts_log(spark, versioned_on):
     S(spark, "INSERT INTO vt_ck VALUES (3)")
     assert sorted(_rows(spark, "SELECT x FROM vt_ck")) == [(1,), (2,), (3,)]
     _drop(spark, "vt_ck")
+
+
+def test_mid_statement_foreign_commit_conflicts(spark, versioned_on):
+    """A foreign commit landing AFTER the statement pinned its read
+    version but BEFORE the rewrite commits must raise CommitConflict —
+    intercept_rewrite must NOT re-pin to the new tip (that would make
+    the conflict check pass and silently erase the foreign rows)."""
+    _drop(spark, "vt_race")
+    S(spark, "CREATE TABLE vt_race (x INTEGER)")
+    S(spark, "INSERT INTO vt_race VALUES (1)")
+    # statement entry: the view is pinned here and the post-image built
+    versioned.refresh(spark, "vt_race")
+    post_image = S(spark, "SELECT x + 100 AS x FROM vt_race")
+    # foreign session commits between the pin and our rewrite
+    r = _run_worker("race", "INSERT INTO vt_race VALUES (2)")
+    assert "WORKER_OK" in r.stdout, r.stderr[-2000:]
+    with pytest.raises(CommitConflict):
+        versioned.intercept_rewrite(spark, "vt_race", post_image)
+    # nothing lost: both rows still present after the failed rewrite
+    assert sorted(_rows(spark, "SELECT x FROM vt_race")) == [(1,), (2,)]
+    _drop(spark, "vt_race")
+
+
+def test_drop_cascade_and_foreign_drop_visibility(spark, versioned_on):
+    """DROP … CASCADE must go through the commit-log root (not the temp
+    view) or the on-disk log resurrects the table; and a table dropped by
+    ANOTHER session must stop resolving here at the next statement."""
+    _drop(spark, "vt_casc")
+    S(spark, "CREATE TABLE vt_casc (x INTEGER)")
+    S(spark, "INSERT INTO vt_casc VALUES (1)")
+    S(spark, "DROP TABLE vt_casc CASCADE")
+    assert not versioned.is_versioned(spark, "vt_casc")
+    # recreating from scratch works (no resurrected rows)
+    S(spark, "CREATE TABLE vt_casc (x INTEGER)")
+    assert _rows(spark, "SELECT * FROM vt_casc") == []
+    # foreign drop: another process removes the table on disk
+    S(spark, "INSERT INTO vt_casc VALUES (7)")
+    r = _run_worker("fdrop", "DROP TABLE vt_casc")
+    assert "WORKER_OK" in r.stdout, r.stderr[-2000:]
+    with pytest.raises(Exception):  # table is gone, not stale-served
+        _rows(spark, "SELECT * FROM vt_casc")

@@ -51,7 +51,10 @@ WEAK = [
     "sw_tumbling",
 ]
 BREAKDOWN = ["q5_local_supplier_volume", "q9_product_profit", "q10_returned_items"]
-BUCKET_TWINS = BREAKDOWN
+#: r6: q3 and q21 join the twin list — both keep exactly one lineitem
+#: exchange (join resp. groupBy on orderkey) that orderkey-bucketed
+#: storage removes
+BUCKET_TWINS = BREAKDOWN + ["q3_shipping_priority", "q21_waiting_supplier"]
 ONE_RUN_ABOVE = 8.0
 N_BUCKETS = 32
 
@@ -72,15 +75,22 @@ _KEEP_METRICS = (
 
 
 def _warm_median(spark, fn, drop) -> float:
+    """One untimed warmup, then median of 3 timed runs — with the bench's
+    persisted-block + System.gc hygiene BETWEEN runs, not just between
+    queries: a prior query's uncollected shuffle/broadcast metadata can
+    inflate the first timed run past ONE_RUN_ABOVE and turn the median
+    into a single contaminated measurement (observed r6: q21 8.9 s in a
+    late-tool JVM vs 4.5 s stable with per-run hygiene)."""
     fn().count()  # warmup: plan + codegen + page cache
+    drop()
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         fn().write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
+        drop()
         if runs[0] > ONE_RUN_ABOVE:
             break
-    drop()
     return round(statistics.median(runs), 3)
 
 
