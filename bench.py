@@ -145,6 +145,52 @@ def _drop_persisted(spark) -> None:
     spark._jvm.System.gc()
 
 
+#: per-family reporting split (VERDICT r6 "what's wrong" #2: the
+#: aggregate ratio is dominated by DuckDB-pathological LLM-op oracles and
+#: must not be readable as the TPC-H story)
+def _family(name: str) -> str:
+    if name.startswith("q") and name[1:2].isdigit():
+        return "tpch"
+    if name.startswith("json"):
+        return "json"
+    if name.startswith(("dedup", "sim_", "text_", "pipeline", "fts_")):
+        return "llm"
+    if name.startswith("sw_"):
+        return "stream"
+    return "core"
+
+
+def _family_totals(
+    spark_times: dict[str, float], duck_times: dict[str, float]
+) -> dict[str, list]:
+    """{family: [spark_total, duckdb_total, ratio]} over covered queries."""
+    fams: dict[str, list] = {}
+    for n, t in spark_times.items():
+        d = duck_times.get(n, -1)
+        if t <= 0 or d <= 0:
+            continue
+        row = fams.setdefault(_family(n), [0.0, 0.0, None])
+        row[0] += t
+        row[1] += d
+    for row in fams.values():
+        row[0], row[1] = round(row[0], 2), round(row[1], 2)
+        row[2] = round(row[0] / row[1], 2) if row[1] else None
+    return fams
+
+
+def _ensure_layout(spark, sf_dir: str) -> None:
+    """Materialize the derived storage layout (bucketed facts, shredded
+    events — sources/derived.py) BEFORE any timed run: build cost is a
+    one-time write, not query time (the sf1 section has no untimed warmup
+    for slow queries, so an implicit in-query build would contaminate the
+    first measurement)."""
+    from quackspark.session import load_table
+
+    for t in ("lineitem", "orders", "events"):
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t)
+
+
 def main() -> None:
     from quackspark.entry import queries
     from quackspark.session import get_session
@@ -152,6 +198,7 @@ def main() -> None:
     spark = get_session("quackspark-bench")
     qs = queries()
     names = [n for n in HEADLINE_MANIFEST if n in qs]
+    _ensure_layout(spark, SF_DIR)
 
     times: dict[str, float] = {}
     for name in names:
@@ -178,16 +225,18 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if "--oracle" in sys.argv:
-        duck = bench_duckdb(names)
-        covered = [n for n in names if times.get(n, -1) > 0 and duck.get(n, -1) > 0]
-        out["duckdb_queries"] = duck
-        out["duckdb_value"] = round(sum(duck[n] for n in covered), 4)
-        out["spark_value_on_covered"] = round(sum(times[n] for n in covered), 4)
-        if out["duckdb_value"] > 0:
-            out["ratio_spark_vs_duckdb"] = round(
-                out["spark_value_on_covered"] / out["duckdb_value"], 4
-            )
+    # sf0.1 oracle pass runs UNCONDITIONALLY (r6 "what's wrong" #1: the
+    # driver record must carry the ≤2× gate ratio by itself; ~40 s cost)
+    duck = bench_duckdb(names)
+    covered = [n for n in names if times.get(n, -1) > 0 and duck.get(n, -1) > 0]
+    out["duckdb_queries"] = duck
+    out["duckdb_value"] = round(sum(duck[n] for n in covered), 4)
+    out["spark_value_on_covered"] = round(sum(times[n] for n in covered), 4)
+    if out["duckdb_value"] > 0:
+        out["ratio_spark_vs_duckdb"] = round(
+            out["spark_value_on_covered"] / out["duckdb_value"], 4
+        )
+    out["families"] = _family_totals(times, duck)
 
     # fixed-cost amortization section: the same scan-heavy queries at 10×
     # the rows, both engines, per-query ratios. localdata/ is gitignored
@@ -204,6 +253,7 @@ def main() -> None:
             print(f"bench: sf1 generation failed ({exc}); skipping sf1 section",
                   file=sys.stderr)
     if os.path.isdir(SF1_DIR):
+        _ensure_layout(spark, SF1_DIR)
         s1: dict[str, float] = {}
         for name in SF1_QUERIES:
             fn = qs[name]
@@ -249,12 +299,12 @@ def main() -> None:
                 if s1.get(n, -1) > 0 and times.get(n, -1) > 0
             },
         }
-        if "--oracle" in sys.argv:
-            out["sf1"]["duckdb_growth_10x"] = {
-                n: round(d1[n] / duck[n], 3)
-                for n in SF1_QUERIES
-                if d1.get(n, -1) > 0 and duck.get(n, -1) > 0
-            }
+        out["sf1"]["duckdb_growth_10x"] = {
+            n: round(d1[n] / duck[n], 3)
+            for n in SF1_QUERIES
+            if d1.get(n, -1) > 0 and duck.get(n, -1) > 0
+        }
+        out["sf1"]["families"] = _family_totals(s1, d1)
     print(json.dumps(out))
     # the round driver captures only the last ~2000 chars of stdout and
     # parses the final line — the full object above exceeds that (r3's
@@ -298,6 +348,10 @@ def main() -> None:
     if "ratio_spark_vs_duckdb" in out:
         compact["duckdb_value"] = out["duckdb_value"]
         compact["ratio_spark_vs_duckdb"] = out["ratio_spark_vs_duckdb"]
+    # fam legend: {family: [spark_total, duckdb_total, spark/duckdb]}
+    compact["fam"] = out.get("families", {})
+    if "families" in out.get("sf1", {}):
+        compact["fam_sf1"] = out["sf1"]["families"]
     if s1q:
         covered = [
             n for n, v in s1q.items() if v > 0 and d1q.get(n, -1) > 0

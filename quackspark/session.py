@@ -254,6 +254,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    df = _load_with_layout(spark, sf_dir, name)[0]
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def load_table_derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`load_table` but returns the FULL derived-layout twin —
+    original columns plus the materialized derived columns
+    (sources/derived.py: micro-unit money longs on lineitem, shredded
+    ``props_k`` on events). Falls back to the plain table when the layout
+    is disabled or unavailable, so callers must feature-test with
+    ``col in df.columns`` before using a derived column."""
+    prepare_session(spark)
+    key = (id(spark), sf_dir, name, "full")
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_with_layout(spark, sf_dir, name)[1]
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_with_layout(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[DataFrame, DataFrame]:
+    """(original-surface df, full-twin df) — twin built/registered on
+    first use; both collapse to the raw read when no layout applies."""
+    from quackspark.sources import derived
+
+    raw = _read_raw(spark, sf_dir, name)
+    pair = None
+    if os.path.isfile(table_path(sf_dir, name)) or os.path.isdir(
+        table_path(sf_dir, name)
+    ):
+        pair = derived.ensure_derived(spark, sf_dir, name, raw)
+    if pair is None:
+        return raw, raw
+    return pair
+
+
+def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")
@@ -262,7 +303,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_dtype == "timestamp_ntz":
             # session timeZone is UTC → NTZ-to-LTZ cast is value-preserving
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_CACHE[key] = df
     return df
 
 

@@ -2308,6 +2308,83 @@ def _rewrite_composite_types(toks: list[str], in_type: bool = False) -> list[str
     return toks
 
 
+_TIME_LIT = re.compile(
+    r"^(\d{1,2}):(\d{2})(?::(\d{2}))?(?:\.(\d{1,6}))?"
+    r"(?:\s*([+-])(\d{1,2})(?::(\d{2}))?(?::(\d{2}))?)?$"
+)
+
+
+def _parse_time_literal(text: str) -> tuple[int, int | None]:
+    """'hh:mm:ss.ffffff[±HH[:MM[:SS]]]' → (µs since midnight, offset
+    seconds or None) — DuckDB's TIME/TIMETZ literal grammar
+    (duckdb.hpp:914,931 TIME/TIME_TZ logical types)."""
+    m = _TIME_LIT.match(text.strip())
+    if not m:
+        raise UnsupportedSQL(f"bad TIME literal {text!r}")
+    h, mi = int(m.group(1)), int(m.group(2))
+    s = int(m.group(3) or 0)
+    frac = (m.group(4) or "").ljust(6, "0")
+    if h > 24 or mi > 59 or s > 59 or (h == 24 and (mi or s or int(frac))):
+        raise UnsupportedSQL(f"TIME literal out of range {text!r}")
+    micros = ((h * 3600 + mi * 60 + s) * 1_000_000) + int(frac)
+    off = None
+    if m.group(5):
+        off = (
+            int(m.group(6)) * 3600
+            + int(m.group(7) or 0) * 60
+            + int(m.group(8) or 0)
+        )
+        if m.group(5) == "-":
+            off = -off
+    return micros, off
+
+
+def _rewrite_time_literals(toks: list[str]) -> list[str]:
+    """`TIME '12:34:56.789'` → µs-since-midnight BIGINT literal;
+    `TIMETZ '…±HH:MM'` / `TIME WITH TIME ZONE '…'` → the
+    struct<micros,offset_s> carrier (functions/compat.make_time_tz) —
+    the typed-literal faces of the TIME carriers, so TIME-typed DDL
+    columns (ddl._translate_type) insert and compare naturally."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower()
+        prev = toks[i - 1].lower() if i else ""
+        if prev not in ("at",) and low in ("time", "timetz"):
+            # TIME WITH TIME ZONE 'lit'  (5 tokens) or TIME/TIMETZ 'lit'
+            j = i + 1
+            with_zone = low == "timetz"
+            if (
+                low == "time"
+                and i + 3 < len(toks)
+                and toks[i + 1].lower() == "with"
+                and toks[i + 2].lower() == "time"
+                and toks[i + 3].lower() == "zone"
+            ):
+                with_zone = True
+                j = i + 4
+            if j < len(toks) and _is_string(toks[j]):
+                micros, off = _parse_time_literal(_str_val(toks[j]))
+                if with_zone:
+                    # DuckDB's TIMETZ default offset is UTC
+                    out.extend(_tokens(
+                        f"named_struct('micros', CAST({micros} AS BIGINT), "
+                        f"'offset_s', CAST({off or 0} AS INT))"
+                    ))
+                else:
+                    if off is not None:
+                        raise UnsupportedSQL(
+                            f"plain TIME literal cannot carry an offset: "
+                            f"{_str_val(toks[j])!r}"
+                        )
+                    out.extend(["CAST", "(", str(micros), "AS", "BIGINT", ")"])
+                i = j + 1
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_multiword_type_literals(toks: list[str]) -> list[str]:
     """`TIMESTAMP WITH TIME ZONE '…'` / `TIME WITH TIME ZONE` typed
     literals → plain CAST (UTC session: instants == wall times)."""
@@ -4154,6 +4231,22 @@ def _parse_read_options(opts: str | None) -> dict:
     out: dict = {}
     if not opts:
         return out
+    # columns={'name': 'TYPE', …} — brace payload holds commas; extract it
+    # whole before the comma split (reference read_json explicit-schema
+    # argument, JSON extension surface duckdb-7.cpp:4405)
+    if m := re.search(r"columns\s*=\s*\{([^}]*)\}", opts, re.I):
+        cols: list[tuple[str, str]] = []
+        for pair in m.group(1).split(","):
+            if not pair.strip():
+                continue
+            km = re.match(r"\s*'([^']+)'\s*:\s*'([^']+)'\s*$", pair)
+            if not km:
+                raise UnsupportedSQL(
+                    f"columns= entry must be 'name': 'TYPE': {pair!r}"
+                )
+            cols.append((km.group(1), km.group(2)))
+        out["columns"] = cols
+        opts = opts[: m.start()] + opts[m.end():]
     for part in opts.split(","):
         part = part.strip()
         if not part:
@@ -4190,6 +4283,9 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
             raise UnsupportedSQL(f"read_{kind}: empty path list")
     else:
         paths = [pathspec.strip("'")]
+    if kind in ("csv", "csv_auto") and options.get("columns"):
+        raise UnsupportedSQL("read_csv columns= not supported; "
+                             "use header sniffing or read_json")
     if kind == "csv":
         df = read_csv(spark, paths[0] if len(paths) == 1 else paths, **options)
     elif kind == "csv_auto":
@@ -4230,8 +4326,16 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
         )
     else:  # json / json_auto / ndjson — newline-delimited JSON
         reader = spark.read
-        if options.get("columns"):
-            raise UnsupportedSQL("read_json columns= not supported; rely on inference")
+        if cols := options.get("columns"):
+            # explicit schema: no inference pass, absent keys read as NULL
+            # (DuckDB read_json columns= semantics)
+            from quackspark.ddl import _translate_type
+
+            ddl_schema = ", ".join(
+                f"`{name}` {_translate_type(_tokens(typ))}"
+                for name, typ in cols
+            )
+            reader = reader.schema(ddl_schema)
         df = reader.json(*paths)
     view = "qs_read_" + re.sub(r"[^A-Za-z0-9]", "_", f"{kind}_{paths[0]}")[-60:]
     df.createOrReplaceTempView(view)
@@ -4242,6 +4346,160 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
 #: duckdb-internal.hpp:9920) — expanded inline at transpile time, exactly
 #: the reference's bind-time inlining semantics
 _MACROS: dict[str, tuple[list[str], list[str]]] = {}
+
+#: named ENUM types (reference CREATE TYPE … AS ENUM, enum function family
+#: duckdb-5.cpp:11590) — driver-side catalog state like _MACROS/_SEQUENCES.
+#: Values are carried as validated STRINGs; the introspection family
+#: (enum_first/enum_last/enum_range/enum_range_boundary) resolves against
+#: the registered dictionary at transpile time. Ordering stays label-order
+#: (insertion-index comparisons use the enum_code carrier,
+#: queries/unionenum.py) — documented carrier semantics.
+_ENUM_TYPES: dict[str, list[str]] = {}
+
+
+def _qstr(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _enum_array_toks(labels: list[str]) -> list[str]:
+    out = ["array", "("]
+    for j, lab in enumerate(labels):
+        if j:
+            out.append(",")
+        out.append(_qstr(lab))
+    out.append(")")
+    return out
+
+
+def _enum_of_arg(arg: list[str]) -> tuple[str, list[str]] | None:
+    """(type name, value tokens with the enum cast stripped) when `arg`
+    is `expr :: name` or `CAST(expr AS name)` for a registered ENUM."""
+    if len(arg) >= 3 and arg[-2] == "::" and arg[-1].lower() in _ENUM_TYPES:
+        return arg[-1].lower(), arg[:-2]
+    if (
+        len(arg) >= 5
+        and arg[0].lower() in ("cast", "try_cast")
+        and arg[1] == "("
+        and arg[-1] == ")"
+        and arg[-2].lower() in _ENUM_TYPES
+        and arg[-3].lower() == "as"
+    ):
+        return arg[-2].lower(), arg[2:-3]
+    return None
+
+
+def _rewrite_enum_named(toks: list[str]) -> list[str]:
+    """enum_first/enum_last/enum_range/enum_range_boundary over registered
+    named ENUM types, plus casts to those types (validated-string carrier).
+    Runs only when CREATE TYPE … AS ENUM has registered something."""
+    if not _ENUM_TYPES:
+        return toks
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        low = toks[i].lower()
+        if (
+            low in ("enum_first", "enum_last", "enum_range",
+                    "enum_range_boundary", "enum_code")
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            end = _find_call_end(toks, i + 1)
+            raw_args = _split_args(toks[i + 2 : end])
+            resolved = [_enum_of_arg(a) for a in raw_args]
+            # strip the enum cast BEFORE recursing so the bare-cast branch
+            # below can't consume it first
+            args = [
+                _rewrite_enum_named(r[1] if r else a)
+                for a, r in zip(raw_args, resolved)
+            ]
+            hit = next((r for r in resolved if r is not None), None)
+            if hit is None:
+                raise UnsupportedSQL(
+                    f"{low}() needs an argument cast to a registered ENUM "
+                    f"type (CREATE TYPE … AS ENUM)"
+                )
+            labels = _ENUM_TYPES[hit[0]]
+            for v in args:
+                # literal members are validated at transpile, matching the
+                # reference's bind-time enum conversion error
+                if len(v) == 1 and _is_string(v[0]) \
+                        and _str_val(v[0]) not in labels:
+                    raise UnsupportedSQL(
+                        f"'{_str_val(v[0])}' is not a member of ENUM "
+                        f"{hit[0]} {labels}"
+                    )
+            if low == "enum_first":
+                out.append(_qstr(labels[0]))
+            elif low == "enum_last":
+                out.append(_qstr(labels[-1]))
+            elif low == "enum_range":
+                out.extend(_enum_array_toks(labels))
+            elif low == "enum_code":
+                # carrier helper: 1-based insertion index of the value
+                out.extend(
+                    ["array_position", "(", *_enum_array_toks(labels), ","]
+                    + ["("] + args[0] + [")", ")"]
+                )
+            else:  # enum_range_boundary(a, b): NULL = open end
+                if len(args) != 2:
+                    raise UnsupportedSQL("enum_range_boundary takes 2 args")
+                arr = _enum_array_toks(labels)
+
+                def bound(v: list[str], default: str) -> list[str]:
+                    if len(v) == 1 and v[0].lower() == "null":
+                        return [default]
+                    return (
+                        ["array_position", "(", *arr, ",", "("]
+                        + v + [")", ")"]
+                    )
+
+                s = bound(args[0], "1")
+                e = bound(args[1], str(len(labels)))
+                out.extend(
+                    ["slice", "(", *arr, ",", "(", *s, ")", ",",
+                     "(", *e, ")", "-", "(", *s, ")", "+", "1", ")"]
+                )
+            i = end + 1
+            continue
+        # bare casts to a registered ENUM: literal → validate + inline;
+        # expression → membership-gated string (NULL on non-member, the
+        # engine's non-ANSI null-on-error posture)
+        if (
+            toks[i] == "::"
+            and i + 1 < len(toks)
+            and toks[i + 1].lower() in _ENUM_TYPES
+        ):
+            labels = _ENUM_TYPES[toks[i + 1].lower()]
+            # the left primary has already been copied into `out` (possibly
+            # rewritten) — locate and detach it there
+            start_o = _primary_start(out, len(out))
+            expr = out[start_o:]
+            del out[start_o:]
+            if len(expr) == 1 and expr[0].lower() == "null":
+                out.extend(["CAST", "(", "NULL", "AS", "STRING", ")"])
+            elif len(expr) == 1 and _is_string(expr[0]):
+                if _str_val(expr[0]) not in labels:
+                    raise UnsupportedSQL(
+                        f"'{_str_val(expr[0])}' is not a member of ENUM "
+                        f"{toks[i + 1].lower()} {labels}"
+                    )
+                out.append(expr[0])
+            else:
+                out.extend(
+                    ["CASE", "WHEN", "("] + expr + [")", "IN", "("]
+                )
+                for j, lab in enumerate(labels):
+                    if j:
+                        out.append(",")
+                    out.append(_qstr(lab))
+                out.extend([")", "THEN", "("] + expr + [")", "END"])
+            i += 2
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
 
 #: sequence registry (reference CREATE SEQUENCE, duckdb-6.cpp:2012) —
 #: driver-side catalog state, like _MACROS. A sequence is an inherently
@@ -4711,6 +4969,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     _PENDING_SEQ.clear()
     toks = _expand_macros(toks)
     toks = _rewrite_sequences(toks)
+    toks = _rewrite_enum_named(toks)
+    toks = _rewrite_time_literals(toks)
     toks = _rewrite_collate(toks)
     toks = _rewrite_let_subqueries(toks)
     toks = _rewrite_struct_literals(toks)
@@ -5524,6 +5784,34 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
                 [(f,) for f in removed] or [], "removed_file string"
             )
         raise UnsupportedSQL(f"PRAGMA {pragma}")
+    if m := re.match(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TYPE\s+(\w+)\s+AS\s+ENUM\s*"
+        r"\(\s*(.*?)\s*\)\s*;?\s*$",
+        duckdb_sql,
+        re.I | re.DOTALL,
+    ):
+        # reference CREATE TYPE … AS ENUM (duckdb.hpp:944 LogicalTypeId
+        # ENUM; function family duckdb-5.cpp:11590)
+        name = m.group(1).lower()
+        labels = [
+            _str_val(t) for t in _tokens(m.group(2)) if _is_string(t)
+        ]
+        if not labels or len(set(labels)) != len(labels):
+            raise UnsupportedSQL(
+                "CREATE TYPE AS ENUM needs distinct quoted labels"
+            )
+        _ENUM_TYPES[name] = labels
+        return spark.createDataFrame(
+            [(name, len(labels))], "type string, n_labels int"
+        )
+    if m := re.match(
+        r"^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", duckdb_sql, re.I
+    ):
+        name = m.group(2).lower()
+        if name not in _ENUM_TYPES and not m.group(1):
+            raise UnsupportedSQL(f"DROP TYPE: unknown type {name}")
+        _ENUM_TYPES.pop(name, None)
+        return spark.createDataFrame([(name,)], "dropped string")
     if m := re.match(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"(\w+)(.*?);?\s*$",

@@ -1,0 +1,116 @@
+"""Derived storage layout (sources/derived.py): the engine-written twin
+tables must be transparent (same surface schema, bit-identical results),
+must carry the materialized columns, and must buy the promised plan —
+no fact-side exchange on orderkey joins/aggregations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from quackspark.entry import queries
+from quackspark.session import _read_raw, load_table, load_table_derived
+from quackspark.sources import derived
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_surface_schema_matches_raw(spark):
+    for name in ("lineitem", "orders", "events"):
+        raw = _read_raw(spark, SF, name)
+        got = load_table(spark, SF, name)
+        assert got.columns == raw.columns, name
+        assert got.count() == raw.count(), name
+
+
+def test_derived_columns_present_and_exact(spark):
+    li = load_table_derived(spark, SF, "lineitem")
+    for c in ("l_qty_u", "l_eprice_u", "l_disc_u", "l_rev_u", "l_charge_u",
+              "l_edisc_u"):
+        assert c in li.columns
+    # stored micro-unit term == the query-time dsum term, row for row
+    bad = li.filter(
+        F.col("l_rev_u")
+        != F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000)
+        .cast("long")
+    ).count()
+    assert bad == 0
+
+    ev = load_table_derived(spark, SF, "events")
+    assert "props_k" in ev.columns
+    bad = ev.filter(
+        ~F.col("props_k").eqNullSafe(F.get_json_object(F.col("props"), "$.k"))
+    ).count()
+    assert bad == 0
+
+
+def test_bucketed_fact_join_has_no_fact_exchange(spark):
+    """lineitem⋈orders on orderkey and the q21 per-order aggregation must
+    plan without shuffling the fact table (broadcast disabled so the
+    bucketed path is what's exercised even at tiny SF)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        od = load_table(spark, SF, "orders")
+        plan = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Bucketed: true" in plan
+        # per-order aggregation rides the same partitioning
+        agg_plan = (
+            li.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_headline_queries_read_twins_and_match_raw(spark):
+    """q3 executes against the bucketed twins and returns exactly what the
+    raw-parquet plan returns."""
+    qs = queries()
+    plan = (
+        qs["q3_shipping_priority"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "qs_drv_" in plan  # twin scan, not raw parquet
+    got = [tuple(r) for r in qs["q3_shipping_priority"](spark, SF).collect()]
+    os.environ["QUACKSPARK_DERIVED"] = "0"
+    try:
+        from quackspark.session import _TABLE_CACHE
+
+        saved = dict(_TABLE_CACHE)
+        _TABLE_CACHE.clear()
+        want = [tuple(r) for r in qs["q3_shipping_priority"](spark, SF).collect()]
+        _TABLE_CACHE.clear()
+        _TABLE_CACHE.update(saved)
+    finally:
+        os.environ.pop("QUACKSPARK_DERIVED", None)
+    assert got == want
+
+
+def test_reregistration_after_catalog_loss(spark):
+    """A fresh session re-registers the already-built twin from its spec
+    sidecar without rebuilding (files untouched)."""
+    from quackspark.session import _TABLE_CACHE
+
+    path = derived.derived_path(SF, "lineitem")
+    assert os.path.exists(derived._spec_path(path))
+    mtime = os.path.getmtime(derived._spec_path(path))
+    spark.sql(f"DROP TABLE IF EXISTS {derived._table_name(SF, 'lineitem')}")
+    _TABLE_CACHE.clear()
+    li = load_table(spark, SF, "lineitem")
+    assert li.count() > 0
+    assert os.path.getmtime(derived._spec_path(path)) == mtime  # no rebuild
+    plan = (
+        li.groupBy("l_orderkey").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # bucket metadata survived re-registration

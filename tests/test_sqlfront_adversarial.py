@@ -791,11 +791,23 @@ def test_tablesample_percent_rows_only(con):
     assert 0 < c < total / 2
 
 
+#: cases that SUM raw doubles (no dsum routing — they are verbatim user
+#: SQL): partial-aggregation order differs between engines, and since the
+#: derived storage layout (sources/derived.py) bucketed `orders`, Spark's
+#: accumulation order no longer accidentally matches DuckDB's file order.
+#: Allow last-ulp drift only — the driver's 12-significant-digit hash
+#: canon (FIXTURES.md §6) accepts the same.
+FLOAT_ORDER_REL = {
+    "pivot_sparse_cells_null": 1e-12,
+    "pivot_two_aggs_aliased": 1e-12,
+}
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_adversarial_shape(con, name):
     sql = CASES[name]
     df = con.sql(sql).df
-    probs = compare(df, sql, SF)
+    probs = compare(df, sql, SF, rel=FLOAT_ORDER_REL.get(name, 0.0))
     assert not probs, f"{name}:\n" + "\n".join(probs)
 
 
