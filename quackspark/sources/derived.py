@@ -48,7 +48,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LAYOUT_VERSION = 1
+LAYOUT_VERSION = 2
 
 _SCALE = 1_000_000
 
@@ -91,7 +91,30 @@ SPECS: dict[str, tuple[str | None, object]] = {
     "events": (None, _events_derived_cols),
 }
 
-N_BUCKETS = int(os.environ.get("QUACKSPARK_DERIVED_BUCKETS", "32"))
+def bucket_count(sf_dir: str) -> int:
+    """Bucket count for one sf_dir's fact tables — sized from the raw
+    lineitem bytes so every bucketed table in the dir agrees (co-located
+    joins require equal counts). Small fixtures get few buckets: a bucket
+    is one unsplittable scan task, and 32 sub-MB files cost more in task
+    scheduling than they buy in parallelism (measured: q9 at sf0.1 +0.4 s
+    with 32 buckets vs raw's 3 packed splits). On a real cluster the same
+    policy lands at hundreds of ~128 MB+ buckets. Override:
+    QUACKSPARK_DERIVED_BUCKETS."""
+    env = os.environ.get("QUACKSPARK_DERIVED_BUCKETS")
+    if env:
+        return int(env)
+    try:
+        li = os.path.join(sf_dir, "lineitem.parquet")
+        size = (
+            os.path.getsize(li)
+            if os.path.isfile(li)
+            else sum(
+                os.path.getsize(os.path.join(li, f)) for f in os.listdir(li)
+            )
+        )
+    except OSError:
+        return 32
+    return 32 if size >= 64 << 20 else 8
 
 
 def enabled() -> bool:
@@ -134,15 +157,16 @@ def _build(spark: SparkSession, raw: DataFrame, sf_dir: str, name: str) -> dict:
     tmp = f"{final}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.dirname(final), exist_ok=True)
+    n_buckets = bucket_count(sf_dir)
     if key is None:
         df.write.mode("overwrite").parquet(tmp)
     else:
         tmp_table = f"qs_drv_build_{os.getpid()}_{name}"
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
         (
-            df.repartition(N_BUCKETS, F.col(key))
+            df.repartition(n_buckets, F.col(key))
             .write.mode("overwrite")
-            .bucketBy(N_BUCKETS, key)
+            .bucketBy(n_buckets, key)
             .sortBy(key)
             .option("path", tmp)
             .format("parquet")
@@ -154,7 +178,7 @@ def _build(spark: SparkSession, raw: DataFrame, sf_dir: str, name: str) -> dict:
         "version": LAYOUT_VERSION,
         "table": name,
         "bucket_key": key,
-        "buckets": N_BUCKETS if key else None,
+        "buckets": n_buckets if key else None,
         "orig_cols": list(raw.columns),
         "schema_ddl": df._jdf.schema().toDDL(),
     }

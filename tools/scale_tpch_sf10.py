@@ -16,10 +16,11 @@ lineitem rows), uncontended, one process:
    plan (catalog.explain_analyze — real SQLMetrics, not estimates):
    scan time vs shuffle bytes/time vs join/agg/sort time, so the floor
    has a NAME (scan-bound / exchange-bound / floor-bound).
-4. Bucketed-fact twins: lineitem+orders persisted hash-bucketed on
-   orderkey (sources/bucketing.py), the same query functions re-run with
-   the bucketed tables injected — measuring exactly what pre-shuffled
-   storage buys (the 100 TB deployment answer for a repeated join key).
+4. Raw-layout A/B (r7): the mainline now reads the derived storage
+   layout (sources/derived.py — orderkey-bucketed facts, materialized
+   money longs, shredded JSON), so the WEAK section measures it
+   directly; a second pass re-runs the formerly-exchange-bound queries
+   with QUACKSPARK_DERIVED=0 to record exactly what the layout buys.
 
 Output: SCALE_TPCH_SF10.json (committed); SCALE.md summarizes.
 
@@ -51,12 +52,10 @@ WEAK = [
     "sw_tumbling",
 ]
 BREAKDOWN = ["q5_local_supplier_volume", "q9_product_profit", "q10_returned_items"]
-#: r6: q3 and q21 join the twin list — both keep exactly one lineitem
-#: exchange (join resp. groupBy on orderkey) that orderkey-bucketed
-#: storage removes
+#: the five formerly-exchange-bound queries (one lineitem exchange each —
+#: join resp. groupBy on orderkey) that the bucketed layout de-shuffles
 BUCKET_TWINS = BREAKDOWN + ["q3_shipping_priority", "q21_waiting_supplier"]
 ONE_RUN_ABOVE = 8.0
-N_BUCKETS = 32
 
 #: metrics worth carrying into the committed JSON, by substring
 _KEEP_METRICS = (
@@ -126,8 +125,7 @@ def _breakdown(spark, df) -> dict:
 def main() -> int:
     import bench
     from quackspark.entry import queries
-    from quackspark.session import _TABLE_CACHE, get_session, load_table
-    from quackspark.sources.bucketing import write_bucketed
+    from quackspark.session import _TABLE_CACHE, get_session
 
     if not os.path.isdir(SF10):
         print("run tools/make_sf10.py first", file=sys.stderr)
@@ -155,39 +153,25 @@ def main() -> int:
         drop()
         print("breakdown", name, flush=True)
 
-    # --- bucketed twins ------------------------------------------------
-    # lineitem+orders hash-bucketed+sorted on orderkey: the lineitem⋈orders
-    # exchange (the one big shuffle in q5/q9/q10) becomes a scan-local
-    # sort-merge. Injection point: load_table's analyzed-DataFrame cache,
-    # keyed by a sentinel sf_dir — the query code is UNCHANGED.
-    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        # fresh session + leftover warehouse dir from a prior run →
-        # LOCATION_ALREADY_EXISTS on saveAsTable; clear both first
-        import shutil
-        from urllib.parse import urlparse
-
-        spark.sql(f"DROP TABLE IF EXISTS {t}_bkt_sf10")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
-            shutil.rmtree(os.path.join(wh, f"{t}_bkt_sf10"), ignore_errors=True)
-        write_bucketed(
-            load_table(spark, SF10, t), f"{t}_bkt_sf10", key, N_BUCKETS
-        )
-        print("bucketed", t, flush=True)
-    sentinel = SF10 + "#bucketed"
-    from quackspark.session import TESTDATA_TABLES
-
-    for t in TESTDATA_TABLES:
-        if t in ("lineitem", "orders"):
-            _TABLE_CACHE[(id(spark), sentinel, t)] = spark.table(f"{t}_bkt_sf10")
-        elif os.path.exists(os.path.join(SF10, f"{t}.parquet")):
-            _TABLE_CACHE[(id(spark), sentinel, t)] = load_table(spark, SF10, t)
-    out["bucketed_twins"] = {}
-    for name in BUCKET_TWINS:
-        out["bucketed_twins"][name] = _warm_median(
-            spark, lambda: qs[name](spark, sentinel), drop
-        )
-        print("bucketed twin", name, out["bucketed_twins"][name], flush=True)
+    # --- raw-layout A/B ------------------------------------------------
+    # Since r7 the derived storage layout (sources/derived.py: bucketed
+    # facts + materialized money longs + shredded JSON) IS the mainline —
+    # the WEAK section above already measured it. This section re-runs
+    # the formerly-exchange-bound queries with the layout DISABLED (raw
+    # parquet reads) so the committed record carries the layout's delta
+    # at 100× directly.
+    out["raw_layout"] = {}
+    os.environ["QUACKSPARK_DERIVED"] = "0"
+    _TABLE_CACHE.clear()
+    try:
+        for name in BUCKET_TWINS + ["q1_pricing_summary", "json_group_rollup"]:
+            out["raw_layout"][name] = _warm_median(
+                spark, lambda: qs[name](spark, SF10), drop
+            )
+            print("raw layout", name, out["raw_layout"][name], flush=True)
+    finally:
+        os.environ.pop("QUACKSPARK_DERIVED", None)
+        _TABLE_CACHE.clear()
 
     path = os.path.join(os.path.dirname(SF10), "..", "SCALE_TPCH_SF10.json")
     with open(os.path.abspath(path), "w") as f:
