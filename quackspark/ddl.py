@@ -159,6 +159,14 @@ def _translate_type(type_toks: list[str]) -> str:
             i += 1
             out.append("STRING")
             continue
+        from quackspark.sqlfront import _ENUM_TYPES
+
+        if low in _ENUM_TYPES:
+            # a named ENUM column (CREATE TYPE … AS ENUM) stores the
+            # validated-string carrier; the dictionary stays registry-side
+            out.append("STRING")
+            i += 1
+            continue
         prev = toks[i - 1].lower() if i else ""
         if low in ("time", "timetz") and prev != "with":
             # (`prev != "with"` skips the TIME inside TIMESTAMP WITH TIME
@@ -265,6 +273,16 @@ def _parse_column_defs(defs_sql: str, table: str):
                 depth -= 1
             type_toks.append(t)
             i += 1
+        # a named-ENUM-typed column gets an implicit membership CHECK —
+        # the constraint machinery then raises on non-member INSERT/UPDATE
+        # exactly where DuckDB raises its enum conversion error
+        from quackspark.sqlfront import _ENUM_TYPES, _qstr
+
+        if len(type_toks) == 1 and type_toks[0].lower() in _ENUM_TYPES:
+            labels = ", ".join(
+                _qstr(s) for s in _ENUM_TYPES[type_toks[0].lower()]
+            )
+            TABLE_CHECKS.setdefault(key, []).append(f"{name} IN ({labels})")
         # constraint tail: record; extract DEFAULT expr
         while i < len(item):
             low = item[i].lower()

@@ -117,3 +117,27 @@ def test_read_csv_columns_refused(spark, tmp_path):
             spark,
             f"SELECT * FROM read_csv('{p}', columns={{'a': 'INT'}})",
         )
+
+
+def test_enum_ddl_column(spark):
+    """A named ENUM used as a CREATE TABLE column type stores the
+    validated-string carrier with an implicit membership CHECK — a
+    non-member INSERT raises where DuckDB raises its enum conversion
+    error; NULL passes (CHECK semantics)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    sqlfront.sql(spark, "CREATE OR REPLACE TYPE mood2 AS ENUM ('sad', 'ok')")
+    spark.sql("DROP TABLE IF EXISTS t_mood_r7")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/t_mood_r7", ignore_errors=True)
+    sqlfront.sql(spark, "CREATE TABLE t_mood_r7 (id INT, m mood2)")
+    sqlfront.sql(
+        spark, "INSERT INTO t_mood_r7 VALUES (1, 'sad'), (2, 'ok'), (3, NULL)"
+    )
+    assert spark.table("t_mood_r7").count() == 3
+    with pytest.raises(Exception, match="CHECK|constraint"):
+        sqlfront.sql(spark, "INSERT INTO t_mood_r7 VALUES (4, 'angry')")
+    assert spark.table("t_mood_r7").count() == 3
+    spark.sql("DROP TABLE IF EXISTS t_mood_r7")
