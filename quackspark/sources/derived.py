@@ -48,7 +48,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LAYOUT_VERSION = 2
+LAYOUT_VERSION = 3
 
 _SCALE = 1_000_000
 
@@ -114,7 +114,11 @@ def bucket_count(sf_dir: str) -> int:
         )
     except OSError:
         return 32
-    return 32 if size >= 64 << 20 else 8
+    # measured A/B (this repo, local[32]): 8 buckets beats 32 at sf1
+    # (110 MB lineitem: q21 0.94 s vs 1.27 s, q10 0.76 s vs 1.09 s) — the
+    # per-bucket work is still sub-second so fewer, fuller buckets win;
+    # at sf10 (1.1 GB) 32 buckets carries the measured SCALE record
+    return 32 if size >= 512 << 20 else 8
 
 
 def enabled() -> bool:
@@ -133,11 +137,37 @@ def _spec_path(path: str) -> str:
     return os.path.join(path, "_QS_SPEC.json")
 
 
-def _read_spec(path: str) -> dict | None:
+def _source_fingerprint(sf_dir: str, name: str) -> str:
+    """(size, mtime) digest of the raw parquet — a regenerated fixture
+    (tools/make_sf1.py rewrites localdata/sf1 in place) must invalidate
+    its twin, or load_table would silently serve stale data."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return f"{st.st_size}:{int(st.st_mtime)}"
+        parts = sorted(
+            (f, os.stat(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if not f.startswith(".")
+        )
+        return ";".join(f"{f}:{st.st_size}:{int(st.st_mtime)}" for f, st in parts)
+    except OSError:
+        return "missing"
+
+
+def _read_spec(path: str, expect_fingerprint: str | None = None) -> dict | None:
     try:
         with open(_spec_path(path)) as f:
             spec = json.load(f)
-        return spec if spec.get("version") == LAYOUT_VERSION else None
+        if spec.get("version") != LAYOUT_VERSION:
+            return None
+        if (
+            expect_fingerprint is not None
+            and spec.get("source_fingerprint") != expect_fingerprint
+        ):
+            return None  # raw fixture regenerated under the twin — rebuild
+        return spec
     except (OSError, ValueError):
         return None
 
@@ -181,6 +211,7 @@ def _build(spark: SparkSession, raw: DataFrame, sf_dir: str, name: str) -> dict:
         "buckets": n_buckets if key else None,
         "orig_cols": list(raw.columns),
         "schema_ddl": df._jdf.schema().toDDL(),
+        "source_fingerprint": _source_fingerprint(sf_dir, name),
     }
     with open(_spec_path(tmp), "w") as f:
         json.dump(spec, f)
@@ -219,7 +250,7 @@ def ensure_derived(
         return None
     try:
         path = derived_path(sf_dir, name)
-        spec = _read_spec(path)
+        spec = _read_spec(path, _source_fingerprint(sf_dir, name))
         if spec is None:
             if os.path.exists(path):  # stale version / torn build
                 tbl = _table_name(sf_dir, name)

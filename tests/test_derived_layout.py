@@ -114,3 +114,26 @@ def test_reregistration_after_catalog_loss(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # bucket metadata survived re-registration
+
+
+def test_stale_twin_invalidated_on_fixture_regen(spark, tmp_path):
+    """Regenerating a fixture dir in place (tools/make_sf1.py does this)
+    must invalidate the twin — the spec stores a source fingerprint."""
+    import shutil
+
+    from quackspark.session import _TABLE_CACHE, _read_raw
+
+    fx = str(tmp_path / "fx")
+    os.makedirs(fx)
+    li = _read_raw(spark, SF, "lineitem").limit(100)
+    li.write.mode("overwrite").parquet(os.path.join(fx, "lineitem.parquet"))
+    _TABLE_CACHE.clear()
+    assert load_table(spark, fx, "lineitem").count() == 100
+    assert os.path.exists(derived.derived_path(fx, "lineitem"))
+
+    # regenerate the fixture with different contents
+    li2 = _read_raw(spark, SF, "lineitem").limit(250)
+    li2.write.mode("overwrite").parquet(os.path.join(fx, "lineitem.parquet"))
+    _TABLE_CACHE.clear()
+    assert load_table(spark, fx, "lineitem").count() == 250  # not stale 100
+    shutil.rmtree(derived.derived_path(fx, "lineitem"), ignore_errors=True)
