@@ -33,13 +33,15 @@ def export_database(
     """Write every (or the named) catalog table/view to `target_dir` and
     return the manifest {table: relative data path}."""
     if tables is None:
-        # skip internal helper views (__qs_*): they are statement-scoped
-        # scratch and may lazily reference files a copy-on-write swap has
-        # since removed
+        # skip internal helper views (__qs_*: statement-scoped scratch)
+        # and derived-layout twin tables (qs_drv_*: engine-written
+        # physical copies of fixture data, sources/derived.py — exporting
+        # them would duplicate data the user never created, and their
+        # external locations may have been rebuilt/removed)
         tables = [
             t.name
             for t in spark.catalog.listTables()
-            if not t.name.startswith("__qs_")
+            if not t.name.startswith(("__qs_", "qs_drv_"))
         ]
     os.makedirs(target_dir, exist_ok=True)
     manifest: dict[str, str] = {}

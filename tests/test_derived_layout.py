@@ -136,4 +136,9 @@ def test_stale_twin_invalidated_on_fixture_regen(spark, tmp_path):
     li2.write.mode("overwrite").parquet(os.path.join(fx, "lineitem.parquet"))
     _TABLE_CACHE.clear()
     assert load_table(spark, fx, "lineitem").count() == 250  # not stale 100
+    # drop the registered twin and its files: pytest reclaims tmp_path,
+    # and a catalog entry over vanished files would poison later
+    # whole-catalog operations (EXPORT DATABASE)
+    spark.sql(f"DROP TABLE IF EXISTS {derived._table_name(fx, 'lineitem')}")
+    _TABLE_CACHE.clear()
     shutil.rmtree(derived.derived_path(fx, "lineitem"), ignore_errors=True)
