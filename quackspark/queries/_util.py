@@ -73,6 +73,19 @@ def dsum_u(df, ucol: str, expr: Column | str) -> Column:
     return dsum(expr)
 
 
+def dsum_u_when(df, ucol: str, cond: Column, expr: Column | str) -> Column:
+    """:func:`dsum` of ``CASE WHEN cond THEN expr ELSE 0.0 END``, served
+    from a materialized micro-unit column when available —
+    ``round(CASE…*1e6)`` with a 0.0 else-branch equals
+    ``CASE WHEN cond THEN stored_u ELSE 0 END`` exactly."""
+    if EXACT_SUM_MODE == "long" and ucol in df.columns:
+        return (
+            F.sum(F.when(cond, F.col(ucol)).otherwise(F.lit(0)))
+            / F.lit(float(_SCALE))
+        )
+    return dsum(F.when(cond, _col(expr)).otherwise(F.lit(0.0)))
+
+
 def davg(expr: Column | str) -> Column:
     """Order-independent mean: exact sum / count, divided as double."""
     c = _col(expr)

@@ -19,8 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quackspark.queries._util import dsum, load_table, o_dsum
+from quackspark.queries._util import dsum, dsum_u, dsum_u_when, load_table, o_dsum
 from quackspark.queries.tpch import O_REVENUE, REVENUE
+from quackspark.session import load_table_derived
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +43,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7-shaped: bidirectional nation-pair trade volume by year."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -74,39 +75,45 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(dsum(REVENUE()).alias("revenue"))
+        .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14-shaped: conditional aggregation over a part join."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     j = li.filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
     ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    promo = F.when(F.col("p_type").startswith("PROMO"), REVENUE()).otherwise(0.0)
+    is_promo = F.col("p_type").startswith("PROMO")
     return j.agg(
-        (F.lit(100.0) * dsum(promo) / dsum(REVENUE())).alias("promo_revenue")
+        (
+            F.lit(100.0)
+            * dsum_u_when(j, "l_rev_u", is_promo, REVENUE())
+            / dsum_u(j, "l_rev_u", REVENUE())
+        ).alias("promo_revenue")
     )
 
 
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-shaped: per-part average-quantity threshold (decorrelated scalar
     subquery expressed directly as aggregate + re-join)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
     )
     brand = part.filter(F.col("p_brand") == "Brand#1")
-    return (
+    j = (
         li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("ap"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+    return j.agg(
+        (dsum_u(j, "l_eprice_u", "l_extendedprice") / 7.0).alias("avg_yearly")
     )
 
 
@@ -141,7 +148,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19-shaped: OR-of-ANDs predicates across the part join — the filter
     shape the reference's expression rewriter normalizes (duckdb-7.cpp:
     13908-13921); Catalyst handles identically."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     cond = (
@@ -152,7 +159,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50))
     )
-    return j.filter(cond).agg(dsum(REVENUE()).alias("revenue"))
+    return j.filter(cond).agg(dsum_u(j, "l_rev_u", REVENUE()).alias("revenue"))
 
 
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:

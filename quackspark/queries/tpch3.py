@@ -31,8 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quackspark.queries._util import dsum, load_table, o_dsum
+from quackspark.queries._util import (
+    dsum,
+    dsum_u,
+    dsum_u_when,
+    load_table,
+    o_dsum,
+)
 from quackspark.queries.tpch import O_REVENUE, REVENUE
+from quackspark.session import load_table_derived
 
 
 def _eur_suppliers(spark, sf_dir, region="EUROPE"):
@@ -80,7 +87,7 @@ def q2_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8-shaped: one nation's share of regional trade volume by year."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -111,10 +118,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
         .join(F.broadcast(reg), F.col("crk") == reg.r_regionkey)
     )
-    nation_vol = F.when(F.col("supp_nation") == "NATION_2", REVENUE()).otherwise(0.0)
+    is_n2 = F.col("supp_nation") == "NATION_2"
     return (
         vol.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg((dsum(nation_vol) / dsum(REVENUE())).alias("mkt_share"))
+        .agg(
+            (
+                dsum_u_when(vol, "l_rev_u", is_n2, REVENUE())
+                / dsum_u(vol, "l_rev_u", REVENUE())
+            ).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
@@ -153,12 +165,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11-shaped: parts whose regional supply value exceeds a fraction of
     the global total (HAVING vs uncorrelated scalar subquery)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     esupp = _eur_suppliers(spark, sf_dir)
+    keep = ["l_partkey", "l_extendedprice"] + (
+        ["l_eprice_u"] if "l_eprice_u" in li.columns else []
+    )
     ev = li.join(
         F.broadcast(esupp), li.l_suppkey == F.col("s_suppkey")
-    ).select("l_partkey", "l_extendedprice")
-    per_part = ev.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("value"))
+    ).select(*keep)
+    per_part = ev.groupBy("l_partkey").agg(
+        dsum_u(ev, "l_eprice_u", "l_extendedprice").alias("value")
+    )
     total = per_part.agg((dsum("value") * 0.001).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -210,7 +227,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15-shaped: supplier(s) with max quarterly revenue (derived revenue
     view + MAX scalar subquery compared by equality)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     rev = (
         li.filter(
@@ -218,7 +235,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(dsum(REVENUE()).alias("total_revenue"))
+        .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("mr"))
     return (

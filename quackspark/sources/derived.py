@@ -13,9 +13,11 @@ physical-plan win:
 - ``lineitem`` / ``orders``: hash-bucketed + sorted on orderkey
   (sources/bucketing.py rationale) so every lineitem⋈orders join and
   per-order aggregation plans with NO exchange on the fact side — the
-  r6 sf10 "bucketed twin" evidence (SCALE_TPCH_SF10.json: q3 11.6×→5.4×,
-  q5 12.5×→8.0×, q21 2.0×) promoted to the mainline path. At 100 TB this
-  is the pay-the-shuffle-once answer for a key joined by every query.
+  r6 "bucketed twin" side-evidence promoted to the mainline path, and
+  re-measured as the default at sf10 (SCALE_TPCH_SF10.json r7: q3
+  11.6×→4.2×, q9 7.9×→3.8×, q10 4.0×→1.9×, q21 5.9×→2.2× vs single-node
+  DuckDB, with a raw-layout A/B column). At 100 TB this is the
+  pay-the-shuffle-once answer for a key joined by every query.
 - ``lineitem`` additionally carries materialized micro-unit BIGINT
   columns for the money expressions every TPC-H-shaped query re-derives
   per row (`round(expr*1e6)::long` — exactly the order-independent
