@@ -165,8 +165,12 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-shaped: customers above the average balance with no orders
     (uncorrelated scalar subquery + anti-join)."""
+    from quackspark.session import load_table_projection
+
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # custkey projection (see q13): the anti-join probe side arrives
+    # pre-partitioned on o_custkey — no fact-sized exchange
+    orders = load_table_projection(spark, sf_dir, "orders", "o_custkey")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("ab")
     )

@@ -209,9 +209,17 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13-shaped: histogram of per-customer order counts (LEFT OUTER join
-    preserving order-less customers + two aggregation levels)."""
+    preserving order-less customers + two aggregation levels).
+
+    Reads the CUSTKEY PROJECTION of orders (sources/derived.py
+    ensure_projection — same rows, bucketed+sorted on o_custkey): the
+    fact-sized orders exchange disappears and the first-level
+    per-customer aggregation rides the join's custkey partitioning, so
+    only customer (dimension-sized) and the tiny histogram shuffle."""
+    from quackspark.session import load_table_projection
+
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table_projection(spark, sf_dir, "orders", "o_custkey").filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
     per_cust = cust.join(

@@ -276,6 +276,31 @@ def load_table_derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return df
 
 
+def load_table_projection(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """A projection of `name` bucketed+sorted on `key`
+    (sources/derived.py ensure_projection — the secondary physical order
+    for joins/aggregations on a non-primary key, e.g. orders by custkey
+    for q13). Falls back to :func:`load_table` when unavailable."""
+    from quackspark.sources import derived
+
+    prepare_session(spark)
+    ck = (id(spark), sf_dir, name, "proj", key)
+    cached = _TABLE_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    df = None
+    if os.path.exists(table_path(sf_dir, name)):
+        df = derived.ensure_projection(
+            spark, sf_dir, name, key, _read_raw(spark, sf_dir, name)
+        )
+    if df is None:
+        df = load_table(spark, sf_dir, name)
+    _TABLE_CACHE[ck] = df
+    return df
+
+
 def _load_with_layout(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -178,14 +178,22 @@ def _table_name(sf_dir: str, name: str) -> str:
     return f"qs_drv_{layout_tag(sf_dir)}_{name}".lower()
 
 
-def _build(spark: SparkSession, raw: DataFrame, sf_dir: str, name: str) -> dict:
-    """Materialize the twin atomically; returns the spec it wrote."""
-    key, col_factory = SPECS[name]
+def _build(
+    spark: SparkSession,
+    raw: DataFrame,
+    sf_dir: str,
+    name: str,
+    unit: str,
+    key: str | None,
+    col_factory,
+) -> dict:
+    """Materialize one layout unit (a table twin or a projection of it)
+    atomically; returns the spec it wrote."""
     df = raw
     if col_factory is not None:
         for cname, cexpr in col_factory().items():
             df = df.withColumn(cname, cexpr)
-    final = derived_path(sf_dir, name)
+    final = derived_path(sf_dir, unit)
     tmp = f"{final}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.dirname(final), exist_ok=True)
@@ -225,12 +233,12 @@ def _build(spark: SparkSession, raw: DataFrame, sf_dir: str, name: str) -> dict:
     return _read_spec(final) or spec
 
 
-def _register(spark: SparkSession, sf_dir: str, name: str, spec: dict) -> DataFrame:
-    """Catalog-register (bucketed) or plain-read (unbucketed) a built twin."""
-    path = derived_path(sf_dir, name)
+def _register(spark: SparkSession, sf_dir: str, unit: str, spec: dict) -> DataFrame:
+    """Catalog-register (bucketed) or plain-read (unbucketed) a built unit."""
+    path = derived_path(sf_dir, unit)
     if spec["bucket_key"] is None:
         return spark.read.parquet(path)
-    tbl = _table_name(sf_dir, name)
+    tbl = _table_name(sf_dir, unit)
     if not spark.catalog.tableExists(tbl):
         key, n = spec["bucket_key"], spec["buckets"]
         spark.sql(
@@ -239,6 +247,48 @@ def _register(spark: SparkSession, sf_dir: str, name: str, spec: dict) -> DataFr
             f"LOCATION '{path}'"
         )
     return spark.table(tbl)
+
+
+def _ensure_unit(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    unit: str,
+    key: str | None,
+    col_factory,
+    raw: DataFrame,
+) -> DataFrame:
+    path = derived_path(sf_dir, unit)
+    spec = _read_spec(path, _source_fingerprint(sf_dir, name))
+    if spec is None:
+        if os.path.exists(path):  # stale version / torn build
+            spark.sql(f"DROP TABLE IF EXISTS {_table_name(sf_dir, unit)}")
+            shutil.rmtree(path, ignore_errors=True)
+        spec = _build(spark, raw, sf_dir, name, unit, key, col_factory)
+    return _register(spark, sf_dir, unit, spec), spec
+
+
+def ensure_projection(
+    spark: SparkSession, sf_dir: str, name: str, key: str, raw: DataFrame
+) -> DataFrame | None:
+    """A *projection* of `name`: the same rows persisted bucketed+sorted
+    on a DIFFERENT key (C-Store/Vertica projections; the reference's ART
+    index on a secondary column plays this role, duckdb-internal.hpp ART
+    surface). Built on first use next to the primary twin as
+    ``<name>__by_<key>``; None when disabled or on any failure."""
+    if not enabled():
+        return None
+    try:
+        full, _ = _ensure_unit(
+            spark, sf_dir, name, f"{name}__by_{key}", key, None, raw
+        )
+        return full
+    except Exception as exc:  # pragma: no cover - defensive fallback
+        print(
+            f"quackspark: projection {name} by {key} unavailable ({exc})",
+            file=sys.stderr,
+        )
+        return None
 
 
 def ensure_derived(
@@ -251,15 +301,10 @@ def ensure_derived(
     if not enabled() or name not in SPECS:
         return None
     try:
-        path = derived_path(sf_dir, name)
-        spec = _read_spec(path, _source_fingerprint(sf_dir, name))
-        if spec is None:
-            if os.path.exists(path):  # stale version / torn build
-                tbl = _table_name(sf_dir, name)
-                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-                shutil.rmtree(path, ignore_errors=True)
-            spec = _build(spark, raw, sf_dir, name)
-        full = _register(spark, sf_dir, name, spec)
+        key, col_factory = SPECS[name]
+        full, spec = _ensure_unit(
+            spark, sf_dir, name, name, key, col_factory, raw
+        )
         surface = full.select(*spec["orig_cols"])
         return surface, full
     except Exception as exc:  # pragma: no cover - defensive fallback

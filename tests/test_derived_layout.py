@@ -142,3 +142,27 @@ def test_stale_twin_invalidated_on_fixture_regen(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {derived._table_name(fx, 'lineitem')}")
     _TABLE_CACHE.clear()
     shutil.rmtree(derived.derived_path(fx, "lineitem"), ignore_errors=True)
+
+
+def test_projection_by_secondary_key(spark):
+    """ensure_projection: orders bucketed on o_custkey — a custkey join
+    plans with no orders-side exchange, and rows are identical to the
+    primary table."""
+    from quackspark.session import load_table_projection
+
+    proj = load_table_projection(spark, SF, "orders", "o_custkey")
+    base = load_table(spark, SF, "orders")
+    assert proj.columns == base.columns
+    assert proj.count() == base.count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cust = load_table(spark, SF, "customer")
+        plan = (
+            cust.join(proj, cust.c_custkey == proj.o_custkey, "left_outer")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" in plan  # dim side shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
