@@ -45,3 +45,17 @@ def test_manifest_is_ordered_and_duplicate_free():
         "q6_forecast_revenue",
         "q10_returned_items",
     ]
+
+
+def test_family_split_covers_manifest():
+    """Every headline query maps to a reporting family and the totals
+    helper sums covered queries only (bench.py _family/_family_totals)."""
+    import bench
+
+    fams = {bench._family(n) for n in bench.HEADLINE_MANIFEST}
+    assert fams <= {"tpch", "json", "llm", "stream", "core"}
+    got = bench._family_totals(
+        {"q1_x": 2.0, "json_y": 1.0, "broken": -1.0},
+        {"q1_x": 1.0, "json_y": 4.0, "broken": 9.9},
+    )
+    assert got == {"tpch": [2.0, 1.0, 2.0], "json": [1.0, 4.0, 0.25]}
