@@ -183,9 +183,16 @@ def _translate_type(type_toks: list[str]) -> str:
             ]
             if with_zone:
                 out.append("STRUCT<micros:BIGINT,offset_s:INT>")
-                while i < len(toks) and toks[i].lower() != "zone":
+                if low == "timetz":
+                    # single-token spelling: consume exactly it — a trailing
+                    # suffix like TIMETZ(3) must surface as a loud
+                    # downstream error, not be silently swallowed (r7
+                    # ADVICE: the zone-scan below ate every remaining token)
                     i += 1
-                i += 1
+                else:
+                    while i < len(toks) and toks[i].lower() != "zone":
+                        i += 1
+                    i += 1
             else:
                 out.append("BIGINT")
                 i += 1

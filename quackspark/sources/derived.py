@@ -147,13 +147,13 @@ def _source_fingerprint(sf_dir: str, name: str) -> str:
     try:
         if os.path.isfile(p):
             st = os.stat(p)
-            return f"{st.st_size}:{int(st.st_mtime)}"
+            return f"{st.st_size}:{st.st_mtime_ns}"
         parts = sorted(
             (f, os.stat(os.path.join(p, f)))
             for f in os.listdir(p)
             if not f.startswith(".")
         )
-        return ";".join(f"{f}:{st.st_size}:{int(st.st_mtime)}" for f, st in parts)
+        return ";".join(f"{f}:{st.st_size}:{st.st_mtime_ns}" for f, st in parts)
     except OSError:
         return "missing"
 
@@ -225,12 +225,41 @@ def _build(
     }
     with open(_spec_path(tmp), "w") as f:
         json.dump(spec, f)
+    _swap_into_place(tmp, final, spec["source_fingerprint"])
+    return _read_spec(final) or spec
+
+
+def _swap_into_place(tmp: str, final: str, expect_fp: str) -> None:
+    """Publish a fully-built unit dir atomically, replacing a stale or
+    torn `final` without ever deleting a concurrent FRESH build: the only
+    dir this function rmtree's is one it first renamed aside to a private
+    trash name, so a fresh twin another process renamed into place between
+    our spec check and the delete can never be the delete target (r7
+    ADVICE: the old invalidate-then-build path rmtree'd `final` directly
+    and could vanish a just-published twin under a registered catalog
+    table)."""
+    try:
+        os.rename(tmp, final)
+        return
+    except OSError:
+        pass
+    if _read_spec(final, expect_fp) is not None:
+        # concurrent builder published an up-to-date twin — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    trash = f"{final}.stale.{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    try:
+        os.rename(final, trash)
+    except OSError:
+        pass  # someone else moved/removed it between the check and here
+    else:
+        shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(tmp, final)
     except OSError:
-        # concurrent builder won the rename — use theirs
+        # lost the final race to another fresh build — theirs is equivalent
         shutil.rmtree(tmp, ignore_errors=True)
-    return _read_spec(final) or spec
 
 
 def _register(spark: SparkSession, sf_dir: str, unit: str, spec: dict) -> DataFrame:
@@ -261,9 +290,13 @@ def _ensure_unit(
     path = derived_path(sf_dir, unit)
     spec = _read_spec(path, _source_fingerprint(sf_dir, name))
     if spec is None:
-        if os.path.exists(path):  # stale version / torn build
+        if os.path.exists(path):
+            # stale version / torn build: deregister the catalog entry
+            # (schema may change across layout versions); the stale DIR is
+            # replaced only after the fresh build is complete
+            # (_swap_into_place), so concurrent readers of the old twin
+            # lose it for microseconds, not for the build duration
             spark.sql(f"DROP TABLE IF EXISTS {_table_name(sf_dir, unit)}")
-            shutil.rmtree(path, ignore_errors=True)
         spec = _build(spark, raw, sf_dir, name, unit, key, col_factory)
     return _register(spark, sf_dir, unit, spec), spec
 
