@@ -79,24 +79,76 @@ SF1_QUERIES = list(HEADLINE_MANIFEST)
 SF1_ONE_RUN_ABOVE = 5.0
 
 
+def _duckdb_native_connect(sf_dir: str):
+    """Connection whose tables live in DuckDB's OWN storage format (native
+    .duckdb file: its row groups, zone maps, int64-backed DECIMAL storage —
+    duckdb.hpp:4798,7861) — the input-symmetric counterpart of the Spark
+    side's derived layout (r7 verdict "what's wrong" #1: comparing
+    Spark-on-its-own-layout vs DuckDB-on-raw-parquet was one-sided). Built
+    once per sf_dir, fingerprint-keyed like sources/derived.py twins."""
+    import duckdb
+
+    from quackspark.session import TESTDATA_TABLES, table_path
+    from quackspark.sources.derived import _source_fingerprint, layout_tag
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "localdata", "ducknative"
+    )
+    os.makedirs(root, exist_ok=True)
+    dbpath = os.path.join(root, f"{layout_tag(sf_dir)}.duckdb")
+    tables = [
+        t for t in TESTDATA_TABLES if os.path.exists(table_path(sf_dir, t))
+    ]
+    fp = ";".join(f"{t}={_source_fingerprint(sf_dir, t)}" for t in tables)
+    fp_path = dbpath + ".fp"
+    fresh = os.path.exists(dbpath)
+    if fresh:
+        try:
+            with open(fp_path) as f:
+                fresh = f.read() == fp
+        except OSError:
+            fresh = False
+    if not fresh:
+        for p in (dbpath, dbpath + ".wal", fp_path):
+            if os.path.exists(p):
+                os.remove(p)
+        d = duckdb.connect(dbpath)
+        for t in tables:
+            d.execute(
+                f"CREATE TABLE {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+            )
+        d.close()
+        with open(fp_path, "w") as f:
+            f.write(fp)
+    return duckdb.connect(dbpath, read_only=True)
+
+
 def bench_duckdb(
-    names: list[str], sf_dir: str | None = None, one_run_above: float = 15.0
+    names: list[str],
+    sf_dir: str | None = None,
+    one_run_above: float = 15.0,
+    native: bool = False,
 ) -> dict[str, float]:
-    """Time the DuckDB side of the same oracles on the same parquet —
-    keeps the README/VERDICT Spark-vs-DuckDB comparison reproducible
-    from the repo (VERDICT r1 #10). Same protocol: one warmup, median
-    of 3."""
+    """Time the DuckDB side of the same oracles — keeps the README/VERDICT
+    Spark-vs-DuckDB comparison reproducible from the repo (VERDICT r1 #10).
+    Same protocol: one warmup, median of 3. ``native=False`` times views
+    over the shared parquet (the engine-agnostic inputs), ``native=True``
+    times DuckDB's own storage format (its full right to re-layout the
+    data, mirroring the Spark side's derived layout)."""
     import duckdb
 
     from quackspark.entry import oracle_sql
     from quackspark.session import TESTDATA_TABLES, table_path
 
     osql = oracle_sql()
-    d = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        p = table_path(sf_dir or SF_DIR, t)
-        if os.path.exists(p):
-            d.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    if native:
+        d = _duckdb_native_connect(sf_dir or SF_DIR)
+    else:
+        d = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            p = table_path(sf_dir or SF_DIR, t)
+            if os.path.exists(p):
+                d.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     times: dict[str, float] = {}
     for name in names:
         sql = osql.get(name)
@@ -184,11 +236,16 @@ def _ensure_layout(spark, sf_dir: str) -> None:
     one-time write, not query time (the sf1 section has no untimed warmup
     for slow queries, so an implicit in-query build would contaminate the
     first measurement)."""
-    from quackspark.session import load_table
+    from quackspark.session import load_table, load_table_projection
 
-    for t in ("lineitem", "orders", "events"):
+    for t in ("lineitem", "orders", "events", "customer"):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t)
+    # secondary projections queries read (q13: orders by o_custkey) — an
+    # in-query first-use build would contaminate the sf1 section's
+    # single-run measurements (r7 ADVICE #2)
+    if os.path.exists(os.path.join(sf_dir, "orders.parquet")):
+        load_table_projection(spark, sf_dir, "orders", "o_custkey")
 
 
 def main() -> None:
@@ -226,17 +283,32 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # sf0.1 oracle pass runs UNCONDITIONALLY (r6 "what's wrong" #1: the
-    # driver record must carry the ≤2× gate ratio by itself; ~40 s cost)
+    # driver record must carry the ≤2× gate ratio by itself; ~40 s cost).
+    # Two columns since r8 (r7 verdict "what's wrong" #1): parquet views
+    # (shared inputs) AND native .duckdb tables (each engine on its own
+    # storage — the symmetric comparison for the derived-layout Spark side).
     duck = bench_duckdb(names)
+    duckn = bench_duckdb(names, native=True)
     covered = [n for n in names if times.get(n, -1) > 0 and duck.get(n, -1) > 0]
     out["duckdb_queries"] = duck
+    out["duckdb_native_queries"] = duckn
     out["duckdb_value"] = round(sum(duck[n] for n in covered), 4)
     out["spark_value_on_covered"] = round(sum(times[n] for n in covered), 4)
     if out["duckdb_value"] > 0:
         out["ratio_spark_vs_duckdb"] = round(
             out["spark_value_on_covered"] / out["duckdb_value"], 4
         )
+    covered_n = [
+        n for n in names if times.get(n, -1) > 0 and duckn.get(n, -1) > 0
+    ]
+    dn_total = round(sum(duckn[n] for n in covered_n), 4)
+    if dn_total > 0:
+        out["duckdb_native_value"] = dn_total
+        out["ratio_spark_vs_duckdb_native"] = round(
+            sum(times[n] for n in covered_n) / dn_total, 4
+        )
     out["families"] = _family_totals(times, duck)
+    out["families_native"] = _family_totals(times, duckn)
 
     # fixed-cost amortization section: the same scan-heavy queries at 10×
     # the rows, both engines, per-query ratios. localdata/ is gitignored
@@ -277,10 +349,15 @@ def main() -> None:
                 print(f"bench sf1: {name} failed: {exc}", file=sys.stderr)
                 s1[name] = -1.0
             _drop_persisted(spark)
+        sf1_names = [n for n in SF1_QUERIES if n not in SF1_SPARK_ONLY]
         d1 = bench_duckdb(
-            [n for n in SF1_QUERIES if n not in SF1_SPARK_ONLY],
+            sf1_names, sf_dir=SF1_DIR, one_run_above=SF1_ONE_RUN_ABOVE
+        )
+        d1n = bench_duckdb(
+            sf1_names,
             sf_dir=SF1_DIR,
             one_run_above=SF1_ONE_RUN_ABOVE,
+            native=True,
         )
         ratios = {
             n: round(s1[n] / d1[n], 3)
@@ -290,7 +367,13 @@ def main() -> None:
         out["sf1"] = {
             "spark_queries": s1,
             "duckdb_queries": d1,
+            "duckdb_native_queries": d1n,
             "per_query_ratio": ratios,
+            "per_query_ratio_native": {
+                n: round(s1[n] / d1n[n], 3)
+                for n in SF1_QUERIES
+                if s1.get(n, -1) > 0 and d1n.get(n, -1) > 0
+            },
             # wall-clock growth for 10× the rows — the amortization signal:
             # Spark ~flat (fixed cost dominates), DuckDB ~linear
             "spark_growth_10x": {
@@ -317,20 +400,26 @@ def main() -> None:
     # dropped to fit the tail window. Full per-engine detail stays in the
     # long line above and the committed BENCH_LOCAL_r{N}.json.
     duck01 = out.get("duckdb_queries", {})
+    duckn01 = out.get("duckdb_native_queries", {})
     s1o = out.get("sf1", {})
     s1q = s1o.get("spark_queries", {})
     d1q = s1o.get("duckdb_queries", {})
+    d1nq = s1o.get("duckdb_native_queries", {})
     packed = {}
+
+    def _pct(a: float, b: float) -> int | None:
+        return int(round(100 * a / b)) if a > 0 and b > 0 else None
+
     for n in names:
         t = times.get(n, -1)
-        d = duck01.get(n, -1)
         g = s1q.get(n, -1)
         row = [
             round(t, 2) if t > 0 else None,
-            int(round(100 * t / d)) if t > 0 and d > 0 else None,
+            _pct(t, duck01.get(n, -1)),
             round(g / t, 1) if g > 0 and t > 0 else None,
-            int(round(100 * g / d1q[n]))
-            if g > 0 and d1q.get(n, -1) > 0 else None,
+            _pct(g, d1q.get(n, -1)),
+            _pct(t, duckn01.get(n, -1)),
+            _pct(g, d1nq.get(n, -1)),
         ]
         if any(v is not None for v in row):
             packed[n] = row
@@ -338,17 +427,27 @@ def main() -> None:
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items() if v > 0},
         "sf": out["sf"],
-        # q legend: [sf0.1 sec, sf0.1 spark/duckdb pct, sf1/sf0.1 10x
-        # growth factor, sf1 spark/duckdb pct] — percents as ints
-        # (75 = 0.75x)
+        # q legend: [sf0.1 sec, sf0.1 spark/duckdb-on-parquet pct,
+        # sf1/sf0.1 10x growth factor, sf1 spark/duckdb-on-parquet pct,
+        # sf0.1 spark/duckdb-NATIVE pct, sf1 spark/duckdb-NATIVE pct] —
+        # percents as ints (75 = 0.75x). Per-query seconds live in the
+        # packed rows, so the redundant {"queries": {name: sec}} dict is
+        # dropped unconditionally (r7 verdict #4: the length-gated fallback
+        # was one field from re-truncating the driver's 2000-char window).
         "q": packed,
     }
     if "ratio_spark_vs_duckdb" in out:
         compact["duckdb_value"] = out["duckdb_value"]
         compact["ratio_spark_vs_duckdb"] = out["ratio_spark_vs_duckdb"]
-    # fam legend: {family: [spark_total, duckdb_total, spark/duckdb]}
+    if "ratio_spark_vs_duckdb_native" in out:
+        compact["duckdb_native_value"] = out["duckdb_native_value"]
+        compact["ratio_vs_native"] = out["ratio_spark_vs_duckdb_native"]
+    # fam legend: {family: [spark_total, duckdb_total, spark/duckdb]}.
+    # Per-family NATIVE splits live in the long line ("families_native")
+    # and the committed BENCH_LOCAL record — the compact line carries the
+    # native story per-query (q rows, elements 5/6) and in aggregate
+    # (ratio_vs_native) and must stay inside the driver's 2000-char tail.
     compact["fam"] = out.get("families", {})
     if "families" in out.get("sf1", {}):
         compact["fam_sf1"] = out["sf1"]["families"]
@@ -358,19 +457,21 @@ def main() -> None:
         ]
         tot_s = round(sum(s1q[n] for n in covered), 3)
         tot_d = round(sum(d1q[n] for n in covered), 3)
+        covered_n = [
+            n for n, v in s1q.items() if v > 0 and d1nq.get(n, -1) > 0
+        ]
+        tot_dn = round(sum(d1nq[n] for n in covered_n), 3)
         compact["sf1_summary"] = {
             "covered_queries": len(covered),
             "spark_total": tot_s,
             "duckdb_total": tot_d,
             "ratio": round(tot_s / tot_d, 3) if tot_d else None,
+            "duckdb_native_total": tot_dn,
+            "ratio_native": round(
+                sum(s1q[n] for n in covered_n) / tot_dn, 3
+            ) if tot_dn else None,
         }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        # stay inside the driver's tail window: drop the redundant
-        # per-query seconds dict first (the packed table carries them)
-        compact.pop("queries", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
