@@ -120,6 +120,38 @@ ORACLES = {
         SELECT 1_000_000 AS n, 1e3 AS e, .5 AS f, 2. AS g,
                count(*) AS c FROM nation
     """,
+    # --- r8: TIME casts in expression position (VERDICT r7 directive 7;
+    # LogicalTypeId TIME duckdb.hpp:914) — the µs-since-midnight carrier
+    # in filters, comparisons, typed literals, and TRY_CAST NULLing ---
+    "dt_time_cast": """
+        SELECT event_id,
+               epoch_us(CAST(ts AS TIME)) AS tod_us,
+               CAST(ts AS TIME) >= TIME '12:00:00' AS is_pm,
+               epoch_us('07:45:30.5'::TIME) AS lit_us,
+               epoch_us(TRY_CAST('not a time' AS TIME)) AS bad_us
+        FROM events
+        WHERE CAST(ts AS TIME) BETWEEN TIME '06:00:00' AND TIME '21:00:00'
+          AND event_id <= 4000
+        ORDER BY event_id
+    """,
+    # --- r8: anonymous ENUM cast (duckdb.hpp:944; VERDICT r7 missing #2)
+    # — ordered struct<code,label> carrier: comparison and ORDER BY follow
+    # dictionary INSERTION order (deliberately non-alphabetical here),
+    # TRY_CAST of a non-member is NULL ---
+    "fe_enum_anon_cast": """
+        SELECT c_custkey, c_mktsegment AS seg,
+               CAST(c_mktsegment AS
+                    ENUM('MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD',
+                         'BUILDING', 'FURNITURE'))
+                 < CAST('HOUSEHOLD' AS
+                        ENUM('MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD',
+                             'BUILDING', 'FURNITURE')) AS before_household,
+               TRY_CAST('nope' AS ENUM('a', 'b')) IS NULL AS bad_is_null
+        FROM customer WHERE c_custkey <= 500
+        ORDER BY CAST(c_mktsegment AS
+                      ENUM('MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD',
+                           'BUILDING', 'FURNITURE')), c_custkey
+    """,
 }
 
 QUERIES = {name: _run(sql_text) for name, sql_text in ORACLES.items()}

@@ -32,12 +32,13 @@ SF_DIR = "/root/testdata/sf0.001"
 #: ENUM cast is label-or-index depending on context.)
 #: ddl_time_column (r7) joins them for the same reason: its oracle
 #: deliberately uses native TIME/TIMETZ VALUES + datepart('timezone',…)
-#: to pin the DDL carriers against the real types; the frontend's TIME
-#: surface is literals + DDL columns + epoch_us(CAST(x AS TIME)), and a
-#: bare CAST(x AS TIME) keeps its pointed carrier refusal.
+#: to pin the DDL carriers against the real types. r8: bare
+#: CAST(x AS TIME) and the inline anonymous ENUM cast are now SUPPORTED
+#: (µs carrier resp. ordered struct<code,label> carrier) —
+#: enum_insertion_order left this set and must now exactly MATCH through
+#: the frontend; only the TIMETZ-native oracles keep their refusals.
 EXPECTED_UNSUPPORTED: set[str] = {
     "dt_time_tz",
-    "enum_insertion_order",
     "ddl_time_column",
 }
 

@@ -39,11 +39,23 @@ def test_enum_cast_validates_literals(spark):
     sqlfront.sql(spark, "CREATE OR REPLACE TYPE mood AS ENUM ('sad', 'ok')")
     with pytest.raises(UnsupportedSQL, match="not a member"):
         sqlfront.sql(spark, "SELECT 'angry'::mood AS x")
-    # dynamic non-member → NULL (engine's non-ANSI null-on-error posture)
+    # dynamic non-member: CAST raises like DuckDB's enum conversion
+    # error; TRY_CAST yields NULL (r7 ADVICE #4 — previously CAST also
+    # NULLed, silently storing NULL where DuckDB raises)
+    with pytest.raises(Exception, match="INVALID_INDEX_OF_ZERO|index 0"):
+        sqlfront.sql(
+            spark, "SELECT (CASE WHEN 1=1 THEN 'angry' END)::mood AS x"
+        ).collect()
     got = sqlfront.sql(
-        spark, "SELECT (CASE WHEN 1=1 THEN 'angry' END)::mood AS x"
+        spark,
+        "SELECT TRY_CAST((CASE WHEN 1=1 THEN 'angry' END) AS mood) AS x",
     ).collect()[0]["x"]
     assert got is None
+    # member round-trips through the dynamic path
+    got = sqlfront.sql(
+        spark, "SELECT (CASE WHEN 1=1 THEN 'ok' END)::mood AS x"
+    ).collect()[0]["x"]
+    assert got == "ok"
 
 
 def test_drop_type(spark):
@@ -108,14 +120,26 @@ def test_read_json_columns(spark, tmp_path):
     assert rows == [(1, "x"), (2, None)]
 
 
-def test_read_csv_columns_refused(spark, tmp_path):
+def test_read_csv_columns_explicit_schema(spark, tmp_path):
+    """read_csv columns= is an explicit schema — no inference pass
+    (r7 missing #5; symmetric with read_json columns=). read_csv_auto
+    keeps a pointed refusal (it sniffs by definition)."""
     p = os.path.join(str(tmp_path), "c.csv")
     with open(p, "w") as f:
-        f.write("a,b\n1,x\n")
-    with pytest.raises(UnsupportedSQL, match="read_csv columns="):
+        f.write("a,b\n1,x\n2,y\n")
+    df = sqlfront.sql(
+        spark,
+        f"SELECT * FROM read_csv('{p}', "
+        f"columns={{'a': 'BIGINT', 'b': 'VARCHAR'}})",
+    )
+    assert df.columns == ["a", "b"]
+    assert dict(df.dtypes)["a"] == "bigint"
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y")]
+    with pytest.raises(UnsupportedSQL, match="read_csv_auto sniffs"):
         sqlfront.sql(
             spark,
-            f"SELECT * FROM read_csv('{p}', columns={{'a': 'INT'}})",
+            f"SELECT * FROM read_csv_auto('{p}', columns={{'a': 'INT'}})",
         )
 
 
