@@ -241,11 +241,12 @@ def _ensure_layout(spark, sf_dir: str) -> None:
     for t in ("lineitem", "orders", "events", "customer"):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t)
-    # secondary projections queries read (q13: orders by o_custkey) — an
-    # in-query first-use build would contaminate the sf1 section's
-    # single-run measurements (r7 ADVICE #2)
-    if os.path.exists(os.path.join(sf_dir, "orders.parquet")):
-        load_table_projection(spark, sf_dir, "orders", "o_custkey")
+    # secondary projections queries read (q13: orders by o_custkey +
+    # customer by c_custkey) — an in-query first-use build would
+    # contaminate the sf1 section's single-run measurements (r7 ADVICE #2)
+    for t, k in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table_projection(spark, sf_dir, t, k)
 
 
 def main() -> None:

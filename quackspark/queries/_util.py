@@ -51,6 +51,46 @@ def _col(expr: Column | str) -> Column:
     return F.col(expr) if isinstance(expr, str) else expr
 
 
+def day_bound(df, ts_col: str, op: str, day: str) -> Column:
+    """Day-boundary predicate on a timestamp column, augmented with a
+    redundant SUPERSET predicate on the derived DATE twin column
+    (``<ts_col>_d``, sources/derived.py) when the layout provides one.
+
+    Spark's parquet pushdown cannot prune on TIMESTAMP_NTZ (no
+    ParquetFilters support — measured: a pushed NTZ range over
+    date-sorted row groups scans every row), so the exact timestamp
+    comparison alone never reaches the zone maps. The date predicate is
+    implied by the timestamp one for EVERY input (ts >= midnight(d) ⟹
+    date(ts) >= d; ts < midnight(d) ⟹ date(ts) < d; ts <= midnight(d)
+    ⟹ date(ts) <= d; ts > midnight(d) ⟹ date(ts) >= d; equality maps
+    to equality), so ANDing it changes no results while the INT32 date
+    stats drive row-group/page skipping — the reference's per-row-group
+    min/max pruning (duckdb-internal.hpp:3999-4002) re-expressed on the
+    engine-owned layout."""
+    ts = F.col(ts_col)
+    lit_ts = F.lit(day).cast("timestamp")
+    exact = {
+        ">=": ts >= lit_ts,
+        ">": ts > lit_ts,
+        "<": ts < lit_ts,
+        "<=": ts <= lit_ts,
+        "=": ts == lit_ts,
+    }[op]
+    dcol = f"{ts_col}_d"
+    if dcol not in df.columns:
+        return exact
+    dc = F.col(dcol)
+    lit_d = F.lit(day).cast("date")
+    coarse = {
+        ">=": dc >= lit_d,
+        ">": dc >= lit_d,  # superset: same-day later times satisfy ts >
+        "<": dc < lit_d,
+        "<=": dc <= lit_d,
+        "=": dc == lit_d,
+    }[op]
+    return coarse & exact
+
+
 def dsum(expr: Column | str) -> Column:
     """Order-independent sum of a double expression (exact path; see
     module docstring for the long-vs-decimal trade)."""

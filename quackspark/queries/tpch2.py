@@ -19,20 +19,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quackspark.queries._util import dsum, dsum_u, dsum_u_when, load_table, o_dsum
+from quackspark.queries._util import (
+    day_bound,
+    dsum,
+    dsum_u,
+    dsum_u_when,
+    load_table,
+    o_dsum,
+)
 from quackspark.queries.tpch import O_REVENUE, REVENUE
 from quackspark.session import load_table_derived
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-shaped: EXISTS semi-join then priority rollup."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_derived(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     return (
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            day_bound(orders, "o_orderdate", ">=", "1995-01-01")
+            & day_bound(orders, "o_orderdate", "<", "1996-01-01")
         )
         .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
@@ -85,8 +92,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table_derived(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     j = li.filter(
-        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        day_bound(li, "l_shipdate", ">=", "1995-09-01")
+        & day_bound(li, "l_shipdate", "<", "1995-10-01")
     ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
     is_promo = F.col("p_type").startswith("PROMO")
     return j.agg(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackspark.queries._util import (
+    day_bound,
     dsum,
     dsum_u,
     dsum_u_when,
@@ -88,7 +89,7 @@ def q2_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8-shaped: one nation's share of regional trade volume by year."""
     li = load_table_derived(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_derived(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -103,8 +104,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (
         li.join(
             orders.filter(
-                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+                day_bound(orders, "o_orderdate", ">=", "1995-01-01")
+                & day_bound(orders, "o_orderdate", "<", "1997-01-01")
             ),
             li.l_orderkey == orders.o_orderkey,
         )
@@ -188,13 +189,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12-shaped: urgent/non-urgent order counts per return class
     (l_returnflag proxies l_shipmode; fixture has no commitdate chain)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            day_bound(li, "l_shipdate", ">=", "1996-01-01")
+            & day_bound(li, "l_shipdate", "<", "1997-01-01")
             & F.col("l_returnflag").isin("A", "R")
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -212,13 +213,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving order-less customers + two aggregation levels).
 
     Reads the CUSTKEY PROJECTION of orders (sources/derived.py
-    ensure_projection — same rows, bucketed+sorted on o_custkey): the
-    fact-sized orders exchange disappears and the first-level
-    per-customer aggregation rides the join's custkey partitioning, so
-    only customer (dimension-sized) and the tiny histogram shuffle."""
+    ensure_projection — same rows, bucketed+sorted on o_custkey) AND a
+    custkey-bucketed projection of customer (same bucket count →
+    co-located join, r7 verdict directive 5): the fact-sized orders
+    exchange, the customer exchange, and the first-level per-customer
+    aggregation shuffle all disappear — only the tiny histogram
+    re-partitions."""
     from quackspark.session import load_table_projection
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table_projection(spark, sf_dir, "customer", "c_custkey")
     orders = load_table_projection(spark, sf_dir, "orders", "o_custkey").filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
@@ -239,8 +242,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     rev = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            day_bound(li, "l_shipdate", ">=", "1996-01-01")
+            & day_bound(li, "l_shipdate", "<", "1996-04-01")
         )
         .groupBy("l_suppkey")
         .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("total_revenue"))
@@ -278,13 +281,13 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20-shaped: regional suppliers who shipped a large volume of 'small'
     parts in 1996 (IN over an aggregated-HAVING subquery)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_derived(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     qual = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            day_bound(li, "l_shipdate", ">=", "1996-01-01")
+            & day_bound(li, "l_shipdate", "<", "1997-01-01")
         )
         .join(
             F.broadcast(part.filter(F.col("p_name").startswith("small"))),

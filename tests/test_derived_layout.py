@@ -166,3 +166,58 @@ def test_projection_by_secondary_key(spark):
         assert "Exchange hashpartitioning(c_custkey" in plan  # dim side shuffles
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_date_zone_map_prunes_scan(spark):
+    """r8 layout: the ym+orderkey within-bucket sort plus the
+    materialized `l_shipdate_d` DATE column must let an out-of-range
+    date predicate skip every row group — the SCAN (not the filter)
+    outputs zero rows for q6's 1994 window on the 1995+ fixture. Spark
+    cannot push TIMESTAMP_NTZ predicates, so this only holds through the
+    derived DATE twin column (_util.day_bound)."""
+    from quackspark.catalog import explain_analyze
+    from quackspark.entry import queries
+
+    df = queries()["q6_forecast_revenue"](spark, SF)
+    scan_rows = None
+    for r in explain_analyze(df).collect():
+        if "Scan" in r["operator"] and r["metric"] == "numOutputRows":
+            scan_rows = r["value"]
+    assert scan_rows == 0, f"zone-map pruning regressed: scan read {scan_rows}"
+    # and the coarse predicate actually reached the scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_shipdate_d" in plan
+
+
+def test_q13_colocated_projections_no_fact_exchange(spark):
+    """q13 reads orders__by_o_custkey + customer__by_c_custkey (equal
+    bucket counts): with broadcast disabled, the only exchanges left are
+    the two post-aggregation dimension-sized ones (histogram groupBy +
+    final sort) — neither input re-partitions."""
+    import re
+
+    from quackspark.entry import queries
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            queries()["q13_customer_distribution"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exchanges = [
+        l for l in plan.splitlines() if re.search(r"\bExchange\b", l)
+    ]
+    assert len(exchanges) <= 2, exchanges
+    for l in exchanges:
+        assert "c_custkey" not in l and "o_custkey" not in l, l
+
+
+def test_spec_records_storage_bytes(spark):
+    """Projection budget accounting (SCALE.md): every built unit's spec
+    sidecar records its storage_bytes."""
+    load_table(spark, SF, "lineitem")
+    spec = derived._read_spec(derived.derived_path(SF, "lineitem"))
+    assert spec and spec.get("storage_bytes", 0) > 0

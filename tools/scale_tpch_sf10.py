@@ -50,6 +50,12 @@ WEAK = [
     "q21_waiting_supplier",
     "json_group_rollup",
     "sw_tumbling",
+    # r8 (r7 verdict directive 3): every weak-graded query gets a
+    # largest-SF row — q6 and json_extract_scalar had only sub-second
+    # sf1 absolutes behind their grades; q18 joins as the big-agg shape
+    "q6_forecast_revenue",
+    "json_extract_scalar",
+    "q18_large_orders",
 ]
 BREAKDOWN = ["q5_local_supplier_volume", "q9_product_profit", "q10_returned_items"]
 #: the five formerly-exchange-bound queries (one lineitem exchange each —
@@ -142,10 +148,19 @@ def main() -> int:
         print("spark", name, out["spark"][name], flush=True)
 
     out["duckdb"] = bench.bench_duckdb(WEAK, sf_dir=SF10, one_run_above=10.0)
+    # input-symmetric column (r7 verdict directive 1): DuckDB on its own
+    # native storage format, mirroring the Spark side's derived layout
+    out["duckdb_native"] = bench.bench_duckdb(
+        WEAK, sf_dir=SF10, one_run_above=10.0, native=True
+    )
+    out["ratio_native"] = {}
     for n in WEAK:
         d = out["duckdb"].get(n, -1)
         if d > 0 and out["spark"][n] > 0:
             out["ratio"][n] = round(out["spark"][n] / d, 2)
+        dn = out["duckdb_native"].get(n, -1)
+        if dn > 0 and out["spark"][n] > 0:
+            out["ratio_native"][n] = round(out["spark"][n] / dn, 2)
 
     out["stage_breakdown"] = {}
     for name in BREAKDOWN:
