@@ -346,8 +346,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
     )
+    supp2 = supp.select("s_suppkey", "s_nationkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), waiting.rmax == supp.s_suppkey)
+        waiting.join(F.broadcast(supp2), waiting.rmax == supp2.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey, "left_semi")
         .groupBy("s_name")
         .agg(F.sum("r_rows").alias("numwait"))
