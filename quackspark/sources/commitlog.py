@@ -430,24 +430,48 @@ class VersionedTable:
 
     # ---- maintenance ---------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, orphan_grace_s: float = 900.0) -> list[str]:
         """Delete data files no commit in the log references anymore AND
         that are not part of the LATEST snapshot. Callers own the policy
         of when old snapshots may die; this removes only files that no
-        version ever references (orphans from crashed writers)."""
+        version ever references (orphans from crashed writers).
+
+        ``orphan_grace_s``: an unreferenced file younger than this is an
+        IN-FLIGHT write, not an orphan — every writer lands its data
+        files FIRST and claims the commit that references them AFTER
+        (_write_files → conflict check → _claim), so there is always a
+        window where live data is unreferenced. Without the grace a
+        concurrent vacuum deletes those files and the commit then lands
+        pointing at nothing — or, when the delete wins between the write
+        and the writer's own directory listing, the commit lands with an
+        EMPTY add list and the statement's rows silently vanish (found
+        by tools/fuzz_versioned_mp.py seed 271828: a whole-table UPDATE
+        committed add=[] and erased the table). Same contract as Delta's
+        VACUUM retention window, scaled to this log's commit latency."""
         referenced: set[str] = set()
         for v in self._versions():
             referenced.update(self._read_commit(v).get("add", []))
         removed = []
         if not os.path.isdir(self.data_dir):
             return removed
+        now = time.time()
         for sub in os.listdir(self.data_dir):
             d = os.path.join(self.data_dir, sub)
             for f in os.listdir(d):
                 rel = os.path.join(_DATA_DIR, sub, f)
-                if f.endswith(".parquet") and rel not in referenced:
+                if not f.endswith(".parquet") or rel in referenced:
+                    continue
+                try:
+                    age = now - os.path.getmtime(os.path.join(self.path, rel))
+                except OSError:
+                    continue  # already gone (concurrent vacuum)
+                if age < orphan_grace_s:
+                    continue  # in-flight write, not an orphan
+                try:
                     os.unlink(os.path.join(self.path, rel))
-                    removed.append(rel)
+                except OSError:
+                    continue
+                removed.append(rel)
         return removed
 
 

@@ -147,11 +147,20 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     # removed-but-once-referenced files survive vacuum (time travel works)
     assert t.vacuum() == []
     assert pinned.read(spark).count() == 1
-    # a genuinely orphaned file (crashed writer) is collected
+    # a FRESH unreferenced file is an in-flight write, NOT an orphan:
+    # every writer lands data files before the commit that references
+    # them, so default vacuum must leave it alone (fuzz seed 271828
+    # found the no-grace vacuum erasing a concurrent UPDATE's rows)
     orphan_dir = os.path.join(t.data_dir, "deadbeef")
     os.makedirs(orphan_dir)
     orphan = os.path.join(orphan_dir, "part-orphan.parquet")
     open(orphan, "wb").close()
+    assert t.vacuum() == []
+    assert os.path.exists(orphan)
+    # once older than the grace window it is a genuine crashed-writer
+    # orphan and is collected
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
     assert t.vacuum() == [os.path.join("data", "deadbeef", "part-orphan.parquet")]
     assert not os.path.exists(orphan)
 

@@ -498,7 +498,9 @@ def test_versioned_sink_crash_between_files_and_commit(spark, tmp_path):
     sink(batch, next_id)
     assert t2._versions() == versions0 + [next_id]
     assert t2.snapshot().read(spark).count() == n0 + 5
-    # vacuum reclaims the crash's orphaned files without touching live data
-    removed = t2.vacuum()
+    # vacuum reclaims the crash's orphaned files without touching live
+    # data (grace 0: this test KNOWS no writer is in flight — the default
+    # grace would rightly defer these seconds-old orphans)
+    removed = t2.vacuum(orphan_grace_s=0.0)
     assert removed, "crash must have left orphan files for vacuum"
     assert t2.snapshot().read(spark).count() == n0 + 5
