@@ -134,29 +134,41 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nation.n_regionkey == region.r_regionkey)
         .select("n_nationkey", "n_name")
     )
-    # dims-first staging (see q3): the region filter reaches ORDERS via
-    # the ASIA-customer broadcast BEFORE the fact shuffle (~5x smaller
-    # build side), and the wide lineitem join is shuffle_hash — no sorts.
-    # The supplier same-nation predicate then applies at probe time.
+    # supplier-FIRST probe order (r7 verdict directive 4, measured sf10
+    # same-JVM A/B: 3.18 s → 1.84 s): the tiny ASIA-supplier broadcast
+    # (2 columns, cache-resident hash) filters lineitem to ~1/5 BEFORE
+    # the wide shuffle_hash probe against the order-sized o_red build —
+    # 75 M cheap small-hash probes replace 75 M cache-missing big-hash
+    # probes, and the big-hash probe count drops 5×. The region filter
+    # still reaches ORDERS via the ASIA-customer broadcast (~5× smaller
+    # build side), and the same-nation predicate folds into the
+    # shuffle_hash join as a residual. Exchange-free on the fact side
+    # (li bucketed; o_red inherits orders' bucketing through broadcasts).
+    supp_asia = supp.join(
+        F.broadcast(dims.select("n_nationkey")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey")
+    money = (
+        ["l_rev_u"] if "l_rev_u" in li.columns
+        else ["l_extendedprice", "l_discount"]
+    )
+    li2 = li.join(
+        F.broadcast(supp_asia), li.l_suppkey == supp_asia.s_suppkey
+    ).select("l_orderkey", *money, "s_nationkey")
     cust_asia = cust.join(
         F.broadcast(dims), cust.c_nationkey == F.col("n_nationkey")
     ).select("c_custkey", "c_nationkey", "n_name")
     o_red = orders.join(
         F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey")
     ).select("o_orderkey", "c_nationkey", "n_name")
-    # broadcast only the two supplier columns the probe needs — the full
-    # supplier row (address/phone/comment strings) would bloat the
-    # broadcast hash table ~6x for nothing (r7 verdict directive 4b)
-    supp2 = supp.select("s_suppkey", "s_nationkey")
     return (
-        li.join(o_red.hint("shuffle_hash"), li.l_orderkey == F.col("o_orderkey"))
-        .join(
-            F.broadcast(supp2),
-            (li.l_suppkey == supp2.s_suppkey)
-            & (supp2.s_nationkey == F.col("c_nationkey")),
+        li2.join(
+            o_red.hint("shuffle_hash"),
+            (li2.l_orderkey == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum_u(li, "l_rev_u", REVENUE()).alias("revenue"))
+        .agg(dsum_u(li2, "l_rev_u", REVENUE()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
