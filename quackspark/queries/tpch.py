@@ -162,10 +162,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey")
     ).select("o_orderkey", "c_nationkey", "n_name")
     return (
+        # equi-join on orderkey ONLY: a bare s_nationkey = c_nationkey —
+        # whether in the join condition or as a post-join filter (Catalyst
+        # pushes it back in) — becomes a second equi-key, the join then
+        # requires hashpartitioning(orderkey, nationkey), and the fact
+        # exchange the bucketing exists to kill comes back. Spelled as
+        # (a - b) = 0 it is not extractable as a key, so it rides the
+        # probe as a residual and the plan stays exchange-free
+        # (pinned by test_q5_supplier_first_exchange_free).
         li2.join(
             o_red.hint("shuffle_hash"),
             (li2.l_orderkey == F.col("o_orderkey"))
-            & (F.col("s_nationkey") == F.col("c_nationkey")),
+            & ((F.col("s_nationkey") - F.col("c_nationkey")) == 0),
         )
         .groupBy("n_name")
         .agg(dsum_u(li2, "l_rev_u", REVENUE()).alias("revenue"))

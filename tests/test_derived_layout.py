@@ -221,3 +221,24 @@ def test_spec_records_storage_bytes(spark):
     load_table(spark, SF, "lineitem")
     spec = derived._read_spec(derived.derived_path(SF, "lineitem"))
     assert spec and spec.get("storage_bytes", 0) > 0
+
+
+def test_q5_supplier_first_exchange_free(spark):
+    """q5's r8 probe order: the ASIA-supplier broadcast reduces lineitem
+    BEFORE the shuffle_hash probe, and the fact side still never
+    re-partitions (bucketed lineitem + o_red inheriting orders'
+    bucketing through broadcasts)."""
+    import re
+
+    from quackspark.entry import queries
+
+    plan = (
+        queries()["q5_local_supplier_volume"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no exchange may touch the fact keys
+    for l in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", l):
+            assert "l_orderkey" not in l and "o_orderkey" not in l, l
+    # supplier broadcast happens on the lineitem side (probe reduction)
+    assert plan.count("BroadcastHashJoin") >= 3
