@@ -86,6 +86,53 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rnk")
 
 
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means CLUSTER BLOCKING bounds the pairwise cosine check to
+    within-cluster pairs — never all-pairs — then every embedding with a
+    LOWER-id cluster-mate at cosine ≥ THRESHOLD is marked a duplicate of
+    its smallest such neighbor. 100 TB shape: the cluster id is the
+    partition key, per-cluster pair work is (n/k)²-bounded and k scales
+    with the corpus (the same trainer as the IVF codebook,
+    operators/kmeans.py), and no step collects to the driver. The oracle
+    replays the identical two Lloyd rounds, fold arithmetic, and
+    round-to-6 threshold compare, so survivors match bit-for-bit."""
+    e = _load(spark, sf_dir)
+    asn = KM.kmeans_assign(e, k=N_KMEANS, iters=2).select("vec_id", "cluster")
+    ve = e.join(asn, "vec_id").select("vec_id", "cluster", "embedding")
+    a = ve.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("embedding").alias("a_vec"),
+    )
+    b = ve.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("embedding").alias("b_vec"),
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(S.cosine(F.col("a_vec"), F.col("b_vec")), 6)
+            >= F.lit(THRESHOLD)
+        )
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        ve.select("vec_id", "cluster")
+        .join(dup, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_kmeans": sim_kmeans,
@@ -93,6 +140,7 @@ QUERIES = {
     "sim_srp_lsh_topk": sim_srp_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_embedding_neardup": sim_embedding_neardup,
+    "sim_semantic_dedup": sim_semantic_dedup,
 }
 
 # --- oracle SQL builders ---
@@ -328,4 +376,36 @@ ORACLES["sim_ivf_kmeans_topk"] = f"""
     )
     SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, cos
     FROM ranked WHERE rnk <= {K} ORDER BY q_id, rnk
+"""
+
+
+# SemDeDup replay: the identical Lloyd rounds (seed → a1 → cent2 → a2),
+# then within-cluster pairs with the identical round-to-6 cosine compare
+ORACLES["sim_semantic_dedup"] = f"""
+    WITH seed AS (
+        SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
+        FROM embeddings ORDER BY vec_id LIMIT {N_KMEANS}
+    ), a1 AS ({_sql_km_assign("seed")}
+    ), cent2 AS (
+        SELECT cluster, list(m ORDER BY i) AS cent FROM (
+            SELECT cluster, i, {o_davg("CAST(embedding[i] AS DOUBLE)")} AS m
+            FROM (SELECT cluster, embedding,
+                         unnest(generate_series(1, {S.DIM})) AS i
+                  FROM a1) _c
+            GROUP BY cluster, i
+        ) _m GROUP BY cluster
+    ), a2 AS ({_sql_km_assign("cent2")}
+    ), ve AS (
+        SELECT e.vec_id, a2.cluster, e.embedding
+        FROM embeddings e JOIN a2 USING (vec_id)
+    ), dup AS (
+        SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        FROM ve a JOIN ve b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {THRESHOLD}
+        GROUP BY b.vec_id
+    )
+    SELECT ve.vec_id, ve.cluster, dup.dup_of AS dup_of,
+           dup.dup_of IS NULL AS kept
+    FROM ve LEFT JOIN dup USING (vec_id) ORDER BY ve.vec_id
 """
