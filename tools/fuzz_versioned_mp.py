@@ -36,8 +36,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_WRITERS = 3
-OPS_PER_WRITER = 10
+N_WRITERS = int(os.environ.get("QS_FUZZ_WRITERS", "3"))
+OPS_PER_WRITER = int(os.environ.get("QS_FUZZ_OPS", "10"))
 TABLE = "vt_fuzz_mp"
 
 _WRITER = '''
