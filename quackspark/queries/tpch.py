@@ -148,8 +148,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dims.select("n_nationkey")),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_nationkey")
+    # the pruned money columns must be the ones dsum_u will ACTUALLY
+    # consume: in decimal mode it ignores the stored u-column and
+    # evaluates REVENUE() from price × discount (caught by a
+    # QUACKSPARK_EXACT_SUM=decimal differential: pruning to l_rev_u alone
+    # made the fallback expression unresolvable)
+    from quackspark.queries._util import EXACT_SUM_MODE
+
     money = (
-        ["l_rev_u"] if "l_rev_u" in li.columns
+        ["l_rev_u"]
+        if EXACT_SUM_MODE == "long" and "l_rev_u" in li.columns
         else ["l_extendedprice", "l_discount"]
     )
     li2 = li.join(

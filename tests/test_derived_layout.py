@@ -242,3 +242,22 @@ def test_q5_supplier_first_exchange_free(spark):
             assert "l_orderkey" not in l and "o_orderkey" not in l, l
     # supplier broadcast happens on the lineitem side (probe reduction)
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q5_resolves_in_decimal_sum_mode(spark, monkeypatch):
+    """Column pruning in q5 must track the exact-sum mode: decimal mode
+    ignores the stored u-column and evaluates REVENUE() from
+    price × discount, so pruning those away made the plan unresolvable
+    (caught by a QUACKSPARK_EXACT_SUM=decimal differential in r8). The
+    full decimal-mode value parity is covered by the subprocess-level
+    differential; this pins analysis + row shape in-process."""
+    from quackspark.queries import _util
+
+    from quackspark.entry import queries
+
+    long_rows = queries()["q5_local_supplier_volume"](spark, SF).collect()
+    monkeypatch.setattr(_util, "EXACT_SUM_MODE", "decimal")
+    dec_rows = queries()["q5_local_supplier_volume"](spark, SF).collect()
+    assert [r["n_name"] for r in dec_rows] == [r["n_name"] for r in long_rows]
+    for a, b in zip(dec_rows, long_rows):
+        assert abs(a["revenue"] - b["revenue"]) < 1e-6
