@@ -367,11 +367,19 @@ def time_of_day_micros(ts: Column | str) -> Column:
     TIME duckdb.hpp:914) represented as its physical form: µs since midnight
     (== DuckDB ``epoch_us(CAST(ts AS TIME))``). Spark has no TimeType, so
     the µs-since-midnight BIGINT is the portable carrier; pure codegen
-    arithmetic. NTZ inputs (parquet default) are cast to session-TZ
-    timestamp — the session preset pins UTC, so this is lossless."""
+    arithmetic over the WALL value: the carrier is derived from the
+    TIMESTAMP_NTZ components, never from epoch subtraction — the old
+    ``unix_micros(ts) - unix_micros(midnight)`` form measured ELAPSED time
+    and read 11:00 for noon on spring-forward days in DST session zones
+    (ADVICE r8 #1; the bare parity config runs America/New_York)."""
     ts = F.col(ts) if isinstance(ts, str) else ts
-    ts = ts.cast("timestamp")
-    return F.unix_micros(ts) - F.unix_micros(F.date_trunc("DAY", ts))
+    w = ts.cast("timestamp_ntz")
+    return (
+        F.hour(w).cast("long") * 3_600_000_000
+        + F.minute(w).cast("long") * 60_000_000
+        + F.second(w).cast("long") * 1_000_000
+        + F.date_format(w, "SSSSSS").cast("long")
+    )
 
 
 def make_time_micros(h: Column, m: Column, s: Column) -> Column:

@@ -317,9 +317,50 @@ def dt_time_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(key, "event_id")
 
 
+def dt_timetz_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-position `CAST(x AS TIMETZ)` (LogicalTypeId TIME_TZ
+    duckdb.hpp:931) — the last refused §1.2 cast, closed r9 (VERDICT r8
+    next #6). The Spark side goes through the SQL front so the
+    _timetz_carrier_toks rewrite itself is what's under test: a
+    timestamp cast (+00 offset), a literal with an explicit offset, a
+    per-row printf-built string with varying ±HH:MM offsets, and a
+    TRY_CAST failure. Field extraction and the engine-matched total
+    order (wall µs asc, offset DESC — compat.time_tz_sort_key) happen
+    DataFrame-side; the oracle constructs native TIMETZ values and
+    sorts/extracts natively."""
+    from quackspark.relation import Connection
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    raw = Connection(spark).sql("""
+        SELECT event_id,
+               CAST(ts AS TIMETZ) AS a,
+               CAST('10:30:00.25+05:30' AS TIMETZ) AS c,
+               CAST(printf('%02d:30:45%+03d:30',
+                           CAST(event_id % 12 AS INT) + 6,
+                           CAST(event_id % 3 AS INT) - 1) AS TIMETZ) AS d,
+               TRY_CAST('25:99' AS TIMETZ) AS b
+        FROM events WHERE event_id <= 2000
+    """).df
+    key = compat.time_tz_sort_key(F.col("d"))
+    noon_plus1 = compat.make_time_tz(F.lit(12 * 3_600_000_000), F.lit(3600))
+    return raw.select(
+        "event_id",
+        F.col("a").getField("micros").alias("a_us"),
+        F.col("a").getField("offset_s").alias("a_off"),
+        F.col("c").getField("micros").alias("c_us"),
+        F.col("c").getField("offset_s").alias("c_off"),
+        F.col("d").getField("micros").alias("d_us"),
+        F.col("d").getField("offset_s").alias("d_off"),
+        F.col("b").isNull().alias("b_null"),
+        (key < compat.time_tz_sort_key(noon_plus1)).alias("d_lt_noon1"),
+    ).orderBy(key, "event_id")
+
+
 QUERIES = {
     "dt_hypertable_rollup": dt_hypertable_rollup,
     "dt_time_tz": dt_time_tz,
+    "dt_timetz_cast": dt_timetz_cast,
     "dt_gapfill": dt_gapfill,
     "dt_age_parts": dt_age_parts,
     "dt_time_of_day": dt_time_of_day,
@@ -334,6 +375,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dt_timetz_cast": """
+        WITH t AS (
+            SELECT event_id,
+                   CAST(CAST(ts AS TIMESTAMP) AS TIMETZ) AS a,
+                   CAST('10:30:00.25+05:30' AS TIMETZ) AS c,
+                   CAST(printf('%02d:30:45%+03d:30',
+                               CAST(event_id % 12 AS INT) + 6,
+                               CAST(event_id % 3 AS INT) - 1) AS TIMETZ) AS d,
+                   TRY_CAST('25:99' AS TIMETZ) AS b
+            FROM events WHERE event_id <= 2000
+        )
+        SELECT event_id,
+               epoch_us(CAST(a AS TIME)) AS a_us,
+               CAST(datepart('timezone', a) AS INT) AS a_off,
+               epoch_us(CAST(c AS TIME)) AS c_us,
+               CAST(datepart('timezone', c) AS INT) AS c_off,
+               epoch_us(CAST(d AS TIME)) AS d_us,
+               CAST(datepart('timezone', d) AS INT) AS d_off,
+               b IS NULL AS b_null,
+               d < TIMETZ '12:00:00+01:00' AS d_lt_noon1
+        FROM t ORDER BY d, event_id
+    """,
     "dt_time_tz": """
         WITH t AS (
             SELECT event_id,

@@ -37,6 +37,83 @@ _READ_OPTS = {
 }
 
 
+def _field_castable(value: str, spark_type: str) -> bool:
+    """Would DuckDB's CSV converter accept `value` for this column type?
+    Driver-side, first row only — mirrors the reference sniffer's
+    per-type TryCast pass (duckdb-internal.hpp:39284-39360)."""
+    t = spark_type.strip().lower()
+    v = value.strip()
+    if not v:  # empty = NULL, castable to anything
+        return True
+    try:
+        if t in ("tinyint", "smallint", "int", "integer", "bigint") or (
+            t.startswith("decimal")
+        ):
+            int(v) if not t.startswith("decimal") else float(v)
+        elif t in ("float", "double", "real"):
+            float(v)
+        elif t == "boolean":
+            if v.lower() not in ("true", "false", "t", "f", "0", "1"):
+                return False
+        elif t == "date":
+            import datetime
+
+            datetime.date.fromisoformat(v)
+        elif t.startswith("timestamp"):
+            import datetime
+
+            datetime.datetime.fromisoformat(v)
+        else:  # string-ish types accept anything
+            return True
+    except (ValueError, TypeError):
+        return False
+    return True
+
+
+def _sniff_header_for_schema(
+    path: str, columns: dict[str, str], *, delim: str, quote: str
+) -> bool:
+    """First-row header detection under an explicit columns= schema,
+    matching DuckDB (verified r9): header iff the first row fails
+    conversion to the declared types OR equals the declared names
+    (case-insensitive). Bounded driver work: one line of one file, like
+    sources/sniffer.py. Unreadable/globbed/compressed inputs fall back
+    to the shim's historical header=True."""
+    import csv as _csv
+    import glob as _glob
+    import io
+
+    candidates = sorted(_glob.glob(path)) or [path]
+    first = candidates[0]
+    try:
+        if first.endswith(".gz"):
+            import gzip
+
+            with gzip.open(first, "rt", errors="replace") as f:
+                line = f.readline()
+        else:
+            with open(first, "r", errors="replace") as f:
+                line = f.readline()
+    except OSError:
+        return True
+    if not line.strip():
+        return True
+    row = next(
+        _csv.reader(io.StringIO(line), delimiter=delim or ",",
+                    quotechar=quote or '"'),
+        [],
+    )
+    names = [c.lower() for c in columns]
+    if [v.strip().lower() for v in row] == names:
+        return True
+    types = list(columns.values())
+    if len(row) == len(types) and not all(
+        _field_castable(v, t) for v, t in zip(row, types)
+    ):
+        return True
+    return False
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -59,7 +136,25 @@ def read_csv(
             "read_csv skip=N is unsupported on Spark; use comment='#' when "
             "the preamble shares a prefix"
         )
-    spark_opts: dict[str, object] = {"header": options.pop("header", True)}
+    if "header" in options:
+        header = options.pop("header")
+    elif columns:
+        # reference: an explicit columns= schema disables full
+        # auto-detection but STILL header-sniffs the first row
+        # (duckdb-internal.hpp:39311-39313; pinned against DuckDB this
+        # round): it is a header iff it fails conversion to the declared
+        # types OR equals the declared names — a blanket header=True
+        # default silently dropped the first data row of headerless
+        # files (ADVICE r8 #2), a blanket False re-reads real headers
+        header = _sniff_header_for_schema(
+            path if isinstance(path, str) else path[0],
+            columns,
+            delim=str(options.get("delim", options.get("sep", ","))),
+            quote=str(options.get("quote", '"')),
+        )
+    else:
+        header = True
+    spark_opts: dict[str, object] = {"header": header}
     for k, v in options.items():
         if k not in _READ_OPTS:
             raise ValueError(f"unsupported read_csv option: {k!r}")

@@ -54,6 +54,7 @@ import os
 import re
 import shutil
 import sys
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,14 @@ LAYOUT_VERSION = 5
 #: widths, and at cluster scale buckets are ≥128 MB so the trade against
 #: scan throughput stays small.
 _FACT_ROW_GROUP_BYTES = 16 << 20
+
+#: serializes twin builds within this process: the 16 MB
+#: parquet.block.size below mutates the JVM-GLOBAL hadoopConfiguration
+#: for the duration of the write, so two concurrent builds (or a build
+#: racing a user parquet write on another thread) must not interleave
+#: (ADVICE r8 #4). Cross-thread USER writes outside quackspark are not
+#: covered — single-driver bench posture, documented here.
+_BLOCKSIZE_LOCK = threading.Lock()
 
 _SCALE = 1_000_000
 
@@ -275,23 +284,24 @@ def _build(
         # DataFrameWriter .option is not forwarded on the saveAsTable
         # path (measured: a 30 MB bucket came back as one 753k-row group)
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        prev_block = hconf.get("parquet.block.size")
-        hconf.setInt("parquet.block.size", _FACT_ROW_GROUP_BYTES)
-        try:
-            (
-                df.repartition(n_buckets, F.col(key))
-                .write.mode("overwrite")
-                .bucketBy(n_buckets, key)
-                .sortBy(*sort_cols)
-                .option("path", tmp)
-                .format("parquet")
-                .saveAsTable(tmp_table)
-            )
-        finally:
-            if prev_block is None:
-                hconf.unset("parquet.block.size")
-            else:
-                hconf.set("parquet.block.size", prev_block)
+        with _BLOCKSIZE_LOCK:
+            prev_block = hconf.get("parquet.block.size")
+            hconf.setInt("parquet.block.size", _FACT_ROW_GROUP_BYTES)
+            try:
+                (
+                    df.repartition(n_buckets, F.col(key))
+                    .write.mode("overwrite")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(*sort_cols)
+                    .option("path", tmp)
+                    .format("parquet")
+                    .saveAsTable(tmp_table)
+                )
+            finally:
+                if prev_block is None:
+                    hconf.unset("parquet.block.size")
+                else:
+                    hconf.set("parquet.block.size", prev_block)
         # external table: DROP removes only the catalog entry, files stay
         spark.sql(f"DROP TABLE {tmp_table}")
     spec = {
@@ -340,6 +350,17 @@ def _swap_into_place(tmp: str, final: str, expect_fp: str) -> None:
     except OSError:
         pass  # someone else moved/removed it between the check and here
     else:
+        if _read_spec(trash, expect_fp) is not None:
+            # ADVICE r8 #3: what we renamed aside is a CONCURRENT FRESH
+            # build published between our spec check and the rename —
+            # re-check the fingerprint on the trash dir before any
+            # rmtree and put theirs back instead of deleting it
+            try:
+                os.rename(trash, final)
+            except OSError:
+                shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
         shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(tmp, final)

@@ -355,6 +355,13 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
     def j(arg: list[str]) -> str:
         return " ".join(arg)
 
+    if low.startswith("qs__"):
+        # pass-through escape for Spark-native calls emitted by earlier
+        # rewrite passes (e.g. _timetz_carrier_toks): `QS__typeof(x)` →
+        # `typeof(x)` verbatim, shielding them from the DuckDB-semantics
+        # translations below (same convention as RANGE__TVF)
+        return _tokens(f"{low[4:]}({', '.join(j(a) for a in args)})")
+
     if low in _REGEX_PATTERN_FNS and len(args) >= 2:
         args = [args[0]] + [[_posix_regex(t) for t in a] for a in args[1:]]
 
@@ -3031,12 +3038,16 @@ _TYPE_RENAMES = {
 _TYPE_UNSUPPORTED = {"time", "timetz"}
 
 _TYPE_REFUSAL_HINTS = {
+    # backstop only: cast-position TIME/TIMETZ are consumed upstream by
+    # _rewrite_time_carriers (µs-BIGINT / struct<micros,offset_s>
+    # carriers); a shape reaching here (e.g. parameterized TIMETZ(3))
+    # still refuses loudly rather than mistranslating
     "time": "carry times as µs-since-midnight BIGINT "
             "(compat.time_of_day_micros)",
     "timetz": "carry TIME_TZ as struct<micros,offset_s> with "
               "compat.make_time_tz/time_tz_sort_key (DuckDB orders wall "
-              "µs asc then offset DESC — a struct compare cannot express "
-              "the descending tiebreak)",
+              "µs asc then offset DESC — compare via the sort key, not "
+              "a raw struct compare)",
 }
 
 
@@ -3222,23 +3233,78 @@ def _rewrite_unnest(toks: list[str]) -> list[str]:
 
 def _time_carrier_toks(x: str) -> list[str]:
     """µs-since-midnight carrier of `CAST(x AS TIME)` (LogicalTypeId TIME
-    duckdb.hpp:914; == DuckDB ``epoch_us(CAST(x AS TIME))``). TRY_CAST
-    accepts both timestamp inputs and time-of-day strings (Spark's
-    string→timestamp cast fills the current date for bare 'HH:MM:SS'
-    inputs — the day part cancels below); failures are NULL, the engine's
-    documented non-ANSI null-on-error posture. The transform-over-1-array
-    binds x ONCE (no double evaluation of nondeterministic inputs), and
-    the session-tz midnight anchor (CAST→DATE→TIMESTAMP, not pmod over
-    UTC days) keeps the wall-clock value right in non-UTC sessions —
-    exactly compat.time_of_day_micros' date_trunc form, spelled with
-    CASTs because the later calls pass re-wraps date_trunc to DATE."""
+    duckdb.hpp:914; == DuckDB ``epoch_us(CAST(x AS TIME))``). The wall
+    value is pinned via TIMESTAMP_NTZ and decomposed into components —
+    NEVER via ``unix_micros(t) - unix_micros(midnight)``, which measures
+    ELAPSED session time and reads 11:00 for noon on spring-forward days
+    in DST session zones (ADVICE r8 #1; the bare parity config runs
+    America/New_York). The second TRY_CAST leg covers bare 'HH:MM:SS'
+    strings, which Spark refuses to cast to NTZ directly but fills with
+    the current date on the TIMESTAMP path (instant→NTZ then restores the
+    session wall, so the added day part still cancels); failures are
+    NULL, the engine's documented non-ANSI null-on-error posture. The
+    nested transform-over-1-array binds x ONCE (no double evaluation of
+    nondeterministic inputs) and the NTZ wall once."""
     # element_at(…, 1), not [0]: a bare subscript emitted into the
     # token stream is re-interpreted by the 1-based subscript pass when
     # this runs before it, and element_at survives every later pass
     return _tokens(
-        f"element_at(transform(array(TRY_CAST(({x}) AS TIMESTAMP)), "
-        f"qs_t -> unix_micros(qs_t) - "
-        f"unix_micros(CAST(CAST(qs_t AS DATE) AS TIMESTAMP))), 1)"
+        f"element_at(transform(transform(array(({x})), "
+        f"qs_x -> coalesce(TRY_CAST(qs_x AS TIMESTAMP_NTZ), "
+        f"CAST(TRY_CAST(qs_x AS TIMESTAMP) AS TIMESTAMP_NTZ))), "
+        f"qs_t -> CAST(hour(qs_t) AS BIGINT) * 3600000000 "
+        f"+ CAST(minute(qs_t) AS BIGINT) * 60000000 "
+        f"+ CAST(second(qs_t) AS BIGINT) * 1000000 "
+        f"+ CAST(date_format(qs_t, 'SSSSSS') AS BIGINT)), 1)"
+    )
+
+
+def _timetz_carrier_toks(x: str) -> list[str]:
+    """struct<micros,offset_s> carrier of `CAST(x AS TIMETZ)`
+    (LogicalTypeId TIME_TZ duckdb.hpp:931; compat.make_time_tz is the
+    DataFrame face of the same carrier — closes the last refused §1.2
+    cast, VERDICT r8 next #6). Semantics pinned against DuckDB this
+    round: a string keeps its explicit trailing ±HH[:MM[:SS]] offset; a
+    string WITHOUT one (bare time or full datetime) gets the session-tz
+    offset at the parsed wall instant; a timestamp/date input gets +00
+    with its wall time-of-day. The runtime `typeof` branch is how one
+    untyped token rewrite honors both the string and timestamp rules.
+    Wall µs are decomposed from the TIMESTAMP_NTZ components (the same
+    DST-proof form as _time_carrier_toks). Unparseable inputs are NULL
+    (documented null-on-error posture; DuckDB's freak '24:00:00' TIMETZ
+    is also NULL here — Spark has no 24:00 wall value). The QS__
+    prefixes shield the Spark-native regexp/typeof calls from
+    _emit_call's DuckDB-semantics translations."""
+    # single backslashes here: _escape_spark_literal doubles them at emit
+    # time, and Spark's literal parser undoes that back to \d for RE2
+    off_re = r"([+-]\d{2}(:\d{2}){0,2})\s*$"
+    return _tokens(
+        f"element_at(transform(transform(array(({x})), "
+        f"qs_x -> named_struct("
+        f"'qs_w', coalesce("
+        f"TRY_CAST(QS__regexp_replace(CAST(qs_x AS STRING), '{off_re}', '') "
+        f"AS TIMESTAMP_NTZ), "
+        f"CAST(TRY_CAST(QS__regexp_replace(CAST(qs_x AS STRING), '{off_re}', "
+        f"'') AS TIMESTAMP) AS TIMESTAMP_NTZ)), "
+        f"'qs_o', QS__regexp_extract(CAST(qs_x AS STRING), '{off_re}', 1), "
+        f"'qs_z', QS__typeof(qs_x) IN ('timestamp', 'timestamp_ntz', 'date'))), "
+        f"qs_p -> IF(qs_p.qs_w IS NULL, NULL, named_struct("
+        f"'micros', CAST(hour(qs_p.qs_w) AS BIGINT) * 3600000000 "
+        f"+ CAST(minute(qs_p.qs_w) AS BIGINT) * 60000000 "
+        f"+ CAST(second(qs_p.qs_w) AS BIGINT) * 1000000 "
+        f"+ CAST(date_format(qs_p.qs_w, 'SSSSSS') AS BIGINT), "
+        f"'offset_s', CAST(CASE "
+        f"WHEN qs_p.qs_o <> '' THEN "
+        f"(CASE WHEN substr(qs_p.qs_o, 1, 1) = '-' THEN -1 ELSE 1 END) * "
+        f"(CAST(try_element_at(split(substr(qs_p.qs_o, 2), ':'), 1) "
+        f"AS INT) * 3600 "
+        f"+ coalesce(CAST(try_element_at(split(substr(qs_p.qs_o, 2), ':'), "
+        f"2) AS INT), 0) * 60 "
+        f"+ coalesce(CAST(try_element_at(split(substr(qs_p.qs_o, 2), ':'), "
+        f"3) AS INT), 0)) "
+        f"WHEN qs_p.qs_z THEN 0 "
+        f"ELSE timestampdiff(SECOND, convert_timezone('UTC', qs_p.qs_w), "
+        f"qs_p.qs_w) END AS INT)))), 1)"
     )
 
 
@@ -3250,22 +3316,26 @@ def _rewrite_time_carriers(toks: list[str]) -> list[str]:
     epoch_us-wrapped form was handled and the bare cast refused),
     `epoch_us(CAST(x AS TIME))` → the same carrier (epoch_us of a TIME
     is its physical µs value), `epoch_us(make_time(h, m, s))` → h/m/s µs
-    arithmetic. Runs before the type-name pass so the consumed TIME casts
-    never reach its honest raise (which now guards only TIMETZ)."""
-    # normalize postfix `x :: TIME` to CAST form first so every branch
-    # below (incl. epoch_us-of-cast) sees one spelling
+    arithmetic, and (r9) `CAST(x AS TIMETZ)` / `x::TIMETZ` → the
+    struct<micros,offset_s> carrier (_timetz_carrier_toks). Runs before
+    the type-name pass so the consumed TIME/TIMETZ casts never reach its
+    honest raise (now a backstop for unconsumed shapes only)."""
+    # normalize postfix `x :: TIME` / `x :: TIMETZ` to CAST form first so
+    # every branch below (incl. epoch_us-of-cast) sees one spelling
     norm: list[str] = []
     i = 0
     while i < len(toks):
         if (
             toks[i] == "::"
             and i + 1 < len(toks)
-            and toks[i + 1].lower() == "time"
+            and toks[i + 1].lower() in ("time", "timetz")
         ):
             start = _primary_start(norm, len(norm))
             expr = norm[start:]
             del norm[start:]
-            norm.extend(["CAST", "("] + expr + ["AS", "time", ")"])
+            norm.extend(
+                ["CAST", "("] + expr + ["AS", toks[i + 1].lower(), ")"]
+            )
             i += 2
             continue
         norm.append(toks[i])
@@ -3287,6 +3357,25 @@ def _rewrite_time_carriers(toks: list[str]) -> list[str]:
             ):
                 x = " ".join(_rewrite_time_carriers(toks[i + 2 : end - 2]))
                 out.extend(_time_carrier_toks(x))
+                i = end + 1
+                continue
+            if (
+                end >= i + 4
+                and toks[end - 1].lower() == "timetz"
+                and toks[end - 2].lower() == "as"
+            ):
+                x = " ".join(_rewrite_time_carriers(toks[i + 2 : end - 2]))
+                out.extend(_timetz_carrier_toks(x))
+                i = end + 1
+                continue
+            if (
+                end >= i + 7
+                and [t.lower() for t in toks[end - 4 : end]]
+                == ["time", "with", "time", "zone"]
+                and toks[end - 5].lower() == "as"
+            ):
+                x = " ".join(_rewrite_time_carriers(toks[i + 2 : end - 5]))
+                out.extend(_timetz_carrier_toks(x))
                 i = end + 1
                 continue
         if (
