@@ -25,10 +25,31 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import hashlib
-from functools import lru_cache as _lru_cache
+import weakref
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: per-SparkContext pandas_udf memo (ADVICE r9 #4): a module-level
+#: lru_cache would outlive a stopped context — the cached kernels memoize
+#: their JVM UDF handle on first use, so after an in-process stop/restart
+#: (common in test harnesses) the stale handles point into the dead JVM
+#: wrapper. Keying on the live SparkContext OBJECT (weakly, so dead
+#: contexts are collectable) rebuilds kernels exactly once per context.
+_UDF_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _memo_udf(key: tuple, build):
+    """Return build() memoized per (active SparkContext, key)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no context: nothing to key on, don't cache
+        return build()
+    cache = _UDF_MEMO.setdefault(sc, {})
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
 
 DIM = 64
 N_PLANES = 16
@@ -54,12 +75,15 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-@_lru_cache(maxsize=None)
 def _dot_arrow_udf():
-    """Module-level memo for the dot-product kernel: defining and
+    """Per-context memo for the dot-product kernel: defining and
     registering a fresh pandas_udf per call is a per-query plan-build
     cost with zero benefit (VERDICT r8 next #7). The kernel folds over
     the ACTUAL vector width, so one cached UDF serves every dim."""
+    return _memo_udf(("dot",), _build_dot_arrow_udf)
+
+
+def _build_dot_arrow_udf():
     import numpy as np
     import pandas as pd
 
@@ -120,10 +144,16 @@ def srp_signature_arrow(
     return _srp_signature_udf(n_planes, dim)(vec)
 
 
-@_lru_cache(maxsize=None)
 def _srp_signature_udf(n_planes: int, dim: int):
-    """Memoized per (n_planes, dim) — the UDF closes over the plane-sign
-    matrix, so the key is exactly the constants baked in (r8 next #7)."""
+    """Memoized per (context, n_planes, dim) — the UDF closes over the
+    plane-sign matrix, so the key is the constants baked in (r8 next #7)."""
+    return _memo_udf(
+        ("sig", n_planes, dim),
+        lambda: _build_srp_signature_udf(n_planes, dim),
+    )
+
+
+def _build_srp_signature_udf(n_planes: int, dim: int):
     import numpy as np
     import pandas as pd
 
@@ -193,10 +223,16 @@ def srp_band_keys_arrow(
     return _srp_band_keys_udf(n_planes, band_bits)(vec)
 
 
-@_lru_cache(maxsize=None)
 def _srp_band_keys_udf(n_planes: int, band_bits: int):
-    """Memoized per (n_planes, band_bits) — adaptive widths revisit the
-    same few values, so the registration cost is paid once (r8 next #7)."""
+    """Memoized per (context, n_planes, band_bits) — adaptive widths
+    revisit the same few values, so registration is paid once (r8 #7)."""
+    return _memo_udf(
+        ("bands", n_planes, band_bits),
+        lambda: _build_srp_band_keys_udf(n_planes, band_bits),
+    )
+
+
+def _build_srp_band_keys_udf(n_planes: int, band_bits: int):
     import numpy as np
     import pandas as pd
 

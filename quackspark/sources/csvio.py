@@ -12,6 +12,7 @@ and `auto_detect` maps to inferSchema+header sampling.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,35 +38,90 @@ _READ_OPTS = {
 }
 
 
+#: inclusive upper bound per integer type (lower bound is -hi-1)
+_INT_HI = {
+    "tinyint": 127,
+    "smallint": 32767,
+    "int": 2**31 - 1,
+    "integer": 2**31 - 1,
+    "bigint": 2**63 - 1,
+}
+
+#: ASCII-only digit runs with optional _ separators. Pinned live against
+#: duckdb 1.0 read_csv (ADVICE r9 #3; tests/test_advice_r9.py): the CSV
+#: converter accepts '1_000' and '1_0' (kept as data) but rejects unicode
+#: digits '１２３', decimal points and exponents for integer columns
+#: ('1.5'/'1e2' under INT flip to header — unlike the SQL cast, which
+#: rounds), and enforces per-width bounds (128 under TINYINT is header).
+_INT_RE = re.compile(r"[+-]?[0-9](?:_?[0-9])*")
+_NUM_RE = re.compile(
+    r"[+-]?(?:[0-9](?:_?[0-9])*(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+)
+_INF_NAN = frozenset(
+    p + s for s in ("inf", "infinity", "nan") for p in ("", "+", "-")
+)
+
+
 def _field_castable(value: str, spark_type: str) -> bool:
     """Would DuckDB's CSV converter accept `value` for this column type?
     Driver-side, first row only — mirrors the reference sniffer's
-    per-type TryCast pass (duckdb-internal.hpp:39284-39360)."""
+    per-type TryCast pass (duckdb-internal.hpp:39284-39360). Explicit
+    regex/range checks, not Python numeric parsing (ADVICE r9 #3):
+    Python's int() shares the underscore rule but also takes unicode
+    digits and has no width bounds; every branch below is pinned against
+    a live duckdb read_csv header-detection probe."""
     t = spark_type.strip().lower()
     v = value.strip()
     if not v:  # empty = NULL, castable to anything
         return True
     try:
-        if t in ("tinyint", "smallint", "int", "integer", "bigint") or (
-            t.startswith("decimal")
-        ):
-            int(v) if not t.startswith("decimal") else float(v)
+        if t in _INT_HI:
+            if not _INT_RE.fullmatch(v):
+                return False
+            hi = _INT_HI[t]
+            return -hi - 1 <= int(v) <= hi
         elif t in ("float", "double", "real"):
-            float(v)
+            # inf/nan ARE accepted (verified: first row 'inf' under
+            # DOUBLE stays data), and FLOAT has no overflow rejection
+            # ('1e40' is kept as inf)
+            return v.lower() in _INF_NAN or bool(_NUM_RE.fullmatch(v))
+        elif t.startswith("decimal"):
+            if not _NUM_RE.fullmatch(v):
+                return False
+            m = re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+            if not m:
+                return True
+            prec, scale = int(m.group(1)), int(m.group(2))
+            import decimal
+
+            # width check AFTER rounding to scale (verified: '1.555'
+            # fits DECIMAL(4,2) via rounding, '123.456' does not)
+            with decimal.localcontext() as ctx:
+                ctx.prec = 60
+                d = decimal.Decimal(v.replace("_", "")).quantize(
+                    decimal.Decimal(1).scaleb(-scale),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            return abs(d) < decimal.Decimal(1).scaleb(prec - scale)
         elif t == "boolean":
             if v.lower() not in ("true", "false", "t", "f", "0", "1"):
                 return False
         elif t == "date":
+            # DuckDB takes unpadded ISO parts ('2024-1-5') and validates
+            # the calendar ('2024-13-01' flips to header)
+            m = re.fullmatch(r"(\d{1,4})-(\d{1,2})-(\d{1,2})", v)
+            if not m:
+                return False
             import datetime
 
-            datetime.date.fromisoformat(v)
+            datetime.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
         elif t.startswith("timestamp"):
             import datetime
 
             datetime.datetime.fromisoformat(v)
         else:  # string-ish types accept anything
             return True
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, ArithmeticError):
         return False
     return True
 

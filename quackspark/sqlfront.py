@@ -3263,37 +3263,65 @@ def _timetz_carrier_toks(x: str) -> list[str]:
     """struct<micros,offset_s> carrier of `CAST(x AS TIMETZ)`
     (LogicalTypeId TIME_TZ duckdb.hpp:931; compat.make_time_tz is the
     DataFrame face of the same carrier — closes the last refused §1.2
-    cast, VERDICT r8 next #6). Semantics pinned against DuckDB this
-    round: a string keeps its explicit trailing ±HH[:MM[:SS]] offset; a
-    string WITHOUT one (bare time or full datetime) gets the session-tz
-    offset at the parsed wall instant; a timestamp/date input gets +00
-    with its wall time-of-day. The runtime `typeof` branch is how one
-    untyped token rewrite honors both the string and timestamp rules.
-    Wall µs are decomposed from the TIMESTAMP_NTZ components (the same
-    DST-proof form as _time_carrier_toks). Unparseable inputs are NULL
-    (documented null-on-error posture; DuckDB's freak '24:00:00' TIMETZ
-    is also NULL here — Spark has no 24:00 wall value). The QS__
-    prefixes shield the Spark-native regexp/typeof calls from
-    _emit_call's DuckDB-semantics translations."""
+    cast, VERDICT r8 next #6). Semantics re-pinned live against DuckDB
+    1.0 this round (ADVICE r9 #1): a trailing ±HH[:MM[:SS]] counts as an
+    explicit offset only when a ':' (a time component) precedes it — so
+    a bare date string '2024-01-01' is NOT '2024-01' plus offset -01 but
+    00:00:00 at the session offset; a string without an explicit offset
+    (bare time, bare date, or full datetime) gets the session-tz offset
+    AT NOW (verified: '2024-01-15 10:30:00' in an America/New_York
+    August session is 10:30:00-04:00, not the parsed instant's -05:00);
+    a date-AND-offset string is parsed as an instant and rendered as its
+    UTC wall time with the session-now offset (verified:
+    '2024-01-15 10:30:00+05' → 05:30:00-04:00 in NY, 05:30:00+00 in
+    UTC); a typed timestamp gets +00 with its wall time-of-day (checked
+    BEFORE the offset branch, per the advice); a typed DATE is NULL
+    (DuckDB refuses DATE→TIMETZ — 'Unimplemented type for cast' — and
+    NULL is the engine's documented null-on-error posture, = DuckDB's
+    TRY_CAST). Wall µs are decomposed from the TIMESTAMP_NTZ components
+    (the same DST-proof form as _time_carrier_toks). Unparseable inputs
+    are NULL (DuckDB's freak '24:00:00' TIMETZ is also NULL here — Spark
+    has no 24:00 wall value). The QS__ prefixes shield the Spark-native
+    regexp/typeof calls from _emit_call's DuckDB-semantics
+    translations."""
     # single backslashes here: _escape_spark_literal doubles them at emit
-    # time, and Spark's literal parser undoes that back to \d for RE2
-    off_re = r"([+-]\d{2}(:\d{2}){0,2})\s*$"
+    # time, and Spark's literal parser undoes that back to \d for RE2.
+    # Group 1 = everything before the offset (kept by the $1 strip);
+    # the leading `.*:.*?` is the ':'-precedes guard; group 2 = offset.
+    off_re = r"^(.*:.*?)([+-]\d{2}(:\d{2}){0,2})\s*$"
+    s = "CAST(qs_x AS STRING)"
+    stripped = f"QS__regexp_replace({s}, '{off_re}', '$1')"
+    ntz = "coalesce(TRY_CAST({v} AS TIMESTAMP_NTZ), " \
+          "CAST(TRY_CAST({v} AS TIMESTAMP) AS TIMESTAMP_NTZ))"
+    # a string is the date+offset shape iff the offset matched AND the
+    # stripped remainder parses on the NTZ (date-bearing) leg
+    dated_off = (
+        f"QS__regexp_extract({s}, '{off_re}', 2) <> '' "
+        f"AND TRY_CAST({stripped} AS TIMESTAMP_NTZ) IS NOT NULL"
+    )
     return _tokens(
         f"element_at(transform(transform(array(({x})), "
         f"qs_x -> named_struct("
-        f"'qs_w', coalesce("
-        f"TRY_CAST(QS__regexp_replace(CAST(qs_x AS STRING), '{off_re}', '') "
-        f"AS TIMESTAMP_NTZ), "
-        f"CAST(TRY_CAST(QS__regexp_replace(CAST(qs_x AS STRING), '{off_re}', "
-        f"'') AS TIMESTAMP) AS TIMESTAMP_NTZ)), "
-        f"'qs_o', QS__regexp_extract(CAST(qs_x AS STRING), '{off_re}', 1), "
-        f"'qs_z', QS__typeof(qs_x) IN ('timestamp', 'timestamp_ntz', 'date'))), "
+        f"'qs_w', CASE "
+        f"WHEN QS__typeof(qs_x) = 'date' THEN NULL "
+        f"WHEN QS__typeof(qs_x) IN ('timestamp', 'timestamp_ntz') "
+        f"THEN {ntz.format(v=s)} "
+        f"WHEN {dated_off} "
+        f"THEN convert_timezone('UTC', "
+        f"CAST(TRY_CAST({s} AS TIMESTAMP) AS TIMESTAMP_NTZ)) "
+        f"ELSE {ntz.format(v=stripped)} END, "
+        f"'qs_o', CASE WHEN QS__typeof(qs_x) IN "
+        f"('timestamp', 'timestamp_ntz', 'date') THEN '' "
+        f"WHEN {dated_off} THEN '' "
+        f"ELSE QS__regexp_extract({s}, '{off_re}', 2) END, "
+        f"'qs_z', QS__typeof(qs_x) IN ('timestamp', 'timestamp_ntz'))), "
         f"qs_p -> IF(qs_p.qs_w IS NULL, NULL, named_struct("
         f"'micros', CAST(hour(qs_p.qs_w) AS BIGINT) * 3600000000 "
         f"+ CAST(minute(qs_p.qs_w) AS BIGINT) * 60000000 "
         f"+ CAST(second(qs_p.qs_w) AS BIGINT) * 1000000 "
         f"+ CAST(date_format(qs_p.qs_w, 'SSSSSS') AS BIGINT), "
         f"'offset_s', CAST(CASE "
+        f"WHEN qs_p.qs_z THEN 0 "
         f"WHEN qs_p.qs_o <> '' THEN "
         f"(CASE WHEN substr(qs_p.qs_o, 1, 1) = '-' THEN -1 ELSE 1 END) * "
         f"(CAST(try_element_at(split(substr(qs_p.qs_o, 2), ':'), 1) "
@@ -3302,9 +3330,9 @@ def _timetz_carrier_toks(x: str) -> list[str]:
         f"2) AS INT), 0) * 60 "
         f"+ coalesce(CAST(try_element_at(split(substr(qs_p.qs_o, 2), ':'), "
         f"3) AS INT), 0)) "
-        f"WHEN qs_p.qs_z THEN 0 "
-        f"ELSE timestampdiff(SECOND, convert_timezone('UTC', qs_p.qs_w), "
-        f"qs_p.qs_w) END AS INT)))), 1)"
+        f"ELSE timestampdiff(SECOND, "
+        f"convert_timezone('UTC', localtimestamp()), localtimestamp()) "
+        f"END AS INT)))), 1)"
     )
 
 
@@ -3330,13 +3358,20 @@ def _rewrite_time_carriers(toks: list[str]) -> list[str]:
             and i + 1 < len(toks)
             and toks[i + 1].lower() in ("time", "timetz")
         ):
+            # 4-token postfix spelling `x::TIME WITH TIME ZONE` (valid
+            # DuckDB; previously left dangling WITH TIME ZONE tokens and
+            # raised PARSE_SYNTAX_ERROR — ADVICE r9 #2), mirroring the
+            # CAST-form branch at the consumption site below
+            name, width = toks[i + 1].lower(), 2
+            if name == "time" and [
+                t.lower() for t in toks[i + 2 : i + 5]
+            ] == ["with", "time", "zone"]:
+                name, width = "timetz", 5
             start = _primary_start(norm, len(norm))
             expr = norm[start:]
             del norm[start:]
-            norm.extend(
-                ["CAST", "("] + expr + ["AS", toks[i + 1].lower(), ")"]
-            )
-            i += 2
+            norm.extend(["CAST", "("] + expr + ["AS", name, ")"])
+            i += width
             continue
         norm.append(toks[i])
         i += 1
