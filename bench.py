@@ -52,6 +52,9 @@ HEADLINE_MANIFEST = [
     "fts_bm25_topk",
     "sim_kmeans",
     "pipeline_training_prep_v2",
+    # r10 (r8 verdict directive 5): the per-partition-heap exact top-k —
+    # appended so every pre-r10 per-query delta stays like-for-like
+    "sim_bruteforce_heap",
 ]
 
 #: sf1-scale derived tables (tools/make_sf1.py) — present ⇒ bench both

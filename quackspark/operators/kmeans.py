@@ -97,9 +97,15 @@ def _assign_arrow(vecs: DataFrame, cent_rows: list) -> DataFrame:
         a = np.vstack(col.to_numpy()).astype(np.float64)  # n × DIM
         n = a.shape[0]
         acc = np.zeros((n, C.shape[0]))
+        buf = np.empty_like(acc)
         for i in range(a.shape[1]):
-            d = a[:, i : i + 1] - C[:, i]
-            acc += d * d
+            # in-place (x−y)·(x−y) then add: the IDENTICAL IEEE op
+            # sequence as the allocating form, ~2× less memory traffic —
+            # at k in the hundreds the n×k temporaries were the dominant
+            # cost of the whole dedup (SCALE_SEMDEDUP.json r10)
+            np.subtract(a[:, i : i + 1], C[:, i], out=buf)
+            np.multiply(buf, buf, out=buf)
+            acc += buf
         best = np.argmin(acc, axis=1)  # first minimum → lowest cluster id
         return pd.DataFrame(
             {"cluster": ids[best].astype(np.int32),

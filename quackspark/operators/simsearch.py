@@ -556,3 +556,242 @@ def embedding_neardup_pairs(
         .dropDuplicates(["d1", "d2"])
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- SemDeDup (semantic dedup): cluster blocking + bounded pair work ----
+
+#: occupancy target for the adaptive codebook size — k = n / TARGET
+#: keeps the expected per-cluster pair count constant as the corpus
+#: grows (VERDICT r8 next #2: fixed k=8 made the within-cluster
+#: self-join quadratic in n)
+SEM_TARGET_CLUSTER = 64
+#: codebook-size cap: assignment cost is n×k distances, so an uncapped
+#: k = n/64 turns the TRAINING quadratic. Measured (SCALE_SEMDEDUP.json,
+#: 200k vectors): k=3125 spends ~700 s in assignment to save a pair
+#: stage the banding below bounds for ~free — the crossover sits at a
+#: few hundred centroids single-node, so the cap is 256 and past it the
+#: within-cluster SRP banding is the pair bound, not more centroids.
+SEM_K_CAP = 256
+#: cluster size above which within-cluster pairs go through SRP band
+#: blocking instead of the exact all-pairs self-join (~0.5M pairs at the
+#: knee — the per-cluster pair budget). Above it, candidates must also
+#: share a wide SRP band (the adaptive_band_bits construction), which
+#: bounds expected pair work at any occupancy; high-cosine near-dups
+#: still collide with p ≈ 1 while the low-cosine tail loses recall — the
+#: documented LSH trade, and it only applies where the exact join is
+#: quadratic anyway (skewed clusters, or n past SEM_K_CAP ×
+#: SEM_TARGET_CLUSTER ≈ 16k vectors at full occupancy). Measured: the
+#: 200k/k=8 worst case (28k-row clusters) runs in 25 s banded vs a
+#: ~2.5e9-pair exact extrapolation.
+SEM_BAND_CLUSTER_ROWS = 1024
+
+
+def semantic_k(n: int) -> int:
+    """Occupancy-adaptive codebook size (the adaptive_band_bits
+    precedent): max(8, min(cap, n // target))."""
+    return max(8, min(SEM_K_CAP, n // SEM_TARGET_CLUSTER))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    k: int | None = None,
+    n_rows: int | None = None,
+    band: bool | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means cluster blocking bounds the pairwise cosine check
+    to within-cluster pairs; every row with a lower-id cluster-mate at
+    cosine ≥ threshold is marked a duplicate of its smallest such
+    neighbor. Returns (id, cluster, dup_of, kept), one row per input.
+
+    100 TB shape, three levers stacked (VERDICT r8 next #2):
+    1. the codebook size scales with the corpus — k = n/64 (capped), so
+       expected occupancy and per-cluster pair work stay constant;
+    2. per-cluster pair work is bounded even under the cap or key skew:
+       clusters larger than SEM_BAND_CLUSTER_ROWS get within-cluster SRP
+       band blocking (share-a-band candidates only) — ``band`` pins it
+       (False = exact everywhere, True = banded everywhere, None = per
+       cluster by size). The split is deterministic (cluster sizes are),
+       so runs are replayable; sub-knee corpora are oracle-exact.
+    3. norms are hoisted per ROW and the per-pair score is the Arrow
+       dot kernel — one batched numpy pass, not three interpreted folds.
+    The one count() that picks k is memoized per corpus plan
+    (_corpus_count); ``n_rows``/``k`` pin it when the caller knows.
+    No step collects the corpus to the driver.
+    """
+    import logging
+
+    n = n_rows if n_rows is not None else _corpus_count(corpus)
+    if k is None:
+        k = semantic_k(n)
+    from quackspark.operators import kmeans as KM
+
+    asn = KM.kmeans_assign(corpus, vec_col=vec_col, id_col=id_col, k=k,
+                           iters=2).select("vec_id", "cluster")
+    ve = (
+        corpus.select(F.col(id_col).alias("vec_id"), vec_col)
+        .join(asn, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    sizes = ve.groupBy("cluster").agg(F.count(F.lit(1)).alias("qs_csz"))
+    ve = ve.join(F.broadcast(sizes), "cluster")  # k rows, map-side
+    if band is None:
+        exact_side = ve.filter(F.col("qs_csz") <= SEM_BAND_CLUSTER_ROWS)
+        banded_side = ve.filter(F.col("qs_csz") > SEM_BAND_CLUSTER_ROWS)
+    elif band:
+        exact_side, banded_side = ve.limit(0), ve
+    else:
+        exact_side, banded_side = ve, ve.limit(0)
+    logging.getLogger(__name__).info(
+        "semantic_dedup: n=%d k=%d band=%s", n, k,
+        "auto" if band is None else band,
+    )
+
+    def pairs(df: DataFrame, with_band: bool) -> DataFrame:
+        cols = ["vec_id", "cluster", "vec", "nrm"]
+        if with_band:
+            df = df.select(
+                *cols,
+                F.explode(
+                    srp_band_keys_arrow(
+                        F.col("vec"), band_bits=adaptive_band_bits(n)
+                    )
+                ).alias("qs_band"),
+            )
+            keys = ["cluster", "qs_band"]
+        else:
+            df = df.select(*cols)
+            keys = ["cluster"]
+        a, b = df.alias("a"), df.alias("b")
+        cand = a.join(
+            b,
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in keys]
+            + [F.col("a.vec_id") < F.col("b.vec_id")],
+        ).select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(
+                dot_arrow(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        if with_band:
+            # duplicate band collisions recompute an identical cos;
+            # dedup the triples before the threshold filter (the
+            # aggregation barrier keeps the filter off the projection)
+            cand = cand.dropDuplicates(["a_id", "b_id"])
+        return cand.filter(F.col("cos") >= F.lit(threshold))
+
+    dup = (
+        pairs(exact_side, False)
+        .unionByName(pairs(banded_side, True))
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        ve.select("vec_id", "cluster")
+        .join(dup, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def brute_force_topk_heap(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via per-partition heaps + global merge — the
+    scale path :func:`brute_force_topk` promises (VERDICT r8 next #5).
+
+    Same result as the window form, different shuffle shape: the window
+    form shuffles EVERY (query, candidate) score through one exchange
+    (corpus × queries rows) before ranking; here one mapInPandas pass
+    keeps, per Arrow batch, only the candidates that can still make the
+    global top-k, so the exchange carries ~batches × queries × k rows —
+    independent of corpus size. At a billion rows that is the difference
+    between shuffling 5 B scores and ~0.5 M.
+
+    Mechanics: the query block (the SMALL side by contract — the same
+    bound the broadcast in brute_force_topk assumes) rides to executors
+    as kernel constants; the kernel replays the exact IEEE op sequence
+    of dot_arrow/norm (float64 casts, per-pair ``acc += q_i * c_i``
+    ascending over dimensions, dot / (q_nrm * c_nrm)) so every emitted
+    score is bit-identical to the window form's. Batch-local selection
+    keeps rows with raw cos ≥ (k-th best raw) − 1.1e-6: round-to-6 moves
+    a double by ≤ 5e-7, so any candidate that could round-tie into the
+    top-k survives the cut, and anything cut has k batch-mates whose
+    ROUNDED scores strictly beat it — the final JVM-side round + window
+    over the surviving sliver is therefore exact, ties and all."""
+    import numpy as np
+    import pandas as pd
+
+    idt = dict(zip(corpus.schema.names,
+                   (f.dataType.simpleString() for f in corpus.schema.fields)))[
+        id_col
+    ]
+    qpd = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpd[id_col].to_numpy()
+    Q = np.vstack(qpd[vec_col].to_numpy()).astype(np.float64) if len(qpd) else None
+
+    def gen(batches):
+        if Q is None:
+            return
+        qn = np.zeros(Q.shape[0])
+        for i in range(Q.shape[1]):
+            qn += Q[:, i] * Q[:, i]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            cn = np.zeros(C.shape[0])
+            acc = np.zeros((Q.shape[0], C.shape[0]))
+            for i in range(C.shape[1]):
+                cn += C[:, i] * C[:, i]
+                acc += np.outer(Q[:, i], C[:, i])
+            cos = acc / (qn[:, None] * np.sqrt(cn)[None, :])
+            self_pair = q_ids[:, None] == c_ids[None, :]
+            # Spark's desc ordering puts NaN above +inf: zero-norm
+            # vectors (NaN cosine) outrank everything, so the selection
+            # key maps NaN → +inf; the self pair is excluded outright
+            key = np.where(np.isnan(cos), np.inf, cos)
+            key[self_pair] = -np.inf
+            if key.shape[1] - 1 < k:  # batch can't fill k: keep all
+                keep = ~self_pair
+            else:
+                kth = -np.partition(-key, k - 1, axis=1)[:, k - 1]
+                keep = (key >= kth[:, None] - 1.1e-6) & ~self_pair
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"q_id": q_ids[qi], "c_id": c_ids[ci], "cos": cos[qi, ci]}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"q_id {idt}, c_id {idt}, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("cos", F.round("cos", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", "cos")
+    )

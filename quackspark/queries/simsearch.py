@@ -30,6 +30,18 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rnk")
 
 
+def sim_bruteforce_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition-heap form of exact top-k (VERDICT r8 next #5): one
+    mapInPandas pass keeps only candidates that can still make the
+    global top-k, so the exchange carries ~batches × queries × k rows
+    instead of corpus × queries. Same oracle as sim_bruteforce_topk —
+    the two forms are result-identical by construction."""
+    e = _load(spark, sf_dir)
+    return S.brute_force_topk_heap(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=K
+    ).orderBy("q_id", "rnk")
+
+
 def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir)
     return S.srp_lsh_topk(
@@ -88,53 +100,22 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
-    method): k-means CLUSTER BLOCKING bounds the pairwise cosine check to
-    within-cluster pairs — never all-pairs — then every embedding with a
-    LOWER-id cluster-mate at cosine ≥ THRESHOLD is marked a duplicate of
-    its smallest such neighbor. 100 TB shape: the cluster id is the
-    partition key, per-cluster pair work is (n/k)²-bounded and k scales
-    with the corpus (the same trainer as the IVF codebook,
-    operators/kmeans.py), and no step collects to the driver. The oracle
-    replays the identical two Lloyd rounds, fold arithmetic, and
+    method) — operators/simsearch.semantic_dedup, with the r10
+    occupancy-adaptive codebook (VERDICT r8 next #2): k = max(8,
+    min(256, n // 64)) via the memoized corpus count, so per-cluster
+    pair work stays constant as the corpus grows; clusters past the
+    1024-row pair budget additionally get within-cluster SRP banding
+    (never triggered at oracle scale — the split is deterministic). The
+    oracle replays the CHOSEN k (the same greatest/least/integer-divide
+    over count(*)), the identical two Lloyd rounds, fold arithmetic, and
     round-to-6 threshold compare, so survivors match bit-for-bit."""
     e = _load(spark, sf_dir)
-    asn = KM.kmeans_assign(e, k=N_KMEANS, iters=2).select("vec_id", "cluster")
-    ve = e.join(asn, "vec_id").select("vec_id", "cluster", "embedding")
-    a = ve.select(
-        F.col("vec_id").alias("a_id"),
-        "cluster",
-        F.col("embedding").alias("a_vec"),
-    )
-    b = ve.select(
-        F.col("vec_id").alias("b_id"),
-        "cluster",
-        F.col("embedding").alias("b_vec"),
-    )
-    dup = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            F.round(S.cosine(F.col("a_vec"), F.col("b_vec")), 6)
-            >= F.lit(THRESHOLD)
-        )
-        .groupBy(F.col("b_id").alias("vec_id"))
-        .agg(F.min("a_id").alias("dup_of"))
-    )
-    return (
-        ve.select("vec_id", "cluster")
-        .join(dup, "vec_id", "left_outer")
-        .select(
-            "vec_id",
-            "cluster",
-            "dup_of",
-            F.col("dup_of").isNull().alias("kept"),
-        )
-        .orderBy("vec_id")
-    )
+    return S.semantic_dedup(e, threshold=THRESHOLD).orderBy("vec_id")
 
 
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_bruteforce_heap": sim_bruteforce_heap,
     "sim_kmeans": sim_kmeans,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_srp_lsh_topk": sim_srp_lsh_topk,
@@ -380,11 +361,17 @@ ORACLES["sim_ivf_kmeans_topk"] = f"""
 
 
 # SemDeDup replay: the identical Lloyd rounds (seed → a1 → cent2 → a2),
-# then within-cluster pairs with the identical round-to-6 cosine compare
+# then within-cluster pairs with the identical round-to-6 cosine compare.
+# The seed LIMIT replays the occupancy-adaptive k — same greatest/least/
+# integer-divide the Spark side computes (operators/simsearch.semantic_k)
+_SEM_K_SQL = (
+    f"greatest(8, least({S.SEM_K_CAP}, "
+    f"(SELECT count(*) FROM embeddings) // {S.SEM_TARGET_CLUSTER}))"
+)
 ORACLES["sim_semantic_dedup"] = f"""
     WITH seed AS (
         SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
-        FROM embeddings ORDER BY vec_id LIMIT {N_KMEANS}
+        FROM embeddings ORDER BY vec_id LIMIT {_SEM_K_SQL}
     ), a1 AS ({_sql_km_assign("seed")}
     ), cent2 AS (
         SELECT cluster, list(m ORDER BY i) AS cent FROM (
@@ -409,3 +396,7 @@ ORACLES["sim_semantic_dedup"] = f"""
            dup.dup_of IS NULL AS kept
     FROM ve LEFT JOIN dup USING (vec_id) ORDER BY ve.vec_id
 """
+
+# the heap form is result-identical to the window form by construction,
+# so it shares the window form's oracle verbatim
+ORACLES["sim_bruteforce_heap"] = ORACLES["sim_bruteforce_topk"]

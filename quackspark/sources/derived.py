@@ -202,8 +202,21 @@ def enabled() -> bool:
     return os.environ.get("QUACKSPARK_DERIVED", "1") != "0"
 
 
+def sort_policy() -> str:
+    """Within-bucket sort policy for the fact tables: 'ym' (the v5
+    default — month-major (date_ym, key), zone-map pruning at month
+    granularity with orderkey clustering inside each month) or 'key'
+    (the v4 ordering — bucket-key-major, maximal join locality, no date
+    clustering). QUACKSPARK_SORT_POLICY flips it; twins of different
+    policies live in separate dirs/tables so a single session can A/B
+    them (VERDICT r8 next #1)."""
+    return os.environ.get("QUACKSPARK_SORT_POLICY", "ym")
+
+
 def layout_tag(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9]+", "_", os.path.realpath(sf_dir)).strip("_")
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", os.path.realpath(sf_dir)).strip("_")
+    pol = sort_policy()
+    return tag if pol == "ym" else f"{tag}__{pol}"
 
 
 def derived_path(sf_dir: str, name: str) -> str:
@@ -460,6 +473,8 @@ def ensure_derived(
         return None
     try:
         key, sort_cols, col_factory = SPECS[name]
+        if key and sort_policy() == "key":
+            sort_cols = (key,)  # v4 ordering: bucket-key-major
         full, spec = _ensure_unit(
             spark, sf_dir, name, name, key, col_factory, raw, sort_cols
         )

@@ -57,7 +57,28 @@ WEAK = [
     "json_extract_scalar",
     "q18_large_orders",
 ]
-BREAKDOWN = ["q5_local_supplier_volume", "q9_product_profit", "q10_returned_items"]
+BREAKDOWN = [
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    # r10 (r8 verdict directive 3): name q13's floor — where do its
+    # 0.89 s go (two tiny aggs vs a live exchange)?
+    "q13_customer_distribution",
+]
+#: r10 (r8 verdict directive 1): same-session A/B of the v5 month-major
+#: within-bucket sort vs the v4 key-major ordering — the r8 record shows
+#: q21 +36% / q9 +35% Spark-side with DuckDB flat, and the v5 sort is
+#: the prime suspect. q3/q9/q21 are the accused join family; q5/q6/q10
+#: are the date-pruning control wins the v5 sort bought.
+SORT_AB = [
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q1_pricing_summary",
+]
 #: the five formerly-exchange-bound queries (one lineitem exchange each —
 #: join resp. groupBy on orderkey) that the bucketed layout de-shuffles
 BUCKET_TWINS = BREAKDOWN + ["q3_shipping_priority", "q21_waiting_supplier"]
@@ -167,6 +188,45 @@ def main() -> int:
         out["stage_breakdown"][name] = _breakdown(spark, qs[name](spark, SF10))
         drop()
         print("breakdown", name, flush=True)
+
+    # --- sort-policy A/B (r8 verdict directive 1) -----------------------
+    # Mainline (v5 month-major) numbers are the WEAK medians above; the
+    # 'key' pass rebuilds the fact twins v4-ordered (bucket-key-major) in
+    # their own dirs and re-measures the same queries in THIS session, so
+    # the comparison is same-JVM same-page-cache. The v4 twin dir is
+    # deleted afterwards (it exists only for this record).
+    from quackspark.sources import derived as _derived
+
+    out["sort_ab"] = {"ym": {n: out["spark"][n] for n in SORT_AB
+                             if n in out["spark"]},
+                      "key": {}}
+    for name in SORT_AB:  # all are WEAK members today; belt-and-braces
+        if name not in out["sort_ab"]["ym"]:
+            out["sort_ab"]["ym"][name] = _warm_median(
+                spark, lambda: qs[name](spark, SF10), drop
+            )
+    os.environ["QUACKSPARK_SORT_POLICY"] = "key"
+    _TABLE_CACHE.clear()
+    key_dir = os.path.join(_derived.DERIVED_ROOT, _derived.layout_tag(SF10))
+    try:
+        for name in SORT_AB:
+            out["sort_ab"]["key"][name] = _warm_median(
+                spark, lambda: qs[name](spark, SF10), drop
+            )
+            print("sort_ab key", name, out["sort_ab"]["key"][name],
+                  flush=True)
+    finally:
+        os.environ.pop("QUACKSPARK_SORT_POLICY", None)
+        _TABLE_CACHE.clear()
+        import shutil
+
+        shutil.rmtree(key_dir, ignore_errors=True)
+    out["sort_ab"]["delta_pct"] = {
+        n: round(100.0 * (out["sort_ab"]["ym"][n] / out["sort_ab"]["key"][n]
+                          - 1.0), 1)
+        for n in SORT_AB
+        if out["sort_ab"]["key"].get(n)
+    }
 
     # --- raw-layout A/B ------------------------------------------------
     # Since r7 the derived storage layout (sources/derived.py: bucketed
