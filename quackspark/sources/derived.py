@@ -59,7 +59,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LAYOUT_VERSION = 5
+LAYOUT_VERSION = 6
 
 #: parquet row-group size for bucketed fact twins. Small enough that a
 #: sub-100 MB bucket file still holds several row groups — min/max
@@ -112,13 +112,14 @@ def _lineitem_derived_cols() -> dict[str, F.Column]:
 
 
 def _ym(ts: F.Column) -> F.Column:
-    """Month-granularity sort key (yyyy*100+mm INT): sorting by (ym,
-    orderkey) keeps zone-map pruning on the *_d stats at month
-    granularity while preserving orderkey clustering WITHIN each month —
-    a pure date-first sort costs full-table GROUP-BY-orderkey locality
-    (measured sf10 fresh-JVM A/B: q21 1.75→2.3+ s date-first vs
-    orderkey-first) and pure orderkey sort costs every date filter its
-    pruning (q6 0.63 s vs 0.23 date-sorted)."""
+    """Month-granularity sort key (yyyy*100+mm INT) for the 'ym' sort
+    policy. Kept as a materialized column under EVERY policy (the spec
+    schema is policy-independent and the column is 4 bytes/row), but the
+    r10 same-session sf10 A/B retired it as the default sort: month-major
+    lost all seven measured queries to key-major (SCALE_TPCH_SF10.json
+    `sort_ab`; see sort_policy's docstring). The r7/r8 measurements that
+    motivated it (q6 0.63→0.23 s date-sorted) did not replicate under
+    the same-JVM protocol — superseded per VERDICT r8 next #1."""
     return (F.year(ts) * 100 + F.month(ts)).cast("int")
 
 
@@ -133,15 +134,12 @@ def _events_derived_cols() -> dict[str, F.Column]:
     return {"props_k": F.get_json_object(F.col("props"), "$.k")}
 
 
-#: table → (bucket key or None, within-bucket sort columns, derived-column
-#: factory or None). The sort leads with the table's DATE filter column
-#: (r7 verdict directive 2): bucketing on orderkey already kills the join
-#: exchanges, and hash-joins never exploit the within-bucket order — so
-#: the order is FREE to spend on zone-map pruning instead. Date-leading
-#: sort + small row groups (_FACT_ROW_GROUP_BYTES) make every
-#: shipdate/orderdate range predicate (q1 q3 q4 q5 q6 q12 q14 q15 q20…)
-#: skip whole row groups, the same min/max skipping the reference does
-#: per storage row group (duckdb-internal.hpp:3999-4002).
+#: table → (bucket key or None, 'ym'-policy within-bucket sort columns,
+#: derived-column factory or None). Under the DEFAULT 'key' policy the
+#: sort is just the bucket key — the r10 same-session sf10 A/B showed
+#: the date-leading sort loses every measured query (see sort_policy);
+#: the ym columns stay materialized so the 'ym' policy remains one env
+#: var away and the spec schema is policy-independent.
 SPECS: dict[str, tuple[str | None, tuple[str, ...], object]] = {
     "lineitem": (
         "l_orderkey",
@@ -203,20 +201,32 @@ def enabled() -> bool:
 
 
 def sort_policy() -> str:
-    """Within-bucket sort policy for the fact tables: 'ym' (the v5
-    default — month-major (date_ym, key), zone-map pruning at month
-    granularity with orderkey clustering inside each month) or 'key'
-    (the v4 ordering — bucket-key-major, maximal join locality, no date
-    clustering). QUACKSPARK_SORT_POLICY flips it; twins of different
-    policies live in separate dirs/tables so a single session can A/B
-    them (VERDICT r8 next #1)."""
-    return os.environ.get("QUACKSPARK_SORT_POLICY", "ym")
+    """Within-bucket sort policy for the fact tables: 'key'
+    (bucket-key-major — the v6 DEFAULT) or 'ym' (the v5 ordering —
+    month-major (date_ym, key)). QUACKSPARK_SORT_POLICY flips it; twins
+    of different policies live in separate dirs/tables so a single
+    session can A/B them.
+
+    Why 'key' is the default (r10, VERDICT r8 next #1): the same-session
+    sf10 A/B (SCALE_TPCH_SF10.json `sort_ab`) shows month-major LOSES
+    every measured query — the join family hard (q3 +76%, q21 +63%,
+    q1 +52%) and even the date-filter "wins" it was built for (q6 +25%,
+    q5 +32%, q10 +36%). The fixture's dates are uncorrelated with
+    orderkeys, so month-major scatters each order's lines across the
+    bucket (every per-order agg/join pays it), while its pruning payoff
+    never materializes at these absolutes — worse, pruning CONCENTRATES
+    the surviving row groups on few of the 32 fixed-parallelism tasks
+    where the unsorted scan decodes on all of them. Out-of-range date
+    predicates (q6's 1994 window on the 1995+ fixture) still prune via
+    footer min/max regardless of sort order — plan-asserted in
+    tests/test_derived_layout.py."""
+    return os.environ.get("QUACKSPARK_SORT_POLICY", "key")
 
 
 def layout_tag(sf_dir: str) -> str:
     tag = re.sub(r"[^A-Za-z0-9]+", "_", os.path.realpath(sf_dir)).strip("_")
     pol = sort_policy()
-    return tag if pol == "ym" else f"{tag}__{pol}"
+    return tag if pol == "key" else f"{tag}__{pol}"
 
 
 def derived_path(sf_dir: str, name: str) -> str:
@@ -257,6 +267,11 @@ def _read_spec(path: str, expect_fingerprint: str | None = None) -> dict | None:
             and spec.get("source_fingerprint") != expect_fingerprint
         ):
             return None  # raw fixture regenerated under the twin — rebuild
+        if spec.get("bucket_key") and spec.get("sort_policy") != sort_policy():
+            # belt-and-braces beyond the per-policy dir split: a twin
+            # built under another sort policy must never be served as
+            # this one's (the catalog SORTED BY claim would be wrong)
+            return None
         return spec
     except (OSError, ValueError):
         return None
@@ -323,6 +338,7 @@ def _build(
         "bucket_key": key,
         "buckets": n_buckets if key else None,
         "sort_cols": list(sort_cols) if key else [],
+        "sort_policy": sort_policy() if key else None,
         "orig_cols": list(raw.columns),
         "schema_ddl": df._jdf.schema().toDDL(),
         "source_fingerprint": _source_fingerprint(sf_dir, name),
@@ -474,7 +490,7 @@ def ensure_derived(
     try:
         key, sort_cols, col_factory = SPECS[name]
         if key and sort_policy() == "key":
-            sort_cols = (key,)  # v4 ordering: bucket-key-major
+            sort_cols = (key,)  # the v6 default: bucket-key-major
         full, spec = _ensure_unit(
             spark, sf_dir, name, name, key, col_factory, raw, sort_cols
         )

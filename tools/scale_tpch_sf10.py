@@ -65,11 +65,14 @@ BREAKDOWN = [
     # 0.89 s go (two tiny aggs vs a live exchange)?
     "q13_customer_distribution",
 ]
-#: r10 (r8 verdict directive 1): same-session A/B of the v5 month-major
-#: within-bucket sort vs the v4 key-major ordering — the r8 record shows
-#: q21 +36% / q9 +35% Spark-side with DuckDB flat, and the v5 sort is
-#: the prime suspect. q3/q9/q21 are the accused join family; q5/q6/q10
-#: are the date-pruning control wins the v5 sort bought.
+#: r10 (r8 verdict directive 1): same-session A/B of the month-major
+#: within-bucket sort (the v5 ordering, now the 'ym' policy) vs the
+#: key-major default — the r8 record showed q21 +36% / q9 +35%
+#: Spark-side with DuckDB flat and the v5 sort was the prime suspect.
+#: The first r10 A/B confirmed it (month-major lost all seven), so
+#: key-major became the v6 DEFAULT and this section now measures the
+#: retired ordering as the alternative. q3/q9/q21 are the join family;
+#: q5/q6/q10 are the date-pruning wins month-major was built for.
 SORT_AB = [
     "q3_shipping_priority",
     "q9_product_profit",
@@ -190,37 +193,38 @@ def main() -> int:
         print("breakdown", name, flush=True)
 
     # --- sort-policy A/B (r8 verdict directive 1) -----------------------
-    # Mainline (v5 month-major) numbers are the WEAK medians above; the
-    # 'key' pass rebuilds the fact twins v4-ordered (bucket-key-major) in
-    # their own dirs and re-measures the same queries in THIS session, so
-    # the comparison is same-JVM same-page-cache. The v4 twin dir is
-    # deleted afterwards (it exists only for this record).
+    # Mainline (key-major, the v6 default) numbers are the WEAK medians
+    # above; the 'ym' pass rebuilds the fact twins month-major in their
+    # own dirs and re-measures the same queries in THIS session, so the
+    # comparison is same-JVM same-page-cache. The ym twin dir is deleted
+    # afterwards (it exists only for this record). delta_pct = how much
+    # SLOWER month-major is.
     from quackspark.sources import derived as _derived
 
-    out["sort_ab"] = {"ym": {n: out["spark"][n] for n in SORT_AB
-                             if n in out["spark"]},
-                      "key": {}}
+    out["sort_ab"] = {"key": {n: out["spark"][n] for n in SORT_AB
+                              if n in out["spark"]},
+                      "ym": {}}
     for name in SORT_AB:  # all are WEAK members today; belt-and-braces
-        if name not in out["sort_ab"]["ym"]:
-            out["sort_ab"]["ym"][name] = _warm_median(
-                spark, lambda: qs[name](spark, SF10), drop
-            )
-    os.environ["QUACKSPARK_SORT_POLICY"] = "key"
-    _TABLE_CACHE.clear()
-    key_dir = os.path.join(_derived.DERIVED_ROOT, _derived.layout_tag(SF10))
-    try:
-        for name in SORT_AB:
+        if name not in out["sort_ab"]["key"]:
             out["sort_ab"]["key"][name] = _warm_median(
                 spark, lambda: qs[name](spark, SF10), drop
             )
-            print("sort_ab key", name, out["sort_ab"]["key"][name],
+    os.environ["QUACKSPARK_SORT_POLICY"] = "ym"
+    _TABLE_CACHE.clear()
+    ym_dir = os.path.join(_derived.DERIVED_ROOT, _derived.layout_tag(SF10))
+    try:
+        for name in SORT_AB:
+            out["sort_ab"]["ym"][name] = _warm_median(
+                spark, lambda: qs[name](spark, SF10), drop
+            )
+            print("sort_ab ym", name, out["sort_ab"]["ym"][name],
                   flush=True)
     finally:
         os.environ.pop("QUACKSPARK_SORT_POLICY", None)
         _TABLE_CACHE.clear()
         import shutil
 
-        shutil.rmtree(key_dir, ignore_errors=True)
+        shutil.rmtree(ym_dir, ignore_errors=True)
     out["sort_ab"]["delta_pct"] = {
         n: round(100.0 * (out["sort_ab"]["ym"][n] / out["sort_ab"]["key"][n]
                           - 1.0), 1)
