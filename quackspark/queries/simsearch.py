@@ -364,14 +364,21 @@ ORACLES["sim_ivf_kmeans_topk"] = f"""
 # then within-cluster pairs with the identical round-to-6 cosine compare.
 # The seed LIMIT replays the occupancy-adaptive k — same greatest/least/
 # integer-divide the Spark side computes (operators/simsearch.semantic_k)
+# window-filter form, not LIMIT: a subquery LIMIT is valid DuckDB but
+# Spark requires a foldable limit, and this oracle must also run
+# through quackspark's own frontend in the corpus sweep — rn <= scalar
+# subquery is identical in both engines
 _SEM_K_SQL = (
     f"greatest(8, least({S.SEM_K_CAP}, "
     f"(SELECT count(*) FROM embeddings) // {S.SEM_TARGET_CLUSTER}))"
 )
 ORACLES["sim_semantic_dedup"] = f"""
     WITH seed AS (
-        SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
-        FROM embeddings ORDER BY vec_id LIMIT {_SEM_K_SQL}
+        SELECT cluster, cent FROM (
+            SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent,
+                   row_number() OVER (ORDER BY vec_id) AS qs_rn
+            FROM embeddings
+        ) _s WHERE qs_rn <= {_SEM_K_SQL}
     ), a1 AS ({_sql_km_assign("seed")}
     ), cent2 AS (
         SELECT cluster, list(m ORDER BY i) AS cent FROM (

@@ -1587,6 +1587,21 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             f" 'qs_age_d', {sign} * {d})"
         )
     if low in ("date_part", "datepart") and len(args) == 2 and _is_string(args[0][0]):
+        if _str_val(args[0][0]).lower() in (
+            "timezone", "timezone_hour", "timezone_minute"
+        ):
+            # honest typed refusal (r10 — r9's TIMETZ cast support let
+            # these fall through to an opaque INVALID_EXTRACT_FIELD):
+            # extracting an offset needs the input's TYPE — a TIMETZ
+            # rides the struct<micros,offset_s> carrier (read .offset_s
+            # directly); a TIMESTAMPTZ in the UTC-pinned session is
+            # always offset 0 — and a token rewriter can't dispatch
+            # between them in one analyzable expression
+            raise UnsupportedSQL(
+                "date_part('timezone…', x): offset extraction is"
+                " type-dependent — read the TIMETZ carrier's .offset_s"
+                " field directly, or use 0 for TIMESTAMPTZ (UTC session)"
+            )
         if args[1][:2] == ["named_struct", "("] and args[1][2] == "'qs_age_y'":
             field = {"year": "qs_age_y", "month": "qs_age_m", "day": "qs_age_d"}.get(
                 _str_val(args[0][0]).lower()
@@ -3334,6 +3349,39 @@ def _timetz_carrier_toks(x: str) -> list[str]:
         f"convert_timezone('UTC', localtimestamp()), localtimestamp()) "
         f"END AS INT)))), 1)"
     )
+
+
+def _refuse_carriers_in_values(toks: list[str]) -> None:
+    """Honest typed refusal (r10): a TIME/TIMETZ CAST carrier inside an
+    inline VALUES row. Spark inline tables accept only foldable
+    expressions, and the carriers are transform-chains — letting them
+    through dies later with an opaque INVALID_INLINE_TABLE (this
+    surfaced when r9's TIMETZ-cast support stopped the type-name pass
+    from refusing these shapes first). TIME/TIMETZ LITERALS in VALUES
+    are fine — _rewrite_time_literals folds them to plain carriers
+    before this pass; only the cast-carrier lambda (its ``qs_x``
+    binder) is unfoldable."""
+    i = 0
+    n = len(toks)
+    while i < n:
+        if toks[i].lower() == "values" and i + 1 < n and toks[i + 1] == "(":
+            j_ = i + 1
+            while j_ < n and toks[j_] == "(":  # row after row
+                end = _find_call_end(toks, j_)
+                if "qs_x" in toks[j_:end]:
+                    raise UnsupportedSQL(
+                        "CAST(… AS TIME/TIMETZ) inside an inline VALUES"
+                        " row: Spark inline tables take only foldable"
+                        " expressions — use TIME/TIMETZ literals in"
+                        " VALUES, or hoist the cast into a SELECT over"
+                        " the VALUES"
+                    )
+                j_ = end + 1
+                if j_ < n and toks[j_] == ",":
+                    j_ += 1
+            i = j_
+            continue
+        i += 1
 
 
 def _rewrite_time_carriers(toks: list[str]) -> list[str]:
@@ -5346,6 +5394,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_date_interval_arith(toks)
     toks = _rewrite_bit_shifts(toks)
     toks = _rewrite_time_carriers(toks)
+    _refuse_carriers_in_values(toks)
     toks = _rewrite_struct_json_casts(toks)
     toks = _rewrite_multiword_type_literals(toks)
     toks = _rewrite_mixed_intervals(toks)
