@@ -136,7 +136,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 150)
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        # both sides arrive hash-partitioned on orderkey (orders bucketed,
+        # big inherits lineitem's bucketing through the exchange-free agg);
+        # shuffle_hash builds from the small filtered agg side instead of
+        # paying SMJ's two in-partition sorts
+        orders.join(big.hint("shuffle_hash"), orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",

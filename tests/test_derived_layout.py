@@ -261,3 +261,45 @@ def test_q5_resolves_in_decimal_sum_mode(spark, monkeypatch):
     assert [r["n_name"] for r in dec_rows] == [r["n_name"] for r in long_rows]
     for a, b in zip(dec_rows, long_rows):
         assert abs(a["revenue"] - b["revenue"]) < 1e-6
+
+
+def test_q10_narrow_agg_exchange(spark):
+    """q10's r10 shape: the bucketed fact join is exchange-free, the ONE
+    data exchange carries (o_custkey, sum-state) partial-agg rows, and
+    the customer/nation broadcasts sit ABOVE the aggregate (they probe
+    the ~|customer|-sized agg output, not the fact rows)."""
+    import re
+
+    plan = (
+        queries()["q10_returned_items"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    hash_exchanges = [
+        l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)
+    ]
+    # exactly one data exchange, keyed by custkey — never the fact keys
+    assert len(hash_exchanges) == 1, plan
+    assert "o_custkey" in hash_exchanges[0], hash_exchanges[0]
+    assert "l_orderkey" not in hash_exchanges[0]
+    # broadcasts above the agg: in the operator string the final
+    # HashAggregate must appear BELOW (after) the BroadcastHashJoins
+    first_bcast = plan.find("BroadcastHashJoin")
+    final_agg = plan.find("HashAggregate")
+    assert 0 <= first_bcast < final_agg, (first_bcast, final_agg)
+
+
+def test_q18_cololocated_fact_plan(spark):
+    """q18's facts arrive orderkey-bucketed: neither the lineitem
+    groupBy(l_orderkey) nor the orders⋈big join may re-partition on the
+    order key, and the hinted hash join replaces SMJ's two sorts."""
+    import re
+
+    plan = (
+        queries()["q18_large_orders"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for l in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", l):
+            assert "l_orderkey" not in l and "o_orderkey" not in l, l
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
