@@ -100,6 +100,10 @@ _KEEP_METRICS = (
     "records read",
     "numOutputRows",
     "data size",
+    # Exchange nodes report no numOutputRows — their row/byte truth is
+    # the shuffle-write pair (camelCase in the SQLMetrics names)
+    "shuffleRecordsWritten",
+    "shuffleBytesWritten",
 )
 
 
@@ -133,13 +137,18 @@ def _breakdown(spark, df) -> dict:
         op, metric, value = row["operator"], row["metric"], row["value"]
         if not any(k in metric for k in _KEEP_METRICS):
             continue
+        # "Join" must be tested BEFORE "Shuffle": ShuffledHashJoin is a
+        # JOIN — r8-r10 records classified its output rows as "exchange",
+        # which misread q9/q10 as carrying a fact-sized exchange they
+        # do not have (the actual Exchange rows are the partial-agg
+        # states; AQEShuffleRead re-reads are still counted as exchange)
         cls = (
             "scan"
             if "Scan" in op
-            else "exchange"
-            if "Exchange" in op or "Shuffle" in op
             else "join"
             if "Join" in op
+            else "exchange"
+            if "Exchange" in op or "Shuffle" in op
             else "agg"
             if "Aggregate" in op
             else "sort"
@@ -153,9 +162,23 @@ def _breakdown(spark, df) -> dict:
 
 
 def main() -> int:
+    import argparse
+
     import bench
     from quackspark.entry import queries
     from quackspark.session import _TABLE_CACHE, get_session
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--skip-ab",
+        action="store_true",
+        help="skip the sort-policy A/B (rebuilds month-major fact twins, "
+        "~20 min) and carry the previous record's sort_ab sections "
+        "forward verbatim, annotated with their source. Use when the "
+        "sort adjudication is settled and only the mainline numbers "
+        "need refreshing.",
+    )
+    args = ap.parse_args()
 
     if not os.path.isdir(SF10):
         print("run tools/make_sf10.py first", file=sys.stderr)
@@ -201,6 +224,20 @@ def main() -> int:
     # SLOWER month-major is.
     from quackspark.sources import derived as _derived
 
+    record_path = os.path.abspath(
+        os.path.join(os.path.dirname(SF10), "..", "SCALE_TPCH_SF10.json")
+    )
+    if args.skip_ab:
+        prev = {}
+        if os.path.exists(record_path):
+            with open(record_path) as f:
+                prev = json.load(f)
+        for k in ("sort_ab", "sort_ab_reverse_order"):
+            if k in prev:
+                out[k] = prev[k]
+                out[k]["carried_from_previous_record"] = True
+        return _finish(out, spark, qs, drop, _TABLE_CACHE, record_path)
+
     out["sort_ab"] = {"key": {n: out["spark"][n] for n in SORT_AB
                               if n in out["spark"]},
                       "ym": {}}
@@ -232,6 +269,10 @@ def main() -> int:
         if out["sort_ab"]["key"].get(n)
     }
 
+    return _finish(out, spark, qs, drop, _TABLE_CACHE, record_path)
+
+
+def _finish(out, spark, qs, drop, table_cache, record_path) -> int:
     # --- raw-layout A/B ------------------------------------------------
     # Since r7 the derived storage layout (sources/derived.py: bucketed
     # facts + materialized money longs + shredded JSON) IS the mainline —
@@ -241,7 +282,7 @@ def main() -> int:
     # at 100× directly.
     out["raw_layout"] = {}
     os.environ["QUACKSPARK_DERIVED"] = "0"
-    _TABLE_CACHE.clear()
+    table_cache.clear()
     try:
         for name in BUCKET_TWINS + ["q1_pricing_summary", "json_group_rollup"]:
             out["raw_layout"][name] = _warm_median(
@@ -250,10 +291,9 @@ def main() -> int:
             print("raw layout", name, out["raw_layout"][name], flush=True)
     finally:
         os.environ.pop("QUACKSPARK_DERIVED", None)
-        _TABLE_CACHE.clear()
+        table_cache.clear()
 
-    path = os.path.join(os.path.dirname(SF10), "..", "SCALE_TPCH_SF10.json")
-    with open(os.path.abspath(path), "w") as f:
+    with open(record_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
