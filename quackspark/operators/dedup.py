@@ -478,3 +478,86 @@ def chunk_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, *, window_tokens: int = 15
+) -> DataFrame:
+    """Exact-substring duplicate spans (the suffix-array dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed window-wise for a distributed engine): every
+    ``window_tokens``-token sliding window whose exact text occurs MORE
+    THAN ONCE corpus-wide marks a duplicated region; overlapping marked
+    windows merge into maximal spans per document.
+
+    Returns (doc, span_start, span_end, n_windows): token offsets of each
+    maximal duplicated span (end inclusive) and how many duplicated
+    windows merged into it.
+
+    Distinct from :func:`chunk_dedup` (fixed non-overlapping chunks):
+    sliding windows catch duplicated SPANS at any alignment, crossing
+    chunk/paragraph boundaries — the span boundaries are exact, not
+    rounded to the chunk grid.
+
+    Scale shape (100 TB): window keys are md5-128 of the window text —
+    uniform, so the ONE corpus-wide shuffle (count-over-hash) has no
+    inherent skew, and a window occurring k times shuffles k rows, never
+    k² pairs. The per-document merge is a second, doc-keyed shuffle of
+    only the DUPLICATED windows (dup fraction × corpus). The reference
+    computes pairwise similarity in-process (duckdb-6.cpp:6020); an
+    all-pairs form of this is impossible at scale — the window-hash
+    shuffle IS the distributed suffix-sort analog.
+    """
+    w = window_tokens
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    # all w-token windows: pos is 0-based; slice() is 1-based. Docs
+    # shorter than one window are filtered BEFORE sequence() — Spark's
+    # sequence(0, negative) would generate a DESCENDING range, not an
+    # empty one.
+    windows = toked.filter(F.size("toks") >= w).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - w),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("toks"), i + 1, w), " "
+                        ).cast("binary")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc", F.col("win.pos").alias("pos"), F.col("win.h").alias("h"))
+    # corpus-wide occurrence count per window hash — the one wide shuffle
+    dup = (
+        windows.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc", "pos")
+    )
+    # merge overlapping [pos, pos+w-1] intervals per doc (gaps-and-islands:
+    # a window starts a new span iff it begins past every prior window's
+    # end; cumulative max of end over the pos order)
+    by_pos = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(by_pos))
+        .groupBy("doc", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc", "span_start", "span_end", "n_windows")
+    )
+    return spans

@@ -134,6 +134,18 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/dedup.duplicate_spans,
+    Lee et al. 2022 re-expressed window-wise): 15-token sliding windows
+    occurring >1 time corpus-wide, merged into maximal per-doc spans."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(d, "text", "doc_id", window_tokens=15).orderBy(
+        "doc", "span_start"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_components": dedup_cluster_components,
@@ -143,6 +155,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
 }
 
 # --- oracle SQL builders (mirror the Spark constructions hash-for-hash) ---
@@ -390,4 +403,37 @@ ORACLES["dedup_cluster_best"] = f"""
            CAST(lab.doc = best.survivor AS INT) AS keep
     FROM lab JOIN best ON best.comp = lab.comp
     ORDER BY lab.doc
+"""
+
+
+ORACLES["dedup_duplicate_spans"] = r"""
+    WITH tok AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc, t, unnest(range(0, len(t) - 15 + 1)) AS pos
+        FROM tok WHERE len(t) >= 15
+    ), win AS (
+        SELECT doc, pos, md5(array_to_string(t[pos + 1 : pos + 15], ' ')) AS h
+        FROM pos
+    ), dup AS (
+        SELECT doc, pos FROM (
+            SELECT doc, pos, count(*) OVER (PARTITION BY h) AS c FROM win
+        ) WHERE c > 1
+    ), brk AS (
+        SELECT doc, pos,
+               CASE WHEN pos > coalesce(max(pos + 14) OVER (
+                   PARTITION BY doc ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ), isl AS (
+        SELECT doc, pos,
+               sum(brk) OVER (PARTITION BY doc ORDER BY pos) AS island
+        FROM brk
+    )
+    SELECT doc, min(pos) AS span_start, max(pos) + 14 AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc, island
+    ORDER BY doc, span_start
 """
