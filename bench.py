@@ -55,6 +55,9 @@ HEADLINE_MANIFEST = [
     # r10 (r8 verdict directive 5): the per-partition-heap exact top-k —
     # appended so every pre-r10 per-query delta stays like-for-like
     "sim_bruteforce_heap",
+    # r10: exact-substring duplicate spans (Lee et al. 2022 window-wise;
+    # operators/dedup.duplicate_spans) — appended for the same reason
+    "dedup_duplicate_spans",
 ]
 
 #: sf1-scale derived tables (tools/make_sf1.py) — present ⇒ bench both

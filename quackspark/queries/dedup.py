@@ -146,6 +146,13 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable exact-substring dedup (operators/dedup.span_scrub):
+    all but the corpus-first occurrence of every duplicated 15-token
+    span are cut; surviving tokens re-joined."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.span_scrub(d, "text", "doc_id", window_tokens=15).orderBy("doc")
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_components": dedup_cluster_components,
@@ -156,6 +163,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_span_scrub": dedup_span_scrub,
 }
 
 # --- oracle SQL builders (mirror the Spark constructions hash-for-hash) ---
@@ -436,4 +444,57 @@ ORACLES["dedup_duplicate_spans"] = r"""
            count(*) AS n_windows
     FROM isl GROUP BY doc, island
     ORDER BY doc, span_start
+"""
+
+
+ORACLES["dedup_span_scrub"] = r"""
+    WITH tok AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc, t, unnest(range(0, len(t) - 15 + 1)) AS pos
+        FROM tok WHERE len(t) >= 15
+    ), win AS (
+        SELECT doc, pos, md5(array_to_string(t[pos + 1 : pos + 15], ' ')) AS h
+        FROM pos
+    ), marked AS (
+        SELECT doc, pos FROM (
+            SELECT doc, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc, pos) AS rn
+            FROM win
+        ) WHERE rn > 1
+    ), brk AS (
+        SELECT doc, pos,
+               CASE WHEN pos > coalesce(max(pos + 14) OVER (
+                   PARTITION BY doc ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+        FROM marked
+    ), isl AS (
+        SELECT doc, pos,
+               sum(brk) OVER (PARTITION BY doc ORDER BY pos) AS island
+        FROM brk
+    ), sp AS (
+        SELECT doc, min(pos) AS s, max(pos) + 14 AS e
+        FROM isl GROUP BY doc, island
+    ), removed AS (
+        SELECT doc, sum(e - s + 1) AS n_removed FROM sp GROUP BY doc
+    ), toki AS (
+        SELECT doc, t, unnest(range(0, len(t))) AS i FROM tok
+    ), kept AS (
+        SELECT y.doc, string_agg(y.t[y.i + 1], ' ' ORDER BY y.i) AS kept_text
+        FROM toki y
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.doc = y.doc AND y.i BETWEEN sp.s AND sp.e
+        )
+        GROUP BY y.doc
+    )
+    SELECT t.doc, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM tok t
+    LEFT JOIN removed r ON r.doc = t.doc
+    LEFT JOIN kept k ON k.doc = t.doc
+    ORDER BY t.doc
 """

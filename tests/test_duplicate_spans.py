@@ -76,3 +76,50 @@ def test_long_overlap_merges_to_one_maximal_span(spark):
     rows = [(1, shared + " u1 u2"), (2, shared + " v1 v2")]
     got = _spans(spark, rows)
     assert got == [(1, 0, 8, 6), (2, 0, 8, 6)]
+
+
+def test_kernel_matches_expression_form(spark):
+    """The Arrow window-hash kernel and the interpreted expression form
+    must produce identical spans on real fixture text (the identity
+    argument in _window_hash_kernel's docstring, exercised end-to-end)."""
+    from quackspark.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(
+        map(tuple, D.duplicate_spans(d, "text", "doc_id", kernel=True).collect())
+    )
+    b = sorted(
+        map(tuple, D.duplicate_spans(d, "text", "doc_id", kernel=False).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def _scrub(spark, rows, w=W):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.span_scrub(df, "text", "doc_id", window_tokens=w)
+    return {r.doc: (r.n_tokens, r.n_removed, r.kept_text) for r in out.collect()}
+
+
+def test_scrub_keeps_corpus_first_occurrence(spark):
+    # doc 1 is the canonical holder of "a b c d e f"; doc 2 loses it
+    rows = [
+        (1, "a b c d e f x1 y1 z1 w1"),
+        (2, "a b c d e f x2 y2 z2 w2"),
+        (3, "p q r s t u v pp qq rr"),
+    ]
+    got = _scrub(spark, rows)
+    assert got[1] == (10, 0, "a b c d e f x1 y1 z1 w1")
+    assert got[2] == (10, 6, "x2 y2 z2 w2")
+    assert got[3] == (10, 0, "p q r s t u v pp qq rr")
+
+
+def test_scrub_within_doc_repetition_keeps_first(spark):
+    rows = [(1, "a b c d zz1 zz2 a b c d yy1 yy2")]
+    got = _scrub(spark, rows)
+    assert got[1] == (12, 4, "a b c d zz1 zz2 yy1 yy2")
+
+
+def test_scrub_untouched_doc_roundtrips(spark):
+    rows = [(1, "only one doc here nothing repeats at all")]
+    got = _scrub(spark, rows)
+    assert got[1] == (8, 0, "only one doc here nothing repeats at all")
