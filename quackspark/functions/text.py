@@ -159,29 +159,34 @@ def fingerprint_arrow(text: Column | str) -> Column:
         StructField("minhash1", StringType()),
     ])
 
-    @F.pandas_udf(out_type)
-    def _fp(texts):
-        rks: list = []
-        md5s: list = []
-        mins: list = []
-        for txt in texts:
-            if txt is None:
-                rks.append(None); md5s.append(None); mins.append(None)
-                continue
-            toks = [t for t in ws.split(txt) if t]
-            acc = 0
-            for t in toks:
-                acc = (acc * FP_MULT + len(t) * 31 + ord(t[0])) % FP_MOD
-            rks.append(acc)
-            md5s.append(hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest())
-            if toks:
-                mins.append(min(
-                    hashlib.md5(t.encode("utf-8")).hexdigest()
-                    for t in set(toks)
-                ))
-            else:
-                mins.append(None)
-        return pd.DataFrame({"rk_fp": rks, "md5_fp": md5s, "minhash1": mins})
+    def _build():
+        @F.pandas_udf(out_type)
+        def _fp(texts):
+            rks: list = []
+            md5s: list = []
+            mins: list = []
+            for txt in texts:
+                if txt is None:
+                    rks.append(None); md5s.append(None); mins.append(None)
+                    continue
+                toks = [t for t in ws.split(txt) if t]
+                acc = 0
+                for t in toks:
+                    acc = (acc * FP_MULT + len(t) * 31 + ord(t[0])) % FP_MOD
+                rks.append(acc)
+                md5s.append(hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest())
+                if toks:
+                    mins.append(min(
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in set(toks)
+                    ))
+                else:
+                    mins.append(None)
+            return pd.DataFrame({"rk_fp": rks, "md5_fp": md5s, "minhash1": mins})
+
+        return _fp
+
+    from quackspark.functions._udfmemo import memo_udf
 
     c = F.col(text) if isinstance(text, str) else text
-    return _fp(c)
+    return memo_udf(("fingerprint_arrow",), _build)(c)

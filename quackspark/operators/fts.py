@@ -60,22 +60,27 @@ def bm25_features_arrow(text: Column, terms: list[str]) -> Column:
         + [StructField(f"tf_{t}", IntegerType()) for t in terms]
     )
 
-    @F.pandas_udf(out_type)
-    def _feat(texts):
-        cols: dict[str, list] = {f.name: [] for f in out_type.fields}
-        for txt in texts:
-            if txt is None:
-                for name in cols:
-                    cols[name].append(None)
-                continue
-            toks = [t for t in ws.split(txt.lower()) if t]
-            counts = Counter(toks)
-            cols["dl"].append(len(toks))
-            for t in terms:
-                cols[f"tf_{t}"].append(counts.get(t, 0))
-        return pd.DataFrame(cols)
+    def _build():
+        @F.pandas_udf(out_type)
+        def _feat(texts):
+            cols: dict[str, list] = {f.name: [] for f in out_type.fields}
+            for txt in texts:
+                if txt is None:
+                    for name in cols:
+                        cols[name].append(None)
+                    continue
+                toks = [t for t in ws.split(txt.lower()) if t]
+                counts = Counter(toks)
+                cols["dl"].append(len(toks))
+                for t in terms:
+                    cols[f"tf_{t}"].append(counts.get(t, 0))
+            return pd.DataFrame(cols)
 
-    return _feat(text)
+        return _feat
+
+    from quackspark.functions._udfmemo import memo_udf
+
+    return memo_udf(("fts_feat", tuple(terms)), _build)(text)
 
 
 def bm25_topk(
