@@ -447,8 +447,12 @@ ORACLES["dedup_duplicate_spans"] = r"""
 """
 
 
-ORACLES["dedup_span_scrub"] = r"""
-    WITH tok AS (
+#: the span-scrub CTE chain (WITH-body fragment, ends at `kept`) —
+#: shared by the standalone oracle below and the pipeline composition
+#: (queries/pipeline.ORACLES["pipeline_span_scrub_stats"]). Mirrors
+#: operators/dedup.span_scrub stage for stage.
+SQL_SPAN_SCRUB_CTES = r"""
+    tok AS (
         SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
         FROM documents
     ), pos AS (
@@ -489,12 +493,17 @@ ORACLES["dedup_span_scrub"] = r"""
             WHERE sp.doc = y.doc AND y.i BETWEEN sp.s AND sp.e
         )
         GROUP BY y.doc
+    ), scr AS (
+        SELECT t.doc, CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(k.kept_text, '') AS kept_text
+        FROM tok t
+        LEFT JOIN removed r ON r.doc = t.doc
+        LEFT JOIN kept k ON k.doc = t.doc
     )
-    SELECT t.doc, CAST(len(t.t) AS BIGINT) AS n_tokens,
-           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
-           coalesce(k.kept_text, '') AS kept_text
-    FROM tok t
-    LEFT JOIN removed r ON r.doc = t.doc
-    LEFT JOIN kept k ON k.doc = t.doc
-    ORDER BY t.doc
+"""
+
+ORACLES["dedup_span_scrub"] = f"""
+    WITH {SQL_SPAN_SCRUB_CTES}
+    SELECT doc, n_tokens, n_removed, kept_text FROM scr ORDER BY doc
 """

@@ -425,6 +425,43 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-scrub integrated into the curation pipeline: exact-substring
+    scrub (operators/dedup.span_scrub — all but the corpus-first
+    occurrence of every duplicated 15-token span cut) → language gate →
+    quality scored over the SCRUBBED text → per-source rollup of corpus
+    shrinkage and post-scrub quality. The oracle replays the whole
+    composition (the shared scrub CTE chain + the quality twin) in one
+    statement.
+
+    Scale shape: the scrub stages are duplicate_spans' (one uniform
+    window-hash shuffle + a doc-keyed span merge); the gate and scoring
+    are map filters over the scrubbed text; the rollup is a tiny agg."""
+    from quackspark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = D.span_scrub(d, "text", "doc_id", window_tokens=15)
+    joined = scrubbed.join(
+        d.select(F.col("doc_id").alias("doc"), "source", "lang"), "doc"
+    )
+    gated = joined.filter(F.col("lang") == "en").withColumn(
+        "quality",
+        F.round(T.quality_score(F.col("kept_text"), _STOPWORDS["en"]), 6),
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("n_removed").alias("tokens_removed"),
+            F.count(
+                F.when(F.col("quality") >= _QUALITY_THRESHOLD, F.lit(1))
+            ).alias("n_quality"),
+            davg("quality").alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
 QUERIES = {
     "pipeline_training_prep_v2": pipeline_training_prep_v2,
     "pipeline_negative_sampling": pipeline_negative_sampling,
@@ -436,6 +473,7 @@ QUERIES = {
     "pipeline_training_prep_recompute": pipeline_training_prep_recompute,
     "pipeline_source_mix": pipeline_source_mix,
     "pipeline_temperature_mix": pipeline_temperature_mix,
+    "pipeline_span_scrub_stats": pipeline_span_scrub_stats,
 }
 
 
@@ -711,3 +749,34 @@ ORACLES["pipeline_training_prep_v2"] = f"""
     FROM mixed
     GROUP BY source ORDER BY source
 """
+
+
+def _scrub_stats_oracle() -> str:
+    from quackspark.queries.dedup import SQL_SPAN_SCRUB_CTES
+
+    return f"""
+    WITH {SQL_SPAN_SCRUB_CTES},
+    scored AS (
+        -- the quality twin references the column name `text`, so the
+        -- scrubbed text is presented AS text in its own scope (a join
+        -- with documents.text in scope would be ambiguous)
+        SELECT doc, n_tokens, n_removed, round({_sql_quality()}, 6) AS quality
+        FROM (SELECT doc, n_tokens, n_removed, kept_text AS text FROM scr) _q
+    ),
+    gated AS (
+        SELECT d.source, s.n_tokens, s.n_removed, s.quality
+        FROM scored s
+        JOIN documents d ON d.doc_id = s.doc
+        WHERE d.lang = 'en'
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_in,
+           CAST(sum(n_removed) AS BIGINT) AS tokens_removed,
+           CAST(count(CASE WHEN quality >= {_QUALITY_THRESHOLD} THEN 1 END)
+                AS BIGINT) AS n_quality,
+           {o_davg('quality')} AS mean_quality
+    FROM gated GROUP BY source ORDER BY source
+    """
+
+
+ORACLES["pipeline_span_scrub_stats"] = _scrub_stats_oracle()

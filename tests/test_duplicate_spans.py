@@ -123,3 +123,24 @@ def test_scrub_untouched_doc_roundtrips(spark):
     rows = [(1, "only one doc here nothing repeats at all")]
     got = _scrub(spark, rows)
     assert got[1] == (8, 0, "only one doc here nothing repeats at all")
+
+
+def test_span_ops_plan_shape(spark):
+    """100 TB posture: the window stage is map-side (kernel + explode,
+    no exchange below the window-hash shuffle), nothing joins the corpus
+    to itself, and every exchange is keyed by the window hash or the doc
+    id — never a cross product."""
+    import re
+
+    from quackspark.entry import queries
+
+    for name in ("dedup_duplicate_spans", "dedup_span_scrub"):
+        plan = (
+            queries()[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        for l in plan.splitlines():
+            if re.search(r"\bExchange hashpartitioning", l):
+                assert ("h#" in l) or ("doc#" in l), (name, l)
