@@ -444,9 +444,21 @@ def pipeline_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = scrubbed.join(
         d.select(F.col("doc_id").alias("doc"), "source", "lang"), "doc"
     )
-    gated = joined.filter(F.col("lang") == "en").withColumn(
-        "quality",
-        F.round(T.quality_score(F.col("kept_text"), _STOPWORDS["en"]), 6),
+    # tokens staged in their own projection so the whitespace split runs
+    # once, not once per ratio term (quality_score_toks docstring;
+    # measured 15.3 s → 10.0 s at sf1, 2.6× → 1.7× vs the oracle)
+    gated = (
+        joined.filter(F.col("lang") == "en")
+        .withColumn("_toks", T.tokens(F.col("kept_text")))
+        .withColumn(
+            "quality",
+            F.round(
+                T.quality_score_toks(
+                    F.col("kept_text"), F.col("_toks"), _STOPWORDS["en"]
+                ),
+                6,
+            ),
+        )
     )
     return (
         gated.groupBy("source")
