@@ -16,8 +16,6 @@ engine-native `hash()`, whose values are engine-specific.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -482,12 +480,6 @@ def chunk_dedup(
     )
 
 
-#: per-SparkContext memo for the window-hash kernels, keyed weakly so a
-#: restarted context rebuilds them (the ADVICE-r9 rule: a cached
-#: pandas_udf holds a JVM handle into the context that registered it)
-_SPAN_KERNELS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
 def _window_hash_kernel(w: int):
     """Arrow kernel: text → list<struct<pos int, h binary16>> of all
     w-token sliding-window md5 digests, one vectorized pass per batch.
@@ -498,14 +490,18 @@ def _window_hash_kernel(w: int):
     ``str.strip(' ')`` == Spark/DuckDB ``trim`` (space-only). Pinned by
     tests/test_duplicate_spans.py kernel-vs-expression equality. The
     digest is the raw 16 bytes (the expression form carries lowercase
-    hex) — the key never surfaces, only its equality partition."""
-    from pyspark import SparkContext
+    hex) — the key never surfaces, only its equality partition.
 
-    sc = SparkContext._active_spark_context
-    cache = _SPAN_KERNELS.setdefault(sc, {})
-    if w in cache:
-        return cache[w]
+    Memoized per SparkContext via functions/_udfmemo.memo_udf (a cached
+    pandas_udf holds a JVM handle into the context that registered it;
+    memo_udf also degrades to an uncached build when no context is
+    active)."""
+    from quackspark.functions._udfmemo import memo_udf
 
+    return memo_udf(("window_hash", w), lambda: _build_window_hash_kernel(w))
+
+
+def _build_window_hash_kernel(w: int):
     import hashlib
     import re as _re
 
@@ -542,7 +538,6 @@ def _window_hash_kernel(w: int):
             )
         return pd.Series(res)
 
-    cache[w] = _k
     return _k
 
 

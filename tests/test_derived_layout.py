@@ -288,7 +288,7 @@ def test_q10_narrow_agg_exchange(spark):
     assert 0 <= first_bcast < final_agg, (first_bcast, final_agg)
 
 
-def test_q18_cololocated_fact_plan(spark):
+def test_q18_colocated_fact_plan(spark):
     """q18's facts arrive orderkey-bucketed: neither the lineitem
     groupBy(l_orderkey) nor the orders⋈big join may re-partition on the
     order key, and the hinted hash join replaces SMJ's two sorts."""

@@ -44,12 +44,9 @@ def main() -> int:
     out: dict = {"tool": "tools/scale_duplicate_spans.py", "sizes": {}}
 
     for tag, sf in SIZES:
-        if not os.path.isdir(sf) and not os.path.isfile(
-            os.path.join(sf, "documents.parquet")
-        ):
-            if not os.path.exists(os.path.join(sf, "documents.parquet")):
-                print(f"skip {tag}: no fixture", file=sys.stderr)
-                continue
+        if not os.path.exists(os.path.join(sf, "documents.parquet")):
+            print(f"skip {tag}: no fixture", file=sys.stderr)
+            continue
         docs = load_table(spark, sf, "documents")
         n_docs = docs.count()
 
