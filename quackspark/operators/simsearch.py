@@ -585,6 +585,66 @@ SEM_K_CAP = 256
 #: ~2.5e9-pair exact extrapolation.
 SEM_BAND_CLUSTER_ROWS = 1024
 
+#: recursive bucket refinement (VERDICT r10 next #2): one level of
+#: within-cluster banding is NOT enough past the k-cap — cluster members
+#: are semantically similar, so their SRP bits are correlated and a
+#: single band split leaves buckets far over the knee (measured:
+#: pairs_per_row 442 at 200 k rows, SCALE_SEMDEDUP.json). Buckets still
+#: over the knee are therefore split again with additional
+#: SEM_SPLIT_BITS-bit SRP slices, up to SEM_SPLIT_ROUNDS times. The
+#: refinement planes (64..127 of the 128-plane deterministic family)
+#: are DISJOINT from the first-level banding planes (0..63) — reusing a
+#: plane that formed the bucket would contribute a constant bit and
+#: never split it.
+SEM_SPLIT_ROUNDS = 4
+SEM_SPLIT_BITS = 8
+SEM_SPLIT_PLANES = 128
+#: first refinement band index in the 128-plane kernel's key array:
+#: bands 0..7 cover planes 0..63 (the first-level family), bands 8..15
+#: cover the disjoint refinement planes
+_SEM_SPLIT_FIRST_BAND = 8
+
+
+def refine_over_knee(
+    df: DataFrame,
+    *,
+    knee: int = SEM_BAND_CLUSTER_ROWS,
+    rounds: int = SEM_SPLIT_ROUNDS,
+) -> DataFrame:
+    """Recursively split ``(cluster, qs_band)`` buckets still over the
+    pair-budget knee with extra SRP bit slices; rows in buckets that
+    stay over the knee after ``rounds`` splits (mutually near-identical
+    vectors no hyperplane separates) come back flagged ``qs_sat``.
+
+    Input needs columns ``vec_id, cluster, vec, nrm, qs_band``; output
+    carries a refined ``qs_band`` and the ``qs_sat`` flag. Each round is
+    one window count over the CURRENT bucket key plus a conditional key
+    extension — under-knee rows keep their key, so the recursion is a
+    no-op for them and for any corpus below the knee (oracle parity
+    untouched). The extra bits come from ONE staged Arrow kernel pass
+    (the interpreted-HOF rule: stage the array once)."""
+    ref = df.withColumn(
+        "qs_extra",
+        srp_band_keys_arrow(F.col("vec"), SEM_SPLIT_PLANES, SEM_SPLIT_BITS),
+    )
+    for r in range(rounds):
+        w = Window.partitionBy("cluster", "qs_band")
+        ref = ref.withColumn("qs_cnt", F.count(F.lit(1)).over(w)).withColumn(
+            "qs_band",
+            F.when(
+                F.col("qs_cnt") > knee,
+                F.concat_ws(
+                    "|",
+                    "qs_band",
+                    F.element_at("qs_extra", _SEM_SPLIT_FIRST_BAND + r + 1),
+                ),
+            ).otherwise(F.col("qs_band")),
+        )
+    w = Window.partitionBy("cluster", "qs_band")
+    return ref.withColumn(
+        "qs_sat", F.count(F.lit(1)).over(w) > knee
+    ).drop("qs_cnt", "qs_extra")
+
 
 def semantic_k(n: int) -> int:
     """Occupancy-adaptive codebook size (the adaptive_band_bits
@@ -592,37 +652,20 @@ def semantic_k(n: int) -> int:
     return max(8, min(SEM_K_CAP, n // SEM_TARGET_CLUSTER))
 
 
-def semantic_dedup(
+def _sem_stage(
     corpus: DataFrame,
     *,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.45,
-    k: int | None = None,
-    n_rows: int | None = None,
-    band: bool | None = None,
-) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
-    method): k-means cluster blocking bounds the pairwise cosine check
-    to within-cluster pairs; every row with a lower-id cluster-mate at
-    cosine ≥ threshold is marked a duplicate of its smallest such
-    neighbor. Returns (id, cluster, dup_of, kept), one row per input.
-
-    100 TB shape, three levers stacked (VERDICT r8 next #2):
-    1. the codebook size scales with the corpus — k = n/64 (capped), so
-       expected occupancy and per-cluster pair work stay constant;
-    2. per-cluster pair work is bounded even under the cap or key skew:
-       clusters larger than SEM_BAND_CLUSTER_ROWS get within-cluster SRP
-       band blocking (share-a-band candidates only) — ``band`` pins it
-       (False = exact everywhere, True = banded everywhere, None = per
-       cluster by size). The split is deterministic (cluster sizes are),
-       so runs are replayable; sub-knee corpora are oracle-exact.
-    3. norms are hoisted per ROW and the per-pair score is the Arrow
-       dot kernel — one batched numpy pass, not three interpreted folds.
-    The one count() that picks k is memoized per corpus plan
-    (_corpus_count); ``n_rows``/``k`` pin it when the caller knows.
-    No step collects the corpus to the driver.
-    """
+    vec_col: str,
+    id_col: str,
+    k: int | None,
+    n_rows: int | None,
+    band: bool | None,
+):
+    """Shared SemDeDup staging: cluster assignment, norm hoist, the
+    exact/banded size split, and the recursively refined banded frame.
+    Returns ``(n, k, ve, exact_side, refined)`` — semantic_dedup builds
+    pairs from it, semantic_pair_budget aggregates its bucket sizes, so
+    the measurement can never drift from the operator."""
     import logging
 
     n = n_rows if n_rows is not None else _corpus_count(corpus)
@@ -655,24 +698,132 @@ def semantic_dedup(
         "semantic_dedup: n=%d k=%d band=%s", n, k,
         "auto" if band is None else band,
     )
+    cols = ["vec_id", "cluster", "vec", "nrm"]
+    # first-level within-cluster banding, then recursive bucket
+    # refinement — a single band level leaves correlated cluster
+    # members in over-knee buckets (the r10 pairs_per_row=442 finding),
+    # so buckets over the knee are split again with disjoint SRP slices
+    refined = refine_over_knee(
+        banded_side.select(
+            *cols,
+            F.explode(
+                srp_band_keys_arrow(
+                    F.col("vec"), band_bits=adaptive_band_bits(n)
+                )
+            ).alias("qs_band"),
+        )
+    )
+    return n, k, ve, exact_side, refined
 
-    def pairs(df: DataFrame, with_band: bool) -> DataFrame:
-        cols = ["vec_id", "cluster", "vec", "nrm"]
-        if with_band:
-            df = df.select(
-                *cols,
-                F.explode(
-                    srp_band_keys_arrow(
-                        F.col("vec"), band_bits=adaptive_band_bits(n)
-                    )
-                ).alias("qs_band"),
-            )
-            keys = ["cluster", "qs_band"]
-        else:
-            df = df.select(*cols)
-            keys = ["cluster"]
+
+def semantic_pair_budget(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    n_rows: int | None = None,
+    band: bool | None = None,
+) -> dict:
+    """The ADMITTED candidate-pair budget of semantic_dedup's blocking,
+    measured on the operator's own staging (SCALE_SEMDEDUP evidence):
+    Σ c(c−1)/2 over exact clusters and refined non-saturated buckets
+    (per band copy, an upper bound the a_id<b_id dedup then cuts) plus
+    Σ (c−1) over saturated buckets (representative compares)."""
+    n, k, ve, exact_side, refined = _sem_stage(
+        corpus, vec_col=vec_col, id_col=id_col, k=k, n_rows=n_rows,
+        band=band,
+    )
+    ex = (
+        exact_side.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1) / 2")), F.lit(0)).alias("p"),
+            F.coalesce(F.max("c"), F.lit(0)).alias("mx"),
+        )
+        .collect()[0]
+    )
+    bd = (
+        refined.groupBy("cluster", "qs_band", "qs_sat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(
+                    "CASE WHEN qs_sat THEN c - 1 ELSE c * (c - 1) / 2 END"
+                )),
+                F.lit(0),
+            ).alias("p"),
+            F.coalesce(F.max("c"), F.lit(0)).alias("mx"),
+            F.coalesce(
+                F.sum(F.when(F.col("qs_sat"), F.col("c")).otherwise(0)),
+                F.lit(0),
+            ).alias("sat_rows"),
+            F.coalesce(
+                F.sum(F.col("qs_sat").cast("int")), F.lit(0)
+            ).alias("sat_buckets"),
+        )
+        .collect()[0]
+    )
+    admitted = int(ex["p"]) + int(bd["p"])
+    return {
+        "n": n,
+        "k": k,
+        "admitted_pairs": admitted,
+        "pairs_per_row": round(admitted / max(n, 1), 1),
+        "max_exact_cluster": int(ex["mx"]),
+        "max_refined_bucket": int(bd["mx"]),
+        "sat_bucket_rows": int(bd["sat_rows"]),
+        "sat_buckets": int(bd["sat_buckets"]),
+    }
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    k: int | None = None,
+    n_rows: int | None = None,
+    band: bool | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means cluster blocking bounds the pairwise cosine check
+    to within-cluster pairs; every row with a lower-id cluster-mate at
+    cosine ≥ threshold is marked a duplicate of its smallest such
+    neighbor. Returns (id, cluster, dup_of, kept), one row per input.
+
+    100 TB shape, three levers stacked (VERDICT r8 next #2):
+    1. the codebook size scales with the corpus — k = n/64 (capped), so
+       expected occupancy and per-cluster pair work stay constant;
+    2. per-cluster pair work is bounded even under the cap or key skew:
+       clusters larger than SEM_BAND_CLUSTER_ROWS get within-cluster SRP
+       band blocking (share-a-band candidates only) — ``band`` pins it
+       (False = exact everywhere, True = banded everywhere, None = per
+       cluster by size). The split is deterministic (cluster sizes are),
+       so runs are replayable; sub-knee corpora are oracle-exact.
+       Buckets STILL over the knee after one band level (correlated
+       cluster members — the r10 442-pairs/row finding) are split
+       recursively with disjoint SRP slices (``refine_over_knee``), and
+       buckets that survive SEM_SPLIT_ROUNDS splits (mutually
+       near-identical vectors) fall back to a linear min-id
+       representative compare — the per-row candidate budget is
+       O(bands × knee) at ANY corpus size.
+    3. norms are hoisted per ROW and the per-pair score is the Arrow
+       dot kernel — one batched numpy pass, not three interpreted folds.
+    The one count() that picks k is memoized per corpus plan
+    (_corpus_count); ``n_rows``/``k`` pin it when the caller knows.
+    No step collects the corpus to the driver.
+    """
+    n, k, ve, exact_side, refined = _sem_stage(
+        corpus, vec_col=vec_col, id_col=id_col, k=k, n_rows=n_rows,
+        band=band,
+    )
+    cols = ["vec_id", "cluster", "vec", "nrm"]
+
+    def allpairs(df: DataFrame, keys: list) -> DataFrame:
         a, b = df.alias("a"), df.alias("b")
-        cand = a.join(
+        return a.join(
             b,
             [F.col(f"a.{c}") == F.col(f"b.{c}") for c in keys]
             + [F.col("a.vec_id") < F.col("b.vec_id")],
@@ -685,16 +836,50 @@ def semantic_dedup(
                 6,
             ).alias("cos"),
         )
-        if with_band:
-            # duplicate band collisions recompute an identical cos;
-            # dedup the triples before the threshold filter (the
-            # aggregation barrier keeps the filter off the projection)
-            cand = cand.dropDuplicates(["a_id", "b_id"])
-        return cand.filter(F.col("cos") >= F.lit(threshold))
 
+    exact_cand = allpairs(exact_side.select(*cols), ["cluster"])
+
+    nonsat_cand = allpairs(
+        refined.filter(~F.col("qs_sat")).select(*cols, "qs_band"),
+        ["cluster", "qs_band"],
+    )
+    # saturated buckets (still over the knee after SEM_SPLIT_ROUNDS
+    # splits) are sets of mutually near-identical vectors — no
+    # hyperplane separates them, and all-pairs there is exactly the
+    # quadratic blowup the knee exists to prevent. Compare each member
+    # against the bucket's min-id representative only: O(bucket) pairs,
+    # and for vectors that share cluster + first band + 32 refinement
+    # bits the representative IS the neighbor the exact path would find
+    # (the documented LSH recall trade, now with a per-row pair bound).
+    sat = refined.filter(F.col("qs_sat"))
+    wmin = Window.partitionBy("cluster", "qs_band")
+    sat_cand = (
+        sat.select(
+            F.min(F.struct("vec_id", "vec", "nrm")).over(wmin).alias("r"),
+            "vec_id",
+            "vec",
+            "nrm",
+        )
+        .filter(F.col("vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("r.vec_id").alias("a_id"),
+            F.col("vec_id").alias("b_id"),
+            F.round(
+                dot_arrow(F.col("r.vec"), F.col("vec"))
+                / (F.col("r.nrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    # duplicate band collisions recompute an identical cos; dedup the
+    # triples before the threshold filter (the aggregation barrier
+    # keeps the filter off the projection)
+    banded_cand = nonsat_cand.unionByName(sat_cand).dropDuplicates(
+        ["a_id", "b_id"]
+    )
     dup = (
-        pairs(exact_side, False)
-        .unionByName(pairs(banded_side, True))
+        exact_cand.filter(F.col("cos") >= F.lit(threshold))
+        .unionByName(banded_cand.filter(F.col("cos") >= F.lit(threshold)))
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.min("a_id").alias("dup_of"))
     )

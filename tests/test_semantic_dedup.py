@@ -72,3 +72,101 @@ def test_semantic_dedup_pinned_k_overrides(spark):
     out = S.semantic_dedup(e, threshold=THRESHOLD, k=16)
     assert out.select(F.countDistinct("cluster")).collect()[0][0] <= 16
     assert out.select(F.max("cluster")).collect()[0][0] >= 8
+
+
+# --- recursive bucket refinement (VERDICT r10 next #2) ----------------
+
+
+def _synth_vecs(spark, n: int, spread: float, seed_salt: int = 0):
+    """n deterministic 64-dim vectors: a unit base direction plus
+    per-row pseudo-random noise scaled by `spread` (spread=0 → all
+    identical)."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        vec = []
+        for d in range(S.DIM):
+            h = hashlib.md5(f"{seed_salt}:{i}:{d}".encode()).digest()
+            u = struct.unpack("<Q", h[:8])[0] / 2**64  # [0,1)
+            base = 1.0 if d == 0 else 0.0
+            vec.append(base + spread * (u - 0.5))
+        rows.append((i, vec))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+
+def _one_bucket(df):
+    """Stage a frame the refiner accepts: one cluster, one first-level
+    band — the worst case (every row in the same starting bucket)."""
+    return df.select(
+        "vec_id",
+        F.lit(0).alias("cluster"),
+        F.col("embedding").alias("vec"),
+        S.norm(F.col("embedding")).alias("nrm"),
+        F.lit("0:0").alias("qs_band"),
+    )
+
+
+def test_refine_splits_diverse_over_knee_bucket(spark):
+    """3000 diverse vectors in ONE starting bucket: the first 8-bit
+    split round alone yields ≤256-way fan-out with expected occupancy
+    ~12 — every final bucket must land under the knee, nothing
+    saturates, and the admitted pair budget collapses from c²/2."""
+    df = _one_bucket(_synth_vecs(spark, 3000, spread=2.0))
+    ref = S.refine_over_knee(df)
+    sizes = (
+        ref.groupBy("cluster", "qs_band")
+        .agg(F.count(F.lit(1)).alias("c"), F.max(F.col("qs_sat").cast("int")).alias("sat"))
+        .collect()
+    )
+    assert max(r["c"] for r in sizes) <= S.SEM_BAND_CLUSTER_ROWS
+    assert all(r["sat"] == 0 for r in sizes)
+    pairs = sum(r["c"] * (r["c"] - 1) // 2 for r in sizes)
+    assert pairs < 3000 * (3000 - 1) // 2 / 10  # ≥10× under all-pairs
+
+
+def test_refine_saturates_identical_vectors(spark):
+    """1500 identical vectors: no hyperplane splits them — the bucket
+    must survive all rounds intact and come back flagged saturated
+    (the rep-compare path), never silently quadratic."""
+    df = _one_bucket(_synth_vecs(spark, 1500, spread=0.0))
+    ref = S.refine_over_knee(df)
+    out = ref.select("qs_sat").distinct().collect()
+    assert [r["qs_sat"] for r in out] == [True]
+    # and the key never grew past the rounds budget
+    depth = ref.select(
+        F.max(F.size(F.split("qs_band", r"\|"))).alias("d")
+    ).collect()[0]["d"]
+    assert depth == S.SEM_SPLIT_ROUNDS + 1
+
+
+def test_refine_noop_below_knee(spark):
+    """Under-knee buckets keep their key untouched (oracle parity for
+    sub-knee corpora depends on this)."""
+    df = _one_bucket(_synth_vecs(spark, 50, spread=2.0))
+    ref = S.refine_over_knee(df)
+    keys = ref.select("qs_band").distinct().collect()
+    assert [r["qs_band"] for r in keys] == ["0:0"]
+    assert ref.filter(F.col("qs_sat")).count() == 0
+
+
+def test_semantic_dedup_saturated_bucket_links_to_representative(spark):
+    """End-to-end through semantic_dedup: a corpus of 1500 identical
+    vectors (forced banded) saturates, and every non-min row is marked
+    dup_of the min id — linear work, same answer the exact quadratic
+    path would give."""
+    e = _synth_vecs(spark, 1500, spread=0.0)
+    out = S.semantic_dedup(
+        e, threshold=0.9, band=True, k=8, n_rows=1500
+    ).collect()
+    assert len(out) == 1500
+    for r in out:
+        if r["vec_id"] == 0:
+            assert r["kept"] and r["dup_of"] is None
+        else:
+            assert r["dup_of"] == 0 and not r["kept"]
