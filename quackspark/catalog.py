@@ -114,6 +114,155 @@ def duckdb_functions(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "function_name string, temporary boolean")
 
 
+def duck_type_name(dt) -> str:
+    """Render a Spark DataType in DuckDB's type spelling (the names
+    DESCRIBE prints — duckdb.hpp LogicalType::ToString): INTEGER /
+    BIGINT / VARCHAR / DOUBLE / FLOAT[] / STRUCT(a INTEGER, …) …"""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"{duck_type_name(dt.elementType)}[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({duck_type_name(dt.keyType)}, "
+            f"{duck_type_name(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {duck_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return {
+        "byte": "TINYINT",
+        "short": "SMALLINT",
+        "int": "INTEGER",
+        "integer": "INTEGER",
+        "long": "BIGINT",
+        "bigint": "BIGINT",
+        "float": "FLOAT",
+        "double": "DOUBLE",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "binary": "BLOB",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "void": '"NULL"',
+    }.get(dt.simpleString(), dt.simpleString().upper())
+
+
+def describe_frame(df: DataFrame) -> DataFrame:
+    """``DESCRIBE SELECT …``: the query's output schema in DESCRIBE's
+    six-column shape — null is YES and key/default/extra are NULL, as
+    the reference prints for derived relations."""
+    spark = df.sparkSession
+    rows = [
+        (f.name, duck_type_name(f.dataType), "YES", None, None, None)
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, column_type string, null string, "
+        "key string, default string, extra string",
+    )
+
+
+def describe_relation(spark: SparkSession, table: str) -> DataFrame:
+    """``DESCRIBE t`` / ``SHOW t`` (the vendored PG grammar maps both
+    spellings onto the same table function, duckdb-libpg_query.cpp):
+    column_name / column_type / null / key / default / extra, with
+    null='NO' for PRIMARY KEY or NOT NULL columns, key='PRI'/'UNI',
+    and the raw DEFAULT text — all read from the ddl.py enforcement
+    registries, so tables created through the frontend describe exactly
+    like the reference's."""
+    from quackspark import ddl
+
+    key = table.lower()
+    if key not in ddl.TABLE_PKEYS and key not in ddl.TABLE_NOTNULL:
+        key = key.split(".")[-1]
+    pk = set(ddl.TABLE_PKEYS.get(key, []))
+    nn = set(ddl.TABLE_NOTNULL.get(key, []))
+    uq = {
+        c
+        for ks in ddl.TABLE_UNIQUES.get(key, [])
+        if ks != ddl.TABLE_PKEYS.get(key)
+        for c in ks
+    }
+    defaults = ddl.TABLE_DEFAULTS.get(key, {})
+
+    def _default_text(raw):
+        # DuckDB's DESCRIBE prints the BOUND default, which normalizes
+        # boolean literals through a cast ('false' → CAST('f' AS
+        # BOOLEAN)); numeric/string/NULL literals print as written
+        # (pinned by the fuzz_ddl DESCRIBE probe against live DuckDB)
+        if raw is None:
+            return None
+        low = raw.strip().lower()
+        if low == "true":
+            return "CAST('t' AS BOOLEAN)"
+        if low == "false":
+            return "CAST('f' AS BOOLEAN)"
+        return raw.strip()
+
+    rows = []
+    for f in spark.table(table).schema.fields:
+        c = f.name.lower()
+        rows.append(
+            (
+                f.name,
+                duck_type_name(f.dataType),
+                "NO" if c in pk or c in nn else "YES",
+                "PRI" if c in pk else ("UNI" if c in uq else None),
+                _default_text(defaults.get(c)),
+                None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, column_type string, null string, "
+        "key string, default string, extra string",
+    )
+
+
+#: engine-internal table-name prefix (the derived-layout twin tables,
+#: sources/derived.py) — hidden from SHOW output the way the reference
+#: hides its internal storage tables
+_INTERNAL_PREFIX = "qs_drv_"
+
+
+def show_all_tables(spark: SparkSession) -> DataFrame:
+    """``SHOW ALL TABLES`` / bare ``DESCRIBE``: one row per visible
+    table with its column name/type lists (reference output: database,
+    schema, name, column_names, column_types, temporary)."""
+    rows = []
+    for t in spark.catalog.listTables():
+        if t.name.startswith(_INTERNAL_PREFIX):
+            continue
+        try:
+            fields = spark.table(t.name).schema.fields
+        except Exception:
+            continue
+        rows.append(
+            (
+                t.catalog or "spark_catalog",
+                t.namespace[0] if t.namespace else "main",
+                t.name,
+                [f.name for f in fields],
+                [duck_type_name(f.dataType) for f in fields],
+                bool(t.isTemporary),
+            )
+        )
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    return spark.createDataFrame(
+        rows,
+        "database string, schema string, name string, "
+        "column_names array<string>, column_types array<string>, "
+        "temporary boolean",
+    )
+
+
 def pragma_table_info(spark: SparkSession, table: str) -> DataFrame:
     """SQLite-compat `PRAGMA table_info('t')` (registered by the reference
     at duckdb-6.cpp:14150-14176): cid, name, type, notnull, dflt_value, pk.

@@ -325,7 +325,22 @@ def misc_explain_analyze_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def misc_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DESCRIBE documents` statement form (r10 verdict missing #1; the
+    vendored PG grammar maps DESCRIBE/SHOW onto the show/table_info
+    table functions, duckdb-libpg_query.cpp) — the oracle runs DuckDB's
+    own DESCRIBE on its registered view of the same parquet, so column
+    names, the DuckDB type spellings (catalog.duck_type_name), and the
+    null/key/default columns are all differentially pinned."""
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return sqlfront.sql(spark, "DESCRIBE documents").orderBy("column_name")
+
+
 QUERIES = {
+    "misc_describe_table": misc_describe_table,
     "misc_commitlog_timetravel": misc_commitlog_timetravel,
     "misc_explain_analyze_metrics": misc_explain_analyze_metrics,
     "misc_zorder_layout": misc_zorder_layout,
@@ -344,6 +359,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "misc_describe_table": """
+        SELECT * FROM (DESCRIBE documents) ORDER BY column_name
+    """,
     # both versions' aggregates recomputed from the base data — verifies
     # the commit log's replay (v0 pinned, v1 tip), not just row counts
     "misc_commitlog_timetravel": """
