@@ -573,17 +573,19 @@ SEM_TARGET_CLUSTER = 64
 #: within-cluster SRP banding is the pair bound, not more centroids.
 SEM_K_CAP = 256
 #: cluster size above which within-cluster pairs go through SRP band
-#: blocking instead of the exact all-pairs self-join (~0.5M pairs at the
-#: knee — the per-cluster pair budget). Above it, candidates must also
-#: share a wide SRP band (the adaptive_band_bits construction), which
-#: bounds expected pair work at any occupancy; high-cosine near-dups
-#: still collide with p ≈ 1 while the low-cosine tail loses recall — the
-#: documented LSH trade, and it only applies where the exact join is
-#: quadratic anyway (skewed clusters, or n past SEM_K_CAP ×
-#: SEM_TARGET_CLUSTER ≈ 16k vectors at full occupancy). Measured: the
-#: 200k/k=8 worst case (28k-row clusters) runs in 25 s banded vs a
-#: ~2.5e9-pair exact extrapolation.
-SEM_BAND_CLUSTER_ROWS = 1024
+#: blocking instead of the exact all-pairs self-join. Above it,
+#: candidates must also share a wide SRP band (the adaptive_band_bits
+#: construction), which bounds expected pair work at any occupancy;
+#: high-cosine near-dups still collide with p ≈ 1 while the low-cosine
+#: tail loses recall — the documented LSH trade, and it only applies
+#: where the exact join is quadratic anyway. r11: lowered 1024 → 256
+#: (VERDICT r10 next #2) so the EXACT side's per-row pair budget is
+#: ≤ knee/2 = 128, commensurate with the refined buckets below — with
+#: the old knee a 1015-row exact cluster alone put 507 pairs on every
+#: row and the overall budget could never reach O(target_cluster).
+#: Oracle-scale safety: sf0.001/sf0.01 max cluster is 68/74 (3.5×
+#: headroom), the 2k/20k growth tiers max at 79/147 — all stay exact.
+SEM_BAND_CLUSTER_ROWS = 256
 
 #: recursive bucket refinement (VERDICT r10 next #2): one level of
 #: within-cluster banding is NOT enough past the k-cap — cluster members
@@ -599,6 +601,11 @@ SEM_BAND_CLUSTER_ROWS = 1024
 SEM_SPLIT_ROUNDS = 4
 SEM_SPLIT_BITS = 8
 SEM_SPLIT_PLANES = 128
+#: bucket size the refinement splits down to (and past which a
+#: surviving bucket saturates to the representative compare): ≤ 64
+#: pairs per row per band copy, so the banded side's total budget is
+#: O(bands × TARGET/2) ≈ O(target_cluster) at any corpus size
+SEM_REFINE_TARGET_ROWS = 128
 #: first refinement band index in the 128-plane kernel's key array:
 #: bands 0..7 cover planes 0..63 (the first-level family), bands 8..15
 #: cover the disjoint refinement planes
@@ -608,7 +615,7 @@ _SEM_SPLIT_FIRST_BAND = 8
 def refine_over_knee(
     df: DataFrame,
     *,
-    knee: int = SEM_BAND_CLUSTER_ROWS,
+    knee: int = SEM_REFINE_TARGET_ROWS,
     rounds: int = SEM_SPLIT_ROUNDS,
 ) -> DataFrame:
     """Recursively split ``(cluster, qs_band)`` buckets still over the

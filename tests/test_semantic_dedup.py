@@ -124,7 +124,7 @@ def test_refine_splits_diverse_over_knee_bucket(spark):
         .agg(F.count(F.lit(1)).alias("c"), F.max(F.col("qs_sat").cast("int")).alias("sat"))
         .collect()
     )
-    assert max(r["c"] for r in sizes) <= S.SEM_BAND_CLUSTER_ROWS
+    assert max(r["c"] for r in sizes) <= S.SEM_REFINE_TARGET_ROWS
     assert all(r["sat"] == 0 for r in sizes)
     pairs = sum(r["c"] * (r["c"] - 1) // 2 for r in sizes)
     assert pairs < 3000 * (3000 - 1) // 2 / 10  # ≥10× under all-pairs

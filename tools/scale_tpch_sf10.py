@@ -64,6 +64,13 @@ BREAKDOWN = [
     # r10 (r8 verdict directive 3): name q13's floor — where do its
     # 0.89 s go (two tiny aggs vs a live exchange)?
     "q13_customer_distribution",
+    # r11 (r10 verdict directive 3): name the q1/q3 floors — both are
+    # expected scan-bound (q1 has no join at all; q3's joins probe
+    # broadcast dims), so their exchange bytes should be trivial and
+    # the residual is the single-JVM parquet-scan floor
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
 ]
 #: r10 (r8 verdict directive 1): same-session A/B of the month-major
 #: within-bucket sort (the v5 ordering, now the 'ym' policy) vs the
