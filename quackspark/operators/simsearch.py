@@ -987,3 +987,108 @@ def brute_force_topk_heap(
         .filter(F.col("rnk") <= k)
         .select("q_id", "rnk", "c_id", "cos")
     )
+
+
+def brute_force_topk_heap_bigq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    chunk_rows: int = 4096,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """:func:`brute_force_topk_heap` for query sets BEYOND driver memory
+    (VERDICT r10 next #7 — the heap form still ``toPandas``-ed the query
+    side, its documented small-queries contract).
+
+    The query block is STAGED TO STORAGE instead: one distributed
+    parquet write (the driver only ever holds the path and the file
+    list), then each corpus task streams the staged queries
+    ``chunk_rows`` at a time with pyarrow against every corpus Arrow
+    batch — the block-nested-loop shape, queries blocked on storage
+    rather than replicated through a shuffle. Per (corpus batch × query
+    chunk) the kernel applies the SAME guard-band selection and IEEE op
+    sequence as the in-memory heap form, so results are bit-identical
+    to it (and therefore to the window form). Exchange volume stays
+    ~batches × |Q| × k survivor rows; peak memory per task is one
+    corpus batch + one query chunk + their score block, independent of
+    both corpus and query-set size.
+
+    On a cluster ``stage_path`` must be shared storage (the default
+    stages under spark.sql.warehouse.dir, which is); the exact-cost
+    reality is unchanged — |C|×|Q| dot products — this variant fixes
+    WHERE the query set lives, not the flop count. LSH/IVF remain the
+    sub-linear scale paths.
+    """
+    import uuid
+    from urllib.parse import urlparse
+
+    spark = corpus.sparkSession
+    idt = dict(zip(corpus.schema.names,
+                   (f.dataType.simpleString() for f in corpus.schema.fields)))[
+        id_col
+    ]
+    if stage_path is None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        stage_path = f"{wh}/qs_topk_queries_{uuid.uuid4().hex[:12]}"
+    queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).write.mode("overwrite").parquet(stage_path)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(stage_path, format="parquet")
+
+        def query_chunks():
+            for qb in dataset.to_batches(batch_size=chunk_rows):
+                qpd = qb.to_pandas()
+                if not len(qpd):
+                    continue
+                Q = np.vstack(qpd["q_vec"].to_numpy()).astype(np.float64)
+                qn = np.zeros(Q.shape[0])
+                for i in range(Q.shape[1]):
+                    qn += Q[:, i] * Q[:, i]
+                yield qpd["q_id"].to_numpy(), Q, np.sqrt(qn)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            cn = np.zeros(C.shape[0])
+            for i in range(C.shape[1]):
+                cn += C[:, i] * C[:, i]
+            cn = np.sqrt(cn)
+            for q_ids, Q, qn in query_chunks():
+                acc = np.zeros((Q.shape[0], C.shape[0]))
+                for i in range(C.shape[1]):
+                    acc += np.outer(Q[:, i], C[:, i])
+                cos = acc / (qn[:, None] * cn[None, :])
+                self_pair = q_ids[:, None] == c_ids[None, :]
+                key = np.where(np.isnan(cos), np.inf, cos)
+                key[self_pair] = -np.inf
+                if key.shape[1] - 1 < k:
+                    keep = ~self_pair
+                else:
+                    kth = -np.partition(-key, k - 1, axis=1)[:, k - 1]
+                    keep = (key >= kth[:, None] - 1.1e-6) & ~self_pair
+                qi, ci = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"q_id": q_ids[qi], "c_id": c_ids[ci], "cos": cos[qi, ci]}
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"q_id {idt}, c_id {idt}, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("cos", F.round("cos", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", "cos")
+    )

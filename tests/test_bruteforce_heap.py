@@ -53,3 +53,99 @@ def test_heap_empty_query_set(spark):
     e = _load(spark, SF)
     out = S.brute_force_topk_heap(e, e.filter("vec_id < 0"), k=K)
     assert out.count() == 0
+
+
+# --- big-query-set variant (VERDICT r10 next #7) -----------------------
+
+
+def _synth_queries(spark, n: int, dim: int = 64):
+    """n deterministic query vectors, built ENTIRELY in-plan (range →
+    transform expression) — the test's query set never exists on the
+    driver. Components: pmod(id*2654435761 + d*40503, 997)/498.5 - 1."""
+    return spark.range(n).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.col("id") * 2654435761 + d * 40503, F.lit(997))
+                / 498.5
+                - 1
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_bigq_matches_heap_form_on_small_queries(spark, tmp_path):
+    e = _load(spark, SF)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    heap = S.brute_force_topk_heap(e, q, k=K).orderBy("q_id", "rnk").collect()
+    bigq = (
+        S.brute_force_topk_heap_bigq(
+            e, q, k=K, stage_path=str(tmp_path / "q_small")
+        )
+        .orderBy("q_id", "rnk")
+        .collect()
+    )
+    assert bigq == heap  # ids, ranks, AND rounded scores bit-identical
+
+
+def test_bigq_100k_queries_no_driver_materialization(spark, tmp_path):
+    """≥100 k queries: the staged-storage block-nested-loop completes,
+    returns exactly k rows per query, and a numpy replay of sampled
+    queries confirms the top-k is exact. The query set is built in-plan
+    and staged by a distributed write — no collect/toPandas anywhere on
+    it (the operator only ever handles its storage path)."""
+    import numpy as np
+
+    e = _load(spark, SF)
+    nq, k = 100_000, 3
+    q = _synth_queries(spark, nq)
+    out = S.brute_force_topk_heap_bigq(
+        e, q, k=k, stage_path=str(tmp_path / "q_big")
+    )
+    rows = out.collect()
+    assert len(rows) == nq * k
+    # ground truth for 5 sampled queries, replayed in numpy
+    corpus = e.select("vec_id", "embedding").collect()
+    c_ids = np.array([r["vec_id"] for r in corpus])
+    C = np.array([r["embedding"] for r in corpus], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    got = {}
+    for r in rows:
+        got.setdefault(r["q_id"], []).append((r["rnk"], r["c_id"], r["cos"]))
+    for qid in (1_000_000, 1_033_333, 1_050_000, 1_077_777, 1_099_999):
+        i = qid - 1_000_000
+        d = np.arange(64)
+        vec = (
+            (np.float64(i) * 2654435761 + d * 40503) % 997
+        ) / 498.5 - 1
+        vec = vec.astype(np.float32).astype(np.float64)
+        cos = np.round(
+            (C @ vec) / (cn * np.sqrt((vec * vec).sum())), 6
+        )
+        order = sorted(zip(-cos, c_ids))[:k]
+        want = [
+            (rnk + 1, int(cid), float(-negcos))
+            for rnk, (negcos, cid) in enumerate(order)
+        ]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_bigq_plan_reads_only_corpus(spark, tmp_path):
+    """Plan pin: the scored pipeline's ONLY input is the corpus scan —
+    the query set reaches tasks via storage, so it appears in no join,
+    no broadcast, and no exchange sits below the kernel."""
+    e = _load(spark, SF)
+    q = _synth_queries(spark, 1000)
+    plan = (
+        S.brute_force_topk_heap_bigq(
+            e, q, k=K, stage_path=str(tmp_path / "q_plan")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    _, _, below_kernel = plan.partition("MapInPandas")
+    assert "Exchange" not in below_kernel
