@@ -478,6 +478,36 @@ def main() -> None:
                 sum(s1q[n] for n in covered_n) / tot_dn, 3
             ) if tot_dn else None,
         }
+    # contention sanity gate (r10 verdict directive 5): sub-2 s columns
+    # swing 2-3× across sessions (documented in SCALE.md), and r10's
+    # driver record misread that noise as a stream-family regression.
+    # Diff this run's sub-2 s seconds against the committed BENCH_LOCAL
+    # record; >2× divergence either way flags the RUN as contended —
+    # next round's judge reads the flag instead of adjudicating ratios.
+    import glob as _glob
+
+    locals_ = sorted(
+        _glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL_r*.json"))
+    )
+    if locals_:
+        try:
+            with open(locals_[-1]) as fh:
+                ref_q = json.load(fh).get("q", {})
+            suspects = []
+            for n, t in times.items():
+                ref = ref_q.get(n, [None])[0]
+                if ref is None or not (0 < t < 2.0 or 0 < (ref or 0) < 2.0):
+                    continue
+                if t > 0 and ref > 0 and (t / ref > 2.0 or ref / t > 2.0):
+                    suspects.append(n)
+            if suspects:
+                compact["contention_suspect"] = {
+                    "vs": os.path.basename(locals_[-1]),
+                    "n": len(suspects),
+                    "queries": suspects[:8],
+                }
+        except Exception as exc:  # the gate must never sink the bench
+            print(f"bench: contention gate skipped: {exc}", file=sys.stderr)
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -359,9 +359,10 @@ QUERIES = {
 }
 
 ORACLES = {
-    "misc_describe_table": """
-        SELECT * FROM (DESCRIBE documents) ORDER BY column_name
-    """,
+    # bare statement on purpose: the frontend-corpus round-trip runs the
+    # oracle TEXT through sqlfront too, and the row order is irrelevant
+    # (the compare/driver hash sorts rows)
+    "misc_describe_table": "DESCRIBE documents",
     # both versions' aggregates recomputed from the base data — verifies
     # the commit log's replay (v0 pinned, v1 tip), not just row counts
     "misc_commitlog_timetravel": """

@@ -29,10 +29,41 @@ SIZES = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", os.path.join(REPO, "localdata", "sf1")),
     ("sf10", os.path.join(REPO, "localdata", "sf10")),
+    # r11 (VERDICT r10 next #6): one more decade — 5 M docs, the
+    # sf100-equivalent tier, confirming the 0.63× crossover holds and
+    # the windows/doc constant survives
+    ("sf100-equivalent", os.path.join(REPO, "localdata", "sf100_docs")),
 ]
 
 
+def _ensure_sf100_docs() -> None:
+    """5 M docs = sf10 documents × 10 (the make_sf10 construction, one
+    more decade): strided doc_ids, per-copy ' repx{i}' text suffix so
+    copies share all interior windows — the designed worst case the
+    smaller tiers already measure (97.7% of windows duplicated)."""
+    dst = os.path.join(REPO, "localdata", "sf100_docs")
+    out = os.path.join(dst, "documents.parquet")
+    src = os.path.join(REPO, "localdata", "sf10", "documents.parquet")
+    if os.path.exists(out) or not os.path.exists(src):
+        return
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    con.execute(f"""
+        COPY (
+            SELECT doc_id + i * 10000000000 AS doc_id,
+                   text || ' repx' || i AS text,
+                   lang, source
+            FROM '{src}', range(10) t(i)
+        ) TO '{out}' (FORMAT PARQUET)
+    """)
+    print("sf100 documents ready", file=sys.stderr)
+
+
 def main() -> int:
+    _ensure_sf100_docs()
     import duckdb
 
     from quackspark.operators import dedup as D
