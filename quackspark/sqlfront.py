@@ -6864,21 +6864,36 @@ def _run_insert_returning(spark: SparkSession, duckdb_sql: str) -> DataFrame | N
 
 
 def _split_statements(script: str) -> list[str]:
-    """Split a script on top-level semicolons (string-literal aware)."""
+    """Split a script on top-level semicolons — string-literal AND
+    comment aware (a `;` inside `-- …` or `/* … */` is text, not a
+    statement boundary; the vendored PG scanner treats both the same
+    way). Comments are preserved in the emitted statements — the
+    tokenizer drops them later."""
     parts: list[str] = []
     buf: list[str] = []
     in_str = False
     i = 0
-    while i < len(script):
+    n = len(script)
+    while i < n:
         ch = script[i]
         if in_str:
             buf.append(ch)
             if ch == "'":
-                if i + 1 < len(script) and script[i + 1] == "'":
+                if i + 1 < n and script[i + 1] == "'":
                     buf.append("'")
                     i += 1
                 else:
                     in_str = False
+        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+            j = script.find("\n", i)
+            j = n if j == -1 else j
+            buf.append(script[i:j])
+            i = j - 1 if j < n else n - 1
+        elif ch == "/" and i + 1 < n and script[i + 1] == "*":
+            j = script.find("*/", i + 2)
+            j = n - 2 if j == -1 else j
+            buf.append(script[i : j + 2])
+            i = j + 1
         elif ch == "'":
             in_str = True
             buf.append(ch)

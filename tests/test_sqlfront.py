@@ -515,3 +515,24 @@ def test_read_text_blob_sniff(spark, tmp_path):
     ).collect()
     assert ("n_nationkey", "int32") == tuple(sch[0])
     assert sqlfront.sql(spark, "CHECKPOINT").collect()[0][0].startswith("checkpoint")
+
+
+def test_split_statements_comment_aware():
+    """A `;` inside a line or block comment is text, not a statement
+    boundary (r11: oracle texts carry explanatory comments; the splitter
+    used to cut mid-comment and die on unbalanced parentheses)."""
+    from quackspark.sqlfront import _split_statements as s
+
+    assert s("SELECT 1 -- note; not a split\nFROM t; SELECT 2") == [
+        "SELECT 1 -- note; not a split\nFROM t",
+        "SELECT 2",
+    ]
+    assert s("SELECT /* a;b */ 1; SELECT ';'") == [
+        "SELECT /* a;b */ 1",
+        "SELECT ';'",
+    ]
+    assert s("SELECT 1 -- trailing") == ["SELECT 1 -- trailing"]
+    assert s("/* lead;in */ SELECT 1; SELECT 2 /* tail;bit */") == [
+        "/* lead;in */ SELECT 1",
+        "SELECT 2 /* tail;bit */",
+    ]

@@ -62,6 +62,109 @@ def _ensure_sf100_docs() -> None:
     print("sf100 documents ready", file=sys.stderr)
 
 
+#: The parity oracles express first-occurrence/duplicate detection with
+#: window functions over the corpus-wide hash — DuckDB-OPTIMAL at the
+#: small tiers (4.3/5.0 s at sf1 vs 14.9/19.1 s for the group-by form)
+#: but the window operator materializes the full per-partition sort
+#: workspace: at the 5 M-doc tier (206 M windows) it OOM-killed the box
+#: at 108 GB RSS and exhausted a 72 GB spill disk under a 64 GB memory
+#: limit. A DuckDB user at that scale would rewrite to the group-by +
+#: semi-join form below (identical rows; first occurrence as a packed
+#: BIGINT min — a struct-min aggregate measured ~7× slower) — so the
+#: sf100 tier times THAT as the DuckDB column and the record carries the
+#: formulation story explicitly. Parity oracles are untouched.
+LEAN_ORACLES = {
+    "dedup_duplicate_spans": r"""
+    WITH tok AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc, t, unnest(range(0, len(t) - 15 + 1)) AS pos
+        FROM tok WHERE len(t) >= 15
+    ), win AS (
+        -- NOT materialized on purpose: the inlined double-reference
+        -- streams tok→pos→win twice (double tokenize+md5 CPU) but the
+        -- only state held is the distinct-hash aggregate (~2 M keys)
+        -- and the dup-hash join build — materializing 206 M window
+        -- rows exhausted the 64 GB limit + 72 GB spill
+        SELECT doc, pos, md5(array_to_string(t[pos + 1 : pos + 15], ' ')) AS h
+        FROM pos
+    ), hstat AS (
+        SELECT h, count(*) AS c FROM win GROUP BY h
+    ), dup AS (
+        SELECT w.doc, w.pos FROM win w JOIN hstat g USING (h) WHERE g.c > 1
+    ), brk AS (
+        SELECT doc, pos,
+               CASE WHEN pos > coalesce(max(pos + 14) OVER (
+                   PARTITION BY doc ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ), isl AS (
+        SELECT doc, pos,
+               sum(brk) OVER (PARTITION BY doc ORDER BY pos) AS island
+        FROM brk
+    )
+    SELECT doc, min(pos) AS span_start, max(pos) + 14 AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc, island
+    ORDER BY doc, span_start
+""",
+    "dedup_span_scrub": r"""
+    WITH tok AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc, t, unnest(range(0, len(t) - 15 + 1)) AS pos
+        FROM tok WHERE len(t) >= 15
+    ), win AS (
+        SELECT doc, pos, md5(array_to_string(t[pos + 1 : pos + 15], ' ')) AS h
+        FROM pos
+    ), hstat AS (
+        SELECT h, min(doc * 1048576 + pos) AS fkey, count(*) AS c
+        FROM win GROUP BY h
+    ), marked AS (
+        SELECT w.doc, w.pos FROM win w JOIN hstat g USING (h)
+        WHERE g.c > 1 AND w.doc * 1048576 + w.pos <> g.fkey
+    ), brk AS (
+        SELECT doc, pos,
+               CASE WHEN pos > coalesce(max(pos + 14) OVER (
+                   PARTITION BY doc ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+        FROM marked
+    ), isl AS (
+        SELECT doc, pos,
+               sum(brk) OVER (PARTITION BY doc ORDER BY pos) AS island
+        FROM brk
+    ), sp AS (
+        SELECT doc, min(pos) AS s, max(pos) + 14 AS e
+        FROM isl GROUP BY doc, island
+    ), removed AS (
+        SELECT doc, sum(e - s + 1) AS n_removed FROM sp GROUP BY doc
+    ), toki AS (
+        SELECT doc, t, unnest(range(0, len(t))) AS i FROM tok
+    ), kept AS (
+        SELECT y.doc, string_agg(y.t[y.i + 1], ' ' ORDER BY y.i) AS kept_text
+        FROM toki y
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.doc = y.doc AND y.i BETWEEN sp.s AND sp.e
+        )
+        GROUP BY y.doc
+    ), scr AS (
+        SELECT t.doc, CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(k.kept_text, '') AS kept_text
+        FROM tok t
+        LEFT JOIN removed r ON r.doc = t.doc
+        LEFT JOIN kept k ON k.doc = t.doc
+    )
+    SELECT doc, n_tokens, n_removed, kept_text FROM scr ORDER BY doc
+""",
+}
+
+
 def main() -> int:
     _ensure_sf100_docs()
     import duckdb
@@ -103,6 +206,7 @@ def main() -> int:
             "dup_windows": n_dup,
             "dup_fraction": round(n_dup / max(n_windows, 1), 4),
         }
+        lean_tier = tag == "sf100-equivalent"
         for name in ("dedup_duplicate_spans", "dedup_span_scrub"):
             df = qs[name](spark, sf)
             df.count()  # warmup
@@ -111,16 +215,56 @@ def main() -> int:
             row[f"{name}_spark_sec"] = round(time.perf_counter() - t0, 2)
             con = duckdb.connect()
             con.execute(f"SET threads TO {os.cpu_count() or 8}")
+            # bound DuckDB so a misestimate SPILLS instead of taking the
+            # whole box down (the parity oracles' window form OOM-killed
+            # the first r11 sweep at 108 GB RSS on the 5 M-doc tier)
+            con.execute("SET memory_limit = '64GB'")
+            con.execute("SET temp_directory = '/tmp/duck_spill'")
             con.execute(
                 "CREATE VIEW documents AS SELECT * FROM "
                 f"'{os.path.join(sf, 'documents.parquet')}'"
             )
+            # sf100: the window form cannot complete on this box (see
+            # LEAN_ORACLES note) — time the group-by rewrite instead and
+            # say so in the record
+            orc = LEAN_ORACLES[name] if lean_tier else osql[name]
             t0 = time.perf_counter()
-            con.execute(osql[name]).fetchall()
-            row[f"{name}_duckdb_sec"] = round(time.perf_counter() - t0, 2)
-            row[f"{name}_ratio"] = round(
-                row[f"{name}_spark_sec"] / row[f"{name}_duckdb_sec"], 2
-            )
+            try:
+                con.execute(orc).fetchall()
+                row[f"{name}_duckdb_sec"] = round(time.perf_counter() - t0, 2)
+                row[f"{name}_ratio"] = round(
+                    row[f"{name}_spark_sec"] / row[f"{name}_duckdb_sec"], 2
+                )
+            except duckdb.Error as exc:
+                # the tier outgrew the single-node oracle: record the
+                # DNF instead of losing the Spark column with it
+                row[f"{name}_duckdb_sec"] = None
+                row[f"{name}_ratio"] = None
+                row[f"{name}_duckdb_dnf"] = (
+                    f"{type(exc).__name__} after "
+                    f"{round(time.perf_counter() - t0, 1)}s under 64GB "
+                    f"memory limit + 72GB spill disk: {str(exc)[:140]}"
+                )
+            if lean_tier:
+                row[f"{name}_duckdb_form"] = (
+                    "lean group-by rewrite (parity window form: "
+                    "OOM >108GB / >72GB spill at this tier)"
+                )
+            if tag == "sf10":
+                # calibration: the lean rewrite's cost at a tier where
+                # BOTH forms complete, so the sf100 column is readable
+                t0 = time.perf_counter()
+                con.execute(LEAN_ORACLES[name]).fetchall()
+                row[f"{name}_duckdb_lean_sec"] = round(
+                    time.perf_counter() - t0, 2
+                )
+            if tag == "sf0.1":
+                # equivalence pin: lean rewrite == parity oracle, row
+                # for row, on a tier where diffing is cheap
+                a = con.execute(osql[name]).fetchall()
+                b = con.execute(LEAN_ORACLES[name]).fetchall()
+                assert a == b, f"lean rewrite diverges for {name}"
+                row[f"{name}_lean_equivalent"] = True
             con.close()
         out["sizes"][tag] = row
         print(tag, json.dumps(row), flush=True)
