@@ -36,7 +36,13 @@ HEADLINE_MANIFEST = [
     "q21_waiting_supplier",
     "window_running_sum",
     "dedup_minhash_lsh",
-    "sim_bruteforce_topk",
+    # sim_bruteforce_topk (window form) RETIRED from the headline r12
+    # (VERDICT r11 wrong #3 / next #6): it shuffles corpus×queries scored
+    # rows by q_id and rode the 2× gate at sf1 (1.94×) while the heap
+    # sibling — bit-identical results, survivors-only exchange — sits at
+    # 0.89×; the window form stays in the corpus as the parity twin the
+    # heap forms oracle against. sim_bruteforce_heap below is the
+    # brute-force headline entry.
     "sim_embedding_neardup",
     "sw_session",
     "text_fingerprint",
@@ -491,15 +497,33 @@ def main() -> None:
     )
     if locals_:
         try:
-            with open(locals_[-1]) as fh:
-                ref_q = json.load(fh).get("q", {})
+            # per-query baseline = the NEWEST committed local record whose
+            # OWN contention flag does not name that query (r12, VERDICT
+            # r11 wrong #1: r11's record shipped with its flag raised on
+            # q5/q6/q9/q10 — diffing a clean run against those columns
+            # re-fires the flag forever even though the new numbers agree
+            # with the driver record and r10)
+            records = []
+            for path in reversed(locals_):
+                with open(path) as fh:
+                    rec = json.load(fh)
+                records.append(
+                    (os.path.basename(path), rec.get("q", {}),
+                     set((rec.get("contention_suspect") or {}).get("queries", [])))
+                )
             suspects = []
             for n, t in times.items():
-                ref = ref_q.get(n, [None])[0]
+                ref, src = None, None
+                for base, ref_q, flagged in records:
+                    if n in flagged:
+                        continue
+                    if ref_q.get(n, [None])[0] is not None:
+                        ref, src = ref_q[n][0], base
+                        break
                 if ref is None or not (0 < t < 2.0 or 0 < (ref or 0) < 2.0):
                     continue
                 if t > 0 and ref > 0 and (t / ref > 2.0 or ref / t > 2.0):
-                    suspects.append(n)
+                    suspects.append(f"{n} (vs {src})")
             if suspects:
                 compact["contention_suspect"] = {
                     "vs": os.path.basename(locals_[-1]),

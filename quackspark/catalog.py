@@ -7,6 +7,7 @@ and SQLite-compat `pragma_table_info`, duckdb-6.cpp:14150-14176) mapped onto
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 def duckdb_tables(spark: SparkSession) -> DataFrame:
@@ -242,8 +243,12 @@ def show_all_tables(spark: SparkSession) -> DataFrame:
             continue
         try:
             fields = spark.table(t.name).schema.fields
-        except Exception:
-            continue
+        except AnalysisException:
+            # a dangling temp view (its underlying table was dropped)
+            # still LISTS in the reference's SHOW ALL TABLES — keep the
+            # entry visible with empty column lists rather than
+            # silently dropping it (ADVICE r11)
+            fields = []
         rows.append(
             (
                 t.catalog or "spark_catalog",

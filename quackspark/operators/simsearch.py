@@ -630,6 +630,17 @@ def refine_over_knee(
     no-op for them and for any corpus below the knee (oracle parity
     untouched). The extra bits come from ONE staged Arrow kernel pass
     (the interpreted-HOF rule: stage the array once)."""
+    max_rounds = SEM_SPLIT_PLANES // SEM_SPLIT_BITS - _SEM_SPLIT_FIRST_BAND
+    if rounds > max_rounds:
+        # element_at past the band-key array would return NULL (and the
+        # concat_ws key extension silently no-op) — fail loudly instead
+        # (ADVICE r11)
+        raise ValueError(
+            f"refine_over_knee: rounds={rounds} exceeds the "
+            f"{max_rounds} disjoint {SEM_SPLIT_BITS}-bit slices available "
+            f"past band {_SEM_SPLIT_FIRST_BAND} in a {SEM_SPLIT_PLANES}-"
+            "plane kernel; raise SEM_SPLIT_PLANES or lower rounds"
+        )
     ref = df.withColumn(
         "qs_extra",
         srp_band_keys_arrow(F.col("vec"), SEM_SPLIT_PLANES, SEM_SPLIT_BITS),
@@ -989,6 +1000,52 @@ def brute_force_topk_heap(
     )
 
 
+def _stage_root(warehouse: str) -> str:
+    """Derive the bigq default stage root from the warehouse dir —
+    ONLY when its scheme is local (``file:`` or none), since the Spark
+    write resolves against the Hadoop default FS while the executors'
+    pyarrow read infers the filesystem from the bare path; a remote
+    scheme (hdfs://, s3a://) would split the two sides across different
+    filesystems, so it raises instead (ADVICE r11)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(warehouse)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            "brute_force_topk_heap_bigq: spark.sql.warehouse.dir "
+            f"({warehouse!r}) is not a local filesystem path — the Spark "
+            "write and the executors' pyarrow read would resolve the "
+            "default stage against DIFFERENT filesystems; pass an "
+            "explicit stage_path both sides can open"
+        )
+    return parsed.path or warehouse
+
+
+#: default-derived bigq stage directories, oldest first — the returned
+#: DataFrame lazily re-reads its stage, so cleanup is deferred to
+#: :func:`drop_staged_queries` after the caller materializes the result
+_BIGQ_STAGES: list[str] = []
+
+
+def drop_staged_queries(paths: list[str] | None = None) -> list[str]:
+    """Remove bigq query-stage directories (ADVICE r11: default stages
+    leak one dir per call otherwise). With no argument, drops every
+    default-derived stage recorded in this process; pass ``paths`` to
+    drop explicit caller-owned stages. Only call AFTER the result
+    DataFrames are materialized — they lazily re-read the stage.
+    Returns the paths removed."""
+    import shutil
+
+    targets = list(_BIGQ_STAGES) if paths is None else paths
+    removed = []
+    for p in targets:
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+        if paths is None and p in _BIGQ_STAGES:
+            _BIGQ_STAGES.remove(p)
+    return removed
+
+
 def brute_force_topk_heap_bigq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1016,14 +1073,22 @@ def brute_force_topk_heap_bigq(
     corpus batch + one query chunk + their score block, independent of
     both corpus and query-set size.
 
-    On a cluster ``stage_path`` must be shared storage (the default
-    stages under spark.sql.warehouse.dir, which is); the exact-cost
+    On a cluster ``stage_path`` must be storage BOTH sides can reach:
+    the Spark write resolves it against the Hadoop default FS while the
+    executors' pyarrow read uses pyarrow's own filesystem inference, so
+    the default staging is only derived from ``spark.sql.warehouse.dir``
+    when its scheme is local (``file:`` or none) — any other scheme
+    (hdfs://, s3a://) raises and the caller must pass an explicit
+    ``stage_path`` pyarrow can open (ADVICE r11). Staged directories are
+    caller-owned: the returned DataFrame lazily re-reads the stage, so
+    it cannot be deleted eagerly — call :func:`drop_staged_queries`
+    after materializing the result (default stages are tracked for it);
+    an explicit ``stage_path`` is the caller's to remove. The exact-cost
     reality is unchanged — |C|×|Q| dot products — this variant fixes
     WHERE the query set lives, not the flop count. LSH/IVF remain the
     sub-linear scale paths.
     """
     import uuid
-    from urllib.parse import urlparse
 
     spark = corpus.sparkSession
     idt = dict(zip(corpus.schema.names,
@@ -1031,8 +1096,9 @@ def brute_force_topk_heap_bigq(
         id_col
     ]
     if stage_path is None:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        stage_path = f"{wh}/qs_topk_queries_{uuid.uuid4().hex[:12]}"
+        root = _stage_root(spark.conf.get("spark.sql.warehouse.dir", ""))
+        stage_path = f"{root}/qs_topk_queries_{uuid.uuid4().hex[:12]}"
+        _BIGQ_STAGES.append(stage_path)
     queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).write.mode("overwrite").parquet(stage_path)

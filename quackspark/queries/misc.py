@@ -325,6 +325,36 @@ def misc_explain_analyze_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PREPARE/EXECUTE round-trip script — the SAME text is the Spark query
+#: (through sqlfront) and the oracle (DuckDB executes scripts natively,
+#: returning the last statement's result)
+_PREPARED_SCRIPT = """
+    PREPARE qs_parity_prep AS
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS price_cents
+        FROM lineitem
+        WHERE l_quantity >= $1 AND l_linenumber <= $2
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag;
+    EXECUTE qs_parity_prep(25, 3)
+"""
+
+
+def misc_prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`PREPARE name AS …` / `EXECUTE name(args)` statement forms (r11
+    verdict missing #1; reference Connection::Prepare duckdb-7.cpp:3423,
+    statement enums duckdb.hpp:11998-11999) — the body is stored raw and
+    EXECUTE splices validated argument text over the $n markers, then
+    re-enters the full sqlfront path. Oracle = the identical script run
+    by DuckDB's own prepared-statement machinery."""
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return sqlfront.sql(spark, _PREPARED_SCRIPT)
+
+
 def misc_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`DESCRIBE documents` statement form (r10 verdict missing #1; the
     vendored PG grammar maps DESCRIBE/SHOW onto the show/table_info
@@ -340,6 +370,7 @@ def misc_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "misc_prepared_execute": misc_prepared_execute,
     "misc_describe_table": misc_describe_table,
     "misc_commitlog_timetravel": misc_commitlog_timetravel,
     "misc_explain_analyze_metrics": misc_explain_analyze_metrics,
@@ -363,6 +394,9 @@ ORACLES = {
     # oracle TEXT through sqlfront too, and the row order is irrelevant
     # (the compare/driver hash sorts rows)
     "misc_describe_table": "DESCRIBE documents",
+    # the whole PREPARE+EXECUTE script is the oracle text — DuckDB runs
+    # it through its own prepared-statement machinery
+    "misc_prepared_execute": _PREPARED_SCRIPT,
     # both versions' aggregates recomputed from the base data — verifies
     # the commit log's replay (v0 pinned, v1 tip), not just row counts
     "misc_commitlog_timetravel": """

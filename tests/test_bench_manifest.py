@@ -36,6 +36,10 @@ def test_sf1_covers_full_manifest():
 
 def test_manifest_is_ordered_and_duplicate_free():
     assert len(bench.HEADLINE_MANIFEST) == len(set(bench.HEADLINE_MANIFEST))
+    # r12 (VERDICT r11 next #6): the window-form brute-force top-k is
+    # retired from the headline — the heap form is the brute-force entry
+    assert "sim_bruteforce_topk" not in bench.HEADLINE_MANIFEST
+    assert "sim_bruteforce_heap" in bench.HEADLINE_MANIFEST
     # the five scan-heavy TPC-H headliners lead, pinning the historical
     # prefix every BENCH_r{N} since r1 starts with
     assert bench.HEADLINE_MANIFEST[:5] == [

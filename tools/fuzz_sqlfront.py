@@ -269,9 +269,29 @@ class Gen:
             names = ["c0", "c1"]
         return sql, names
 
+    def prepared_script(self):
+        """PREPARE/EXECUTE template (VERDICT r11 #3): parameterize an
+        integer expression with ?, $1, or a named $p marker; the script
+        runs through BOTH engines' prepared-statement machinery (ours:
+        sqlfront._run_prepared splice; DuckDB: native)."""
+        t = self.pick(TABLES)
+        e = self.int_expr(t)
+        p = self.pred(t)
+        val = self.pick(["0", "1", "7", "42", "-3"])
+        marker = self.pick(["?", "$1", "$p"])
+        name = f"fzp{self.r.randrange(10**9)}"
+        body = (
+            f"SELECT {e} + {marker} AS c0, count(*) AS n FROM {t} "
+            f"WHERE {p} GROUP BY 1"
+        )
+        arg = f"p := {val}" if marker == "$p" else val
+        return f"PREPARE {name} AS {body}; EXECUTE {name}({arg})"
+
     def statement(self):
         t = self.pick(TABLES)
-        form = self.r.randrange(12)
+        form = self.r.randrange(13)
+        if form == 12:
+            return self.prepared_script()
         if form >= 10:
             sql, names = self.join_core()
         elif form < 4:
@@ -355,19 +375,39 @@ def run_fuzz(n: int = 500, seed: int = 1, verbose: bool = False,
     stats = {"MATCH": 0, "UNSUPPORTED": 0, "DUCK_ERROR": 0,
              "SPARK_ERROR": 0, "MISMATCH": 0}
     failures: list[tuple[str, str, str]] = []
+    from quackspark import sqlfront
+
     for i in range(n):
         sql_text = gen.statement()
+        prepared = sql_text.lstrip().upper().startswith("PREPARE")
         try:
-            want = _canon(con.sql(sql_text).fetchall())
+            want = _canon(con.execute(sql_text).fetchall()) if prepared \
+                else _canon(con.sql(sql_text).fetchall())
         except Exception:
             stats["DUCK_ERROR"] += 1
             continue
         try:
+            if prepared:
+                # scripts go through the statement dispatch, not transpile
+                got = _canon(
+                    [tuple(r) for r in sqlfront.sql(spark, sql_text).collect()]
+                )
+                if got == want:
+                    stats["MATCH"] += 1
+                else:
+                    stats["MISMATCH"] += 1
+                    failures.append(("MISMATCH", sql_text,
+                                     f"duck={want[:4]!r} spark={got[:4]!r}"))
+                continue
             spark_sql = transpile(sql_text, spark)
         except UnsupportedSQL as exc:
             stats["UNSUPPORTED"] += 1
             if verbose:
                 print(f"[{i}] UNSUPPORTED: {sql_text!r} ({exc})")
+            continue
+        except Exception as exc:
+            stats["SPARK_ERROR"] += 1
+            failures.append(("SPARK_ERROR", sql_text, str(exc)[:300]))
             continue
         try:
             got = _canon([tuple(r) for r in spark.sql(spark_sql).collect()])

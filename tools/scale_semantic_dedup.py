@@ -101,9 +101,159 @@ def _pair_budget(spark, e, k: int) -> tuple[int, int, int]:
     return int(sizes["pairs"]), int(sizes["mx"]), int(sizes["over"])
 
 
+def sampled_recall(spark, corpus, *, n: int, k: int,
+                   sample_per_class: int = 5_000,
+                   threshold: float = 0.45) -> dict:
+    """Sampled exact-neighbor recall at tiers where the full exact
+    quadratic is infeasible (VERDICT r11 next #5 / wrong #2: 0.9998 was
+    measured at 200 k only, while the 2 M tier has 7.48 M row-slots on
+    the saturated-bucket linear path — exactly where misses would live
+    if the refinement bits correlate within near-dup families).
+
+    Protocol: run the shipped banded dedup once (localCheckpoint pins
+    cluster assignment AND decisions), then draw a deterministic
+    md5-ordered stratified sample of ``sample_per_class`` dropped +
+    ``sample_per_class`` kept rows and compute each sampled row's EXACT
+    within-cluster decision (∃ lower-id cluster-mate at cos ≥ τ, same
+    round-6 rule as the operator) by joining the broadcast sample
+    against the full membership — Σ cluster-size-per-sample pair
+    compares, NOT n². Admitted pairs are exact-verified by
+    construction, so dropped rows are true dups; the unknown is the
+    kept-side miss fraction f_k, and
+
+        recall = D / (D + f_k · K)
+
+    with D/K the total dropped/kept counts. The dropped-side sample is
+    still exact-checked as a subset-property sanity row (expect 1.0)."""
+    from pyspark.sql import functions as F
+
+    from quackspark.operators import simsearch as S
+
+    res = S.semantic_dedup(corpus, n_rows=n, k=k).localCheckpoint()
+    by_kept = {r["kept"]: r["cnt"] for r in
+               res.groupBy("kept").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    D, K = by_kept.get(False, 0), by_kept.get(True, 0)
+
+    # deterministic md5-ordered draw per class as a distributed TopK
+    # (TakeOrderedAndProject — no full sort materializes), not a
+    # 2-partition window sort
+    def _draw(kept: bool):
+        return (
+            res.filter(F.col("kept") == kept)
+            .orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(sample_per_class)
+            .select("vec_id", "cluster", "kept")
+        )
+
+    samp = _draw(True).unionByName(_draw(False)).localCheckpoint()
+    vecs = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        S.norm(F.col("embedding")).alias("nrm"),
+    )
+    members = res.select("vec_id", "cluster").join(vecs, "vec_id")
+    samp_v = samp.join(vecs, "vec_id")
+    hits = (
+        members.alias("m")
+        .join(
+            F.broadcast(samp_v).alias("s"),
+            (F.col("s.cluster") == F.col("m.cluster"))
+            & (F.col("m.vec_id") < F.col("s.vec_id")),
+        )
+        .select(
+            F.col("s.vec_id").alias("vec_id"),
+            (
+                F.round(
+                    S.dot_arrow(F.col("s.vec"), F.col("m.vec"))
+                    / (F.col("s.nrm") * F.col("m.nrm")),
+                    6,
+                )
+                >= F.lit(threshold)
+            ).alias("hit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("hit").alias("exact_dup"))
+    )
+    checked = (
+        samp.join(hits, "vec_id", "left_outer")
+        .na.fill({"exact_dup": False})
+        .groupBy("kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_samp"),
+            F.sum(F.col("exact_dup").cast("int")).alias("n_exact_dup"),
+        )
+        .collect()
+    )
+    per = {r["kept"]: r for r in checked}
+    f_k = per[True]["n_exact_dup"] / max(per[True]["n_samp"], 1)
+    dropped_subset_ok = (
+        per.get(False) is None
+        or per[False]["n_exact_dup"] == per[False]["n_samp"]
+    )
+    est_missed = f_k * K
+    recall = D / max(D + est_missed, 1)
+    import math
+
+    se = math.sqrt(max(f_k * (1 - f_k), 1e-12) / max(per[True]["n_samp"], 1))
+    return {
+        "n": n,
+        "k": k,
+        "dropped_total": D,
+        "kept_total": K,
+        "sample_per_class": sample_per_class,
+        "kept_miss_fraction": round(f_k, 6),
+        "kept_miss_fraction_se": round(se, 6),
+        "est_missed_dups": int(est_missed),
+        "recall": round(recall, 5),
+        "recall_low_2se": round(D / max(D + (f_k + 2 * se) * K, 1), 5),
+        "dropped_sample_all_exact": bool(dropped_subset_ok),
+    }
+
+
+def recall_tiers(spark) -> dict:
+    """500 k + 2 M sampled-recall rows. The 500 k tier is a
+    deterministic 25 % id-slice of the 2 M fixture (vec_id % 4 = 0 —
+    spans all 10 perturbed copies, so the near-dup family structure
+    survives the cut)."""
+    from quackspark.operators import simsearch as S  # noqa: F401
+
+    out = {}
+    _ensure_2m()
+    full = spark.read.parquet(EMB_2M)
+    half = full.filter("vec_id % 4 = 0")
+    n500 = half.count()
+    for label, corpus, n in (("500k", half, n500), ("2M", full, 2_000_000)):
+        t0 = time.perf_counter()
+        row = sampled_recall(spark, corpus, n=n, k=S.semantic_k(n))
+        row["wall_s"] = round(time.perf_counter() - t0, 2)
+        out[label] = row
+        print(json.dumps({label: row}))
+    return out
+
+
 def main() -> int:
+    import argparse
+
     from quackspark.operators import simsearch as S
     from quackspark.session import get_session
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--recall-only",
+        action="store_true",
+        help="run ONLY the 500k/2M sampled-recall section (VERDICT r11 "
+        "#5) and append it to the existing SCALE_SEMDEDUP.json",
+    )
+    args = ap.parse_args()
+    if args.recall_only:
+        spark = get_session("semdedup-recall")
+        path = os.path.join(ROOT, "SCALE_SEMDEDUP.json")
+        with open(path) as f:
+            rec = json.load(f)
+        rec["recall_sampled"] = recall_tiers(spark)
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        return 0
 
     spark = get_session("semdedup-scale")
     out: dict = {"target_cluster": S.SEM_TARGET_CLUSTER,
@@ -163,6 +313,8 @@ def main() -> int:
         "exact_wall_s": exact_wall,
     }
     print(json.dumps(out["recall_200k"]))
+    # sampled recall where exact-full is infeasible (r12, VERDICT r11 #5)
+    out["recall_sampled"] = recall_tiers(spark)
     with open(os.path.join(ROOT, "SCALE_SEMDEDUP.json"), "w") as f:
         json.dump(out, f, indent=1)
     return 0
