@@ -389,47 +389,6 @@ def _parse_column_defs(defs_sql: str, table: str):
     return cols
 
 
-#: SQL-level prepared statements (reference PreparedStatementData,
-#: duckdb-7.cpp:1968-2055): PREPARE stores the dialect text; EXECUTE
-#: substitutes $n / ? parameter tokens with literal arguments and runs
-#: the statement through the normal frontend path.
-PREPARED: dict[str, str] = {}
-
-_PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+AS\s+(.*?)\s*;?\s*$", re.I | re.S)
-_EXECUTE_RE = re.compile(r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$", re.I | re.S)
-_DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*$", re.I)
-
-
-def _substitute_params(stmt: str, args_sql: str | None) -> str:
-    from quackspark.sqlfront import UnsupportedSQL, _split_args, _tokens
-
-    vals = ([" ".join(a) for a in _split_args(_tokens(args_sql))]
-            if args_sql else [])
-    toks = _tokens(stmt)
-    out: list[str] = []
-    pos = 0
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if t == "?" :
-            if pos >= len(vals):
-                raise UnsupportedSQL("EXECUTE: not enough parameters")
-            out.append(f"({vals[pos]})")
-            pos += 1
-            i += 1
-            continue
-        if t == "$" and i + 1 < len(toks) and toks[i + 1].isdigit():
-            n = int(toks[i + 1])
-            if n < 1 or n > len(vals):
-                raise UnsupportedSQL(f"EXECUTE: no parameter ${n}")
-            out.append(f"({vals[n - 1]})")
-            i += 2
-            continue
-        out.append(t)
-        i += 1
-    return " ".join(out)
-
-
 def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     """Dispatch a DDL statement; None when the text is not DDL."""
     from quackspark.sqlfront import UnsupportedSQL, transpile
@@ -455,21 +414,9 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
             ),
         )
 
-    if m := _PREPARE_RE.match(duckdb_sql):
-        PREPARED[m.group(1).lower()] = m.group(2)
-        return _status(spark, statement=m.group(1), status="prepared")
-
-    if m := _EXECUTE_RE.match(duckdb_sql):
-        from quackspark.sqlfront import sql as run_sql
-
-        name = m.group(1).lower()
-        if name not in PREPARED:
-            raise UnsupportedSQL(f"EXECUTE: no prepared statement {m.group(1)}")
-        return run_sql(spark, _substitute_params(PREPARED[name], m.group(2)))
-
-    if m := _DEALLOC_RE.match(duckdb_sql):
-        PREPARED.pop(m.group(1).lower(), None)
-        return _status(spark, statement=m.group(1), status="deallocated")
+    # PREPARE/EXECUTE/DEALLOCATE moved to sqlfront._run_prepared (r12):
+    # one registry, named-$param support, live-pinned error spellings —
+    # this module's earlier token-level substitution is retired.
 
     if m := _CREATE_TABLE_RE.match(duckdb_sql):
         replace, if_not_exists, table, defs = m.groups()

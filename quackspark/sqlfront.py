@@ -68,19 +68,31 @@ _TOKEN = re.compile(
 _DOLLAR_STR = re.compile(r"^\$(\w*)\$(.*)\$\1\$$", re.DOTALL)
 
 
-def _strip_block_comments(sql: str) -> str:
-    """Remove block comments with PG-scanner NESTING (`/* a /* b */ c */`
-    is ONE comment — ADVICE r11; the tokenizer regex alone stops at the
-    first `*/`). String-aware: quoted literals/identifiers, E-strings,
-    and dollar-quotes pass through verbatim; line comments are left for
-    the tokenizer to drop."""
-    if "/*" not in sql:
-        return sql
-    out: list[str] = []
+def _sql_segments(sql: str):
+    """THE one lexical scanner under every pre-tokenizer text pass
+    (statement split, nested-comment strip, prepared-param scan — three
+    hand-rolled copies of these skip rules diverged through r12, each
+    divergence a bug class: r12's was the splitter not knowing dollar
+    quotes, so a `'` inside `$tag$…$tag$` swallowed a `;`).
+
+    Yields ``(kind, start, end)`` spans covering the whole text:
+    ``code`` (plain SQL), ``str`` (single-quoted, `''` doubling),
+    ``estr`` (E'…' with backslash escapes), ``ident`` (double-quoted or
+    backtick), ``dollar`` ($tag$…$tag$), ``line`` (-- …), ``block``
+    (/* … */ with PG-scanner NESTING). Unterminated regions extend to
+    end-of-text, matching the PG scanner's recovery."""
     i, n = 0, len(sql)
+    code_start = 0
     prev = ""
+
+    def _code_upto(pos):
+        nonlocal code_start
+        if pos > code_start:
+            yield ("code", code_start, pos)
+
     while i < n:
         ch = sql[i]
+        kind = None
         if ch == "'" or (
             ch in "eE"
             and i + 1 < n
@@ -88,6 +100,7 @@ def _strip_block_comments(sql: str) -> str:
             and not (prev.isalnum() or prev == "_")
         ):
             esc = ch != "'"
+            kind = "estr" if esc else "str"
             j = i + (2 if esc else 1)
             while j < n:
                 if esc and sql[j] == "\\":
@@ -101,6 +114,7 @@ def _strip_block_comments(sql: str) -> str:
                     break
                 j += 1
         elif ch in '"`':
+            kind = "ident"
             j = i + 1
             while j < n:
                 if sql[j] == ch:
@@ -111,13 +125,16 @@ def _strip_block_comments(sql: str) -> str:
                     break
                 j += 1
         elif ch == "$" and (m := re.match(r"\$\w*\$", sql[i:])):
+            kind = "dollar"
             tag = m.group(0)
             j = sql.find(tag, i + len(tag))
             j = n if j == -1 else j + len(tag)
         elif ch == "-" and sql.startswith("--", i):
+            kind = "line"
             j = sql.find("\n", i)
             j = n if j == -1 else j
         elif sql.startswith("/*", i):
+            kind = "block"
             depth, j = 1, i + 2
             while j < n and depth:
                 if sql.startswith("/*", j):
@@ -128,19 +145,29 @@ def _strip_block_comments(sql: str) -> str:
                     j += 2
                 else:
                     j += 1
-            out.append(" ")
-            prev = " "
-            i = j
-            continue
-        else:
-            out.append(ch)
+        if kind is None:
             prev = ch
             i += 1
             continue
-        out.append(sql[i:j])
+        yield from _code_upto(i)
+        yield (kind, i, j)
         prev = sql[j - 1] if j > i else prev
+        code_start = j
         i = j
-    return "".join(out)
+    yield from _code_upto(n)
+
+
+def _strip_block_comments(sql: str) -> str:
+    """Remove block comments with PG-scanner NESTING (`/* a /* b */ c */`
+    is ONE comment — ADVICE r11; the tokenizer regex alone stops at the
+    first `*/`). String-aware via :func:`_sql_segments`; line comments
+    are left for the tokenizer to drop."""
+    if "/*" not in sql:
+        return sql
+    return "".join(
+        " " if kind == "block" else sql[a:b]
+        for kind, a, b in _sql_segments(sql)
+    )
 
 
 def _tokens(sql: str) -> list[str]:
@@ -6125,9 +6152,11 @@ def _run_union_by_name(spark: SparkSession, duckdb_sql: str) -> DataFrame | None
     return acc
 
 
-class PreparedStatementError(ValueError):
+class PreparedStatementError(UnsupportedSQL):
     """EXECUTE/PREPARE misuse — message spellings mirror the reference's
-    Binder/InvalidInput errors (pinned live against duckdb 1.x)."""
+    Binder/InvalidInput errors (pinned live against duckdb 1.x).
+    Subclasses UnsupportedSQL so callers that treated the earlier
+    ddl.py-era EXECUTE errors as frontend refusals keep working."""
 
 
 #: PREPARE registry — name (lowered) → raw statement text. Re-PREPARE
@@ -6149,79 +6178,31 @@ _DEALLOCATE_RE = re.compile(
 
 
 def _prepared_params(body: str) -> list[tuple[int, int, int | str]]:
-    """Scan a prepared body for parameter markers OUTSIDE strings,
-    identifiers, dollar-quotes, and comments: ``?`` (auto-numbered in
-    order of appearance), ``$1`` (explicit ordinal), ``$name`` (named).
-    Returns (start, end, key) spans, key int for positional."""
+    """Scan a prepared body for parameter markers in CODE segments only
+    (strings/identifiers/dollar-quotes/comments skipped by
+    :func:`_sql_segments`): ``?`` (auto-numbered in order of
+    appearance), ``$1`` (explicit ordinal), ``$name`` (named). Returns
+    (start, end, key) spans, key int for positional."""
     spans: list[tuple[int, int, int | str]] = []
     auto = 0
-    i, n = 0, len(body)
-    prev = ""
-    while i < n:
-        ch = body[i]
-        if ch == "'" or (
-            ch in "eE"
-            and i + 1 < n
-            and body[i + 1] == "'"
-            and not (prev.isalnum() or prev == "_")
-        ):
-            esc = ch != "'"
-            j = i + (2 if esc else 1)
-            while j < n:
-                if esc and body[j] == "\\":
-                    j += 2
-                    continue
-                if body[j] == "'":
-                    if j + 1 < n and body[j + 1] == "'":
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
-        elif ch in '"`':
-            j = i + 1
-            while j < n:
-                if body[j] == ch:
-                    if j + 1 < n and body[j + 1] == ch:
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
-        elif ch == "$" and (m := re.match(r"\$(\w*)\$", body[i:])):
-            tag = m.group(0)
-            j = body.find(tag, i + len(tag))
-            j = n if j == -1 else j + len(tag)
-        elif ch == "-" and body.startswith("--", i):
-            j = body.find("\n", i)
-            j = n if j == -1 else j
-        elif body.startswith("/*", i):
-            depth, j = 1, i + 2
-            while j < n and depth:
-                if body.startswith("/*", j):
-                    depth += 1
-                    j += 2
-                elif body.startswith("*/", j):
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
-        elif ch == "?":
-            auto += 1
-            spans.append((i, i + 1, auto))
-            j = i + 1
-        elif ch == "$" and (m := re.match(r"\$(\d+)", body[i:])):
-            spans.append((i, i + m.end(), int(m.group(1))))
-            j = i + m.end()
-        elif ch == "$" and (m := re.match(r"\$([A-Za-z_]\w*)", body[i:])):
-            spans.append((i, i + m.end(), m.group(1).lower()))
-            j = i + m.end()
-        else:
-            prev = ch
-            i += 1
+    for kind, a, b in _sql_segments(body):
+        if kind != "code":
             continue
-        prev = body[j - 1] if j > i else prev
-        i = j
+        i = a
+        while i < b:
+            ch = body[i]
+            if ch == "?":
+                auto += 1
+                spans.append((i, i + 1, auto))
+                i += 1
+            elif ch == "$" and (m := re.match(r"\$(\d+)", body[i:b])):
+                spans.append((i, i + m.end(), int(m.group(1))))
+                i += m.end()
+            elif ch == "$" and (m := re.match(r"\$([A-Za-z_]\w*)", body[i:b])):
+                spans.append((i, i + m.end(), m.group(1).lower()))
+                i += m.end()
+            else:
+                i += 1
     return spans
 
 
@@ -7156,56 +7137,27 @@ def _run_insert_returning(spark: SparkSession, duckdb_sql: str) -> DataFrame | N
 
 
 def _split_statements(script: str) -> list[str]:
-    """Split a script on top-level semicolons — string-literal AND
-    comment aware (a `;` inside `-- …` or `/* … */` is text, not a
-    statement boundary; the vendored PG scanner treats both the same
-    way). Block comments NEST like the PG scanner's (`/* a /* b */ c */`
-    is ONE comment — ADVICE r11). Comments are preserved in the emitted
-    statements — the tokenizer drops them later."""
+    """Split a script on top-level semicolons. Lexical skipping comes
+    from :func:`_sql_segments` (ONE scanner since r12): a `;` inside a
+    string, E-string, quoted identifier, dollar-quoted string, line
+    comment, or (nested) block comment is text, not a boundary — the
+    r12 fuzz caught the previous hand-rolled copy treating a `'` inside
+    `$tag$...$tag$` as a string opener and swallowing the split.
+    Non-code segments are preserved verbatim in the emitted statements —
+    the tokenizer drops comments later."""
     parts: list[str] = []
     buf: list[str] = []
-    in_str = False
-    i = 0
-    n = len(script)
-    while i < n:
-        ch = script[i]
-        if in_str:
-            buf.append(ch)
-            if ch == "'":
-                if i + 1 < n and script[i + 1] == "'":
-                    buf.append("'")
-                    i += 1
-                else:
-                    in_str = False
-        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
-            j = script.find("\n", i)
-            j = n if j == -1 else j
-            buf.append(script[i:j])
-            i = j - 1 if j < n else n - 1
-        elif ch == "/" and i + 1 < n and script[i + 1] == "*":
-            # PG-scanner nesting: depth counts /* and */ pairs
-            depth = 1
-            j = i + 2
-            while j < n and depth:
-                if script[j] == "/" and j + 1 < n and script[j + 1] == "*":
-                    depth += 1
-                    j += 2
-                elif script[j] == "*" and j + 1 < n and script[j + 1] == "/":
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
-            buf.append(script[i:j])
-            i = j - 1
-        elif ch == "'":
-            in_str = True
-            buf.append(ch)
-        elif ch == ";":
+    for kind, a, b in _sql_segments(script):
+        if kind != "code":
+            buf.append(script[a:b])
+            continue
+        seg = script[a:b]
+        while (cut := seg.find(";")) != -1:
+            buf.append(seg[:cut])
             parts.append("".join(buf))
             buf = []
-        else:
-            buf.append(ch)
-        i += 1
+            seg = seg[cut + 1:]
+        buf.append(seg)
     parts.append("".join(buf))
     return [p for p in (x.strip() for x in parts) if p]
 
