@@ -191,6 +191,36 @@ def bench_duckdb(
     return times
 
 
+def _contention_suspects(
+    times: dict[str, float],
+    records: list[tuple[str, dict, set]],
+) -> list[str]:
+    """Contention sanity gate (r10 directive 5, refined r12). Sub-2 s
+    columns swing 2-3× across sessions; a query is flagged when it
+    diverges >2× from its baseline. The baseline per query is the
+    NEWEST committed local record whose OWN contention flag does not
+    name that query (VERDICT r11 wrong #1: r11's record shipped with
+    its flag raised on q5/q6/q9/q10 — diffing a clean run against those
+    columns re-fires the flag forever even though the new numbers agree
+    with the driver record and r10). ``records`` is newest-first
+    ``(basename, q_map, flagged_query_names)``; flagged names may carry
+    a " (vs …)" suffix from this very function — matched by prefix."""
+    suspects = []
+    for n, t in times.items():
+        ref, src = None, None
+        for base, ref_q, flagged in records:
+            if any(f == n or f.startswith(n + " ") for f in flagged):
+                continue
+            if ref_q.get(n, [None])[0] is not None:
+                ref, src = ref_q[n][0], base
+                break
+        if ref is None or not (0 < t < 2.0 or 0 < (ref or 0) < 2.0):
+            continue
+        if t > 0 and ref > 0 and (t / ref > 2.0 or ref / t > 2.0):
+            suspects.append(f"{n} (vs {src})")
+    return suspects
+
+
 def _drop_persisted(spark) -> None:
     """Unpersist every lingering persisted RDD (localCheckpoint blocks from
     the dedup/pipeline queries): without this, ~25 queries × 3 runs of
@@ -497,12 +527,6 @@ def main() -> None:
     )
     if locals_:
         try:
-            # per-query baseline = the NEWEST committed local record whose
-            # OWN contention flag does not name that query (r12, VERDICT
-            # r11 wrong #1: r11's record shipped with its flag raised on
-            # q5/q6/q9/q10 — diffing a clean run against those columns
-            # re-fires the flag forever even though the new numbers agree
-            # with the driver record and r10)
             records = []
             for path in reversed(locals_):
                 with open(path) as fh:
@@ -511,19 +535,7 @@ def main() -> None:
                     (os.path.basename(path), rec.get("q", {}),
                      set((rec.get("contention_suspect") or {}).get("queries", [])))
                 )
-            suspects = []
-            for n, t in times.items():
-                ref, src = None, None
-                for base, ref_q, flagged in records:
-                    if n in flagged:
-                        continue
-                    if ref_q.get(n, [None])[0] is not None:
-                        ref, src = ref_q[n][0], base
-                        break
-                if ref is None or not (0 < t < 2.0 or 0 < (ref or 0) < 2.0):
-                    continue
-                if t > 0 and ref > 0 and (t / ref > 2.0 or ref / t > 2.0):
-                    suspects.append(f"{n} (vs {src})")
+            suspects = _contention_suspects(times, records)
             if suspects:
                 compact["contention_suspect"] = {
                     "vs": os.path.basename(locals_[-1]),

@@ -51,6 +51,31 @@ def test_manifest_is_ordered_and_duplicate_free():
     ]
 
 
+def test_contention_gate_skips_flagged_baselines():
+    """r12 (VERDICT r11 wrong #1): a query's baseline is the newest
+    local record whose own flag does NOT name it — a clean run no
+    longer re-fires against a contaminated predecessor's columns."""
+    times = {"q6_forecast_revenue": 0.20, "q1_pricing_summary": 1.0}
+    records = [
+        # newest record: q6's own column is flagged (with the r12 suffix
+        # form), so it must be skipped as q6's baseline
+        ("BENCH_LOCAL_r11.json",
+         {"q6_forecast_revenue": [0.60], "q1_pricing_summary": [1.1]},
+         {"q6_forecast_revenue (vs BENCH_LOCAL_r10.json)"}),
+        ("BENCH_LOCAL_r10.json",
+         {"q6_forecast_revenue": [0.16], "q1_pricing_summary": [1.0]},
+         set()),
+    ]
+    assert bench._contention_suspects(times, records) == []
+    # a REAL >2x divergence from the clean baseline still fires
+    assert bench._contention_suspects(
+        {"q6_forecast_revenue": 0.70}, records
+    ) == ["q6_forecast_revenue (vs BENCH_LOCAL_r10.json)"]
+    # bare-name flags (pre-r12 records) are honored too
+    records[0] = (records[0][0], records[0][1], {"q6_forecast_revenue"})
+    assert bench._contention_suspects(times, records) == []
+
+
 def test_family_split_covers_manifest():
     """Every headline query maps to a reporting family and the totals
     helper sums covered queries only (bench.py _family/_family_totals)."""
