@@ -6326,6 +6326,45 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
     if handled is not None:
         return handled
 
+    # VACUUM / ANALYZE / VACUUM ANALYZE [table] (vendored PG grammar
+    # VacuumStmt; the reference recomputes table stats and returns an
+    # empty 'Success' result — pinned live). Spark's analog for a real
+    # managed table is ANALYZE TABLE … COMPUTE STATISTICS; temp-view
+    # corpora have no persisted stats object, so the recompute is a
+    # no-op there exactly as DuckDB's is for in-memory tables.
+    if m := re.match(
+        r"^\s*(?:VACUUM(?:\s+ANALYZE)?|ANALYZE)\s*([\w.]+)?\s*;?\s*$",
+        duckdb_sql,
+        re.I,
+    ):
+        target = m.group(1)
+        if target:
+            try:
+                spark.sql(f"ANALYZE TABLE {target} COMPUTE STATISTICS")
+            except Exception:
+                # temp view / external frame: nothing to persist stats on
+                spark.table(target)  # still raise loudly on unknown names
+        return spark.createDataFrame([], "Success string")
+    # USE db[.schema] — DuckDB's default-namespace switch (Success on
+    # main/memory spellings; Catalog Error on unknown — ours raises
+    # Spark's AnalysisException, same loud class)
+    if m := re.match(r"^\s*USE\s+([\w.]+)\s*;?\s*$", duckdb_sql, re.I):
+        target = m.group(1)
+        if target.lower() not in ("main", "memory", "memory.main", "temp",
+                                  "system"):
+            spark.sql(f"USE {target.split('.')[0]}")
+        return spark.createDataFrame([], "Success string")
+    # TRUNCATE [TABLE] t → DELETE FROM t through the DML path (copy-on-
+    # write staging, versioned tables, txn snapshots all apply); DuckDB
+    # returns the deleted row count as a one-row 'Count' result
+    if m := re.match(
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", duckdb_sql, re.I
+    ):
+        target = m.group(1)
+        cnt = spark.table(target).count()
+        sql(spark, f"DELETE FROM {target}")
+        return spark.createDataFrame([(cnt,)], "Count bigint")
+
     if m := re.match(
         r"^\s*(?:SET|RESET)\s+(?:SESSION\s+|GLOBAL\s+)?(\S.*?)\s*;?\s*$",
         duckdb_sql,

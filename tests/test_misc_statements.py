@@ -1,0 +1,79 @@
+"""VACUUM / ANALYZE / TRUNCATE / USE statement forms (r12 surface
+sweep): the vendored PG grammar parses all of them (VacuumStmt,
+TruncateStmt, variable-set USE) and scripted DuckDB workloads emit them;
+each behavior here is differentially pinned against live DuckDB in the
+same test — result SHAPE included (empty 'Success' column for
+VACUUM/ANALYZE/USE, one-row 'Count' for TRUNCATE)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from quackspark import sqlfront
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _shape(df):
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def test_vacuum_analyze_success_shape(spark, duck):
+    sqlfront.sql(spark, "DROP TABLE IF EXISTS ms_t")
+    for ex in (lambda q: sqlfront.sql(spark, q), duck.execute):
+        ex("CREATE TABLE ms_t(i INT)")
+        ex("INSERT INTO ms_t VALUES (1),(2)")
+    for stmt in ("VACUUM", "ANALYZE", "VACUUM ANALYZE", "VACUUM ms_t",
+                 "ANALYZE ms_t", "VACUUM ANALYZE ms_t"):
+        cur = duck.execute(stmt)
+        want = ([d[0] for d in cur.description], cur.fetchall())
+        assert _shape(sqlfront.sql(spark, stmt)) == want, stmt
+    sqlfront.sql(spark, "DROP TABLE ms_t")
+
+
+def test_analyze_unknown_table_raises(spark, duck):
+    with pytest.raises(Exception):
+        duck.execute("ANALYZE ms_nosuch")
+    with pytest.raises(Exception):
+        sqlfront.sql(spark, "ANALYZE ms_nosuch")
+
+
+def test_truncate_returns_deleted_count_and_empties(spark, duck):
+    sqlfront.sql(spark, "DROP TABLE IF EXISTS ms_tr")
+    for ex in (lambda q: sqlfront.sql(spark, q), duck.execute):
+        ex("CREATE TABLE ms_tr(i INT)")
+        ex("INSERT INTO ms_tr VALUES (1),(2),(3)")
+    cur = duck.execute("TRUNCATE ms_tr")
+    want = ([d[0] for d in cur.description], cur.fetchall())
+    got = _shape(sqlfront.sql(spark, "TRUNCATE ms_tr"))
+    assert got == want == (["Count"], [(3,)])
+    assert sqlfront.sql(spark, "SELECT count(*) AS c FROM ms_tr").collect()[0][0] == 0
+    assert duck.execute("SELECT count(*) FROM ms_tr").fetchall() == [(0,)]
+    # TRUNCATE TABLE spelling; second truncate counts 0
+    for ex in (lambda q: sqlfront.sql(spark, q), duck.execute):
+        ex("TRUNCATE TABLE ms_tr")
+    # table usable after truncate
+    for ex in (lambda q: sqlfront.sql(spark, q), duck.execute):
+        ex("INSERT INTO ms_tr VALUES (9)")
+    assert sqlfront.sql(spark, "SELECT i FROM ms_tr").collect()[0][0] == 9
+    sqlfront.sql(spark, "DROP TABLE ms_tr")
+
+
+def test_use_main_is_success_noop(spark, duck):
+    for stmt in ("USE main", "USE memory", "USE memory.main"):
+        cur = duck.execute(stmt)
+        want = ([d[0] for d in cur.description], cur.fetchall())
+        assert _shape(sqlfront.sql(spark, stmt)) == want, stmt
+
+
+def test_use_unknown_raises_loudly(spark, duck):
+    with pytest.raises(Exception, match="(?i)catalog|schema"):
+        duck.execute("USE ms_nosuch_db")
+    with pytest.raises(Exception, match="(?i)catalog|schema|database"):
+        sqlfront.sql(spark, "USE ms_nosuch_db")
