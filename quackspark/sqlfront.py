@@ -6345,6 +6345,11 @@ def _run_statement(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
                 # temp view / external frame: nothing to persist stats on
                 spark.table(target)  # still raise loudly on unknown names
         return spark.createDataFrame([], "Success string")
+    # CALL fn(args) — DuckDB's statement spelling for running a table
+    # function (vendored PG CallStmt); same resolution as FROM-position
+    if m := re.match(r"^\s*CALL\s+(\w+\s*\(.*\))\s*;?\s*$", duckdb_sql,
+                     re.I | re.DOTALL):
+        return sql(spark, f"SELECT * FROM {m.group(1)}")
     # USE db[.schema] — DuckDB's default-namespace switch (Success on
     # main/memory spellings; Catalog Error on unknown — ours raises
     # Spark's AnalysisException, same loud class)
@@ -7201,6 +7206,67 @@ def _split_statements(script: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+#: zero-arg catalog table functions usable in FROM position (reference
+#: registers them as real table functions, duckdb-6.cpp:14150-14176; the
+#: PRAGMA and SHOW statement spellings already reach the same helpers)
+_CATALOG_TVFS = (
+    "duckdb_tables",
+    "duckdb_views",
+    "duckdb_schemas",
+    "duckdb_sequences",
+    "duckdb_functions",
+    "duckdb_constraints",
+)
+
+
+def _rewrite_catalog_tablefns(spark: SparkSession, sql_text: str) -> str:
+    """Replacement scan for catalog table functions in query position —
+    `SELECT … FROM duckdb_tables()` / `FROM pragma_table_info('t')`
+    (r12; previously only the PRAGMA/SHOW statement spellings worked).
+    Each mention materializes the catalog helper's (small, metadata-
+    sized) result into a temp view and the call text is substituted with
+    the view name; only code segments are rewritten, so the names inside
+    strings or comments stay text."""
+    low = sql_text.lower()
+    if "duckdb_" not in low and "pragma_table_info" not in low:
+        return sql_text
+    from quackspark import catalog as _cat
+
+    # a match counts only when the FUNCTION NAME sits in a code segment
+    # (the call's string argument is its own segment, and a name inside
+    # a string literal or comment must stay text)
+    code = [(a, b) for kind, a, b in _sql_segments(sql_text) if kind == "code"]
+
+    def _in_code(pos: int) -> bool:
+        return any(a <= pos < b for a, b in code)
+
+    n_pti = 0
+    edits: list[tuple[int, int, str]] = []
+    for m in re.finditer(
+        r"\b(" + "|".join(_CATALOG_TVFS) + r")\s*\(\s*\)", sql_text, re.I
+    ):
+        if not _in_code(m.start()):
+            continue
+        name = m.group(1).lower()
+        view = f"__qs_tvf_{name}"
+        getattr(_cat, name)(spark).createOrReplaceTempView(view)
+        edits.append((m.start(), m.end(), view))
+    for m in re.finditer(
+        r"\bpragma_table_info\s*\(\s*'((?:[^']|'')*)'\s*\)", sql_text, re.I
+    ):
+        if not _in_code(m.start()):
+            continue
+        n_pti += 1
+        view = f"__qs_tvf_pti_{n_pti}"
+        _cat.pragma_table_info(
+            spark, m.group(1).replace("''", "'")
+        ).createOrReplaceTempView(view)
+        edits.append((m.start(), m.end(), view))
+    for start, end, view in sorted(edits, reverse=True):
+        sql_text = f"{sql_text[:start]}{view}{sql_text[end:]}"
+    return sql_text
+
+
 def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
     """Entry point A: run DuckDB-dialect SQL on Spark. Multi-statement
     scripts run sequentially; the last statement's result is returned
@@ -7251,6 +7317,7 @@ def sql(spark: SparkSession, duckdb_sql: str) -> DataFrame:
         handled = _run_unpivot(spark, duckdb_sql)
     if handled is not None:
         return handled
+    duckdb_sql = _rewrite_catalog_tablefns(spark, duckdb_sql)
     df = spark.sql(transpile(duckdb_sql, spark))
     if _PENDING_SEQ:
         # a sequence was consumed: count the statement's rows (one extra

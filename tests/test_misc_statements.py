@@ -77,3 +77,50 @@ def test_use_unknown_raises_loudly(spark, duck):
         duck.execute("USE ms_nosuch_db")
     with pytest.raises(Exception, match="(?i)catalog|schema|database"):
         sqlfront.sql(spark, "USE ms_nosuch_db")
+
+
+# --- CALL + catalog table functions in FROM position (r12) ---------------
+
+
+def test_call_range_matches_duckdb(spark, duck):
+    cur = duck.execute("CALL range(3)")
+    want = ([d[0] for d in cur.description], cur.fetchall())
+    assert _shape(sqlfront.sql(spark, "CALL range(3)")) == want
+
+
+def test_pragma_table_info_from_position(spark, duck):
+    """Column names and ordinals must agree with DuckDB for a table
+    created through both frontends (type SPELLINGS differ by engine —
+    the reference prints INTEGER where Spark says int — so the
+    differential is on name/cid, the join-stable columns)."""
+    sqlfront.sql(spark, "DROP TABLE IF EXISTS ms_pti")
+    for ex in (lambda q: sqlfront.sql(spark, q), duck.execute):
+        ex("CREATE TABLE ms_pti(a INT, b VARCHAR, c DOUBLE)")
+    q = "SELECT cid, name FROM pragma_table_info('ms_pti') ORDER BY cid"
+    assert [tuple(r) for r in sqlfront.sql(spark, q).collect()] == duck.execute(
+        q
+    ).fetchall()
+    # CALL spelling reaches the same helper
+    got = sqlfront.sql(spark, "CALL pragma_table_info('ms_pti')")
+    assert [r["name"] for r in got.collect()] == ["a", "b", "c"]
+    sqlfront.sql(spark, "DROP TABLE ms_pti")
+
+
+def test_duckdb_tables_from_position(spark, duck):
+    sqlfront.sql(spark, "DROP TABLE IF EXISTS ms_cat")
+    for ex in (lambda q: sqlfront.sql(spark, q), duck.execute):
+        ex("CREATE TABLE ms_cat(x INT)")
+    q = ("SELECT table_name FROM duckdb_tables() "
+         "WHERE table_name = 'ms_cat'")
+    assert [tuple(r) for r in sqlfront.sql(spark, q).collect()] == duck.execute(
+        q
+    ).fetchall() == [("ms_cat",)]
+    sqlfront.sql(spark, "DROP TABLE ms_cat")
+
+
+def test_catalog_tvf_name_inside_string_stays_text(spark):
+    got = sqlfront.sql(
+        spark, "SELECT 'duckdb_tables()' AS s, len('pragma_table_info(''x'')') AS l"
+    ).collect()[0]
+    assert got["s"] == "duckdb_tables()"
+    assert got["l"] == len("pragma_table_info('x')")
