@@ -151,6 +151,12 @@ class Gen:
         return ", ".join(parts)
 
     def statement(self) -> str:
+        # rare full reset: TRUNCATE (r12 statement form — routes through
+        # the DML DELETE path on our side, native TruncateStmt on
+        # DuckDB's; state-diffed like every other mutation). Kept rare so
+        # episodes aren't mostly empty tables.
+        if self.r.random() < 0.02:
+            return f"TRUNCATE{' TABLE' if self.r.random() < 0.5 else ''} fz"
         form = self.r.randrange(20)
         if form < 5:  # plain INSERT — mostly fresh PKs, sometimes reused
             if self.r.random() < 0.3:  # partial column list → DEFAULT/NULL fill
