@@ -3968,6 +3968,15 @@ def _rewrite_current_setting(
             if spark is None:
                 raise UnsupportedSQL("current_setting needs a live session")
             key = _str_val(toks[i + 2])
+            # DuckDB setting names map onto the session's equivalents
+            # (threads is a BIGINT in the reference — inline unquoted)
+            kl = key.lower()
+            if kl == "threads":
+                out.append(str(spark.sparkContext.defaultParallelism))
+                i += 4
+                continue
+            if kl in ("timezone", "time_zone"):
+                key = "spark.sql.session.timeZone"
             try:
                 val = spark.conf.get(key)
             except Exception:

@@ -124,3 +124,20 @@ def test_catalog_tvf_name_inside_string_stays_text(spark):
     ).collect()[0]
     assert got["s"] == "duckdb_tables()"
     assert got["l"] == len("pragma_table_info('x')")
+
+
+def test_current_setting_duckdb_keys(spark, duck):
+    """DuckDB setting names resolve through the session equivalents:
+    threads is a number (the session's parallelism), TimeZone the
+    session timezone string — the reference types threads as BIGINT
+    (pinned live), so the inlined literal is unquoted."""
+    row = sqlfront.sql(
+        spark,
+        "SELECT current_setting('threads') AS th, "
+        "current_setting('TimeZone') AS tz",
+    ).collect()[0]
+    assert row["th"] == spark.sparkContext.defaultParallelism
+    assert row["tz"] == spark.conf.get("spark.sql.session.timeZone")
+    # duckdb's threads is numeric too
+    (dth,) = duck.execute("SELECT current_setting('threads')").fetchone()
+    assert isinstance(dth, int)
