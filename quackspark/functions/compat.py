@@ -464,3 +464,77 @@ def time_tz_to_utc_micros(ttz: Column) -> Column:
         ttz.getField("micros")
         - ttz.getField("offset_s").cast("long") * 1_000_000
     )
+
+
+# --- r12 function-surface sweep additions (tools/fn_surface_sweep.py) ---
+
+def regexp_replace_duck_py(re_mod, s, pat, rep, flags):
+    """DuckDB regexp_replace semantics (RE2::Replace, duckdb-6.cpp): the
+    DEFAULT replaces only the FIRST match; the 'g' option makes it global.
+    Options (reference option parser): 'i' case-insensitive, 'c'
+    case-sensitive, 'l' literal, 's'/'p'/'n' newline modes, 'g' global.
+    Replacement references use RE2's \\1 form = Python's — pass through."""
+    if s is None or pat is None or rep is None:
+        return None
+    flags = flags or ""
+    f = 0
+    if "i" in flags:
+        f |= re_mod.IGNORECASE
+    if "s" in flags:
+        f |= re_mod.DOTALL
+    if "l" in flags:
+        pat = re_mod.escape(pat)
+        rep = rep.replace("\\", "\\\\")
+    count = 0 if "g" in flags else 1
+    return re_mod.sub(pat, rep, s, count=count, flags=f)
+
+
+def json_contains_py(haystack, needle):
+    """DuckDB json_contains(haystack, needle) (duckdb json extension,
+    yyjson-backed): true when the needle JSON value is CONTAINED in the
+    haystack — deep equality at any node, object containment (every
+    needle key/value present), or array subset (every needle element
+    contained in some haystack element). Verified against the oracle:
+    contains('{"a":{"b":7}}','{"b":7}') → true;
+    contains('[1,2,3]','[3,1]') → true; contains('{"a":1}','"a"') →
+    false (keys alone never match)."""
+    import json as _json
+
+    if haystack is None or needle is None:
+        return None
+    try:
+        h = _json.loads(haystack)
+        n = _json.loads(needle)
+    except Exception:
+        return False
+
+    def eq(a, b):
+        if isinstance(a, bool) or isinstance(b, bool):
+            return a is b
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return float(a) == float(b)
+        return type(a) is type(b) and a == b
+
+    def match_here(a, b):
+        if isinstance(b, dict):
+            return isinstance(a, dict) and all(
+                k in a and match_here(a[k], v) for k, v in b.items()
+            )
+        if isinstance(b, list):
+            if isinstance(a, list):
+                return all(any(match_here(x, v) for x in a) for v in b)
+            return False
+        if isinstance(a, (dict, list)):
+            return False
+        return eq(a, b)
+
+    def walk(a):
+        if match_here(a, n):
+            return True
+        if isinstance(a, dict):
+            return any(walk(v) for v in a.values())
+        if isinstance(a, list):
+            return any(walk(v) for v in a)
+        return False
+
+    return walk(h)

@@ -43,8 +43,21 @@ _C2J = {
 _UNSUPPORTED = {"%G", "%V", "%U", "%W", "%u", "%w", "%C"}
 
 
-def translate_format(c_fmt: str) -> str:
-    """Translate a C strftime format string to a Java pattern."""
+#: parse-direction overrides: C strptime directives accept UNPADDED digits
+#: ('%m' parses '3' and '03'); Java's doubled letters are width-strict, the
+#: single letters are lenient. Formatting keeps the padded doubles.
+_C2J_PARSE = {
+    "%Y": "y", "%m": "M", "%d": "d", "%H": "H", "%I": "h",
+    "%M": "m", "%S": "s", "%j": "D",
+}
+
+
+def translate_format(c_fmt: str, parse: bool = False) -> str:
+    """Translate a C strftime format string to a Java pattern.
+
+    ``parse=True`` targets to_timestamp/strptime: lenient single-letter
+    fields that accept unpadded digits like C strptime does (oracle:
+    strptime('05 3', '%d %m') parses)."""
     out: list[str] = []
     lit: list[str] = []
 
@@ -65,7 +78,8 @@ def translate_format(c_fmt: str) -> str:
                 lit.append("%")
             elif tok in _C2J:
                 flush_literal()
-                out.append(_C2J[tok])
+                out.append(_C2J_PARSE[tok] if parse and tok in _C2J_PARSE
+                           else _C2J[tok])
             elif tok in _UNSUPPORTED:
                 raise ValueError(
                     f"unsupported strftime directive {tok!r}: no Spark "
@@ -92,4 +106,4 @@ def strftime_spark(ts: Column | str, c_fmt: str) -> Column:
 def strptime_spark(s: Column | str, c_fmt: str) -> Column:
     """DuckDB strptime(str, fmt) → TimestampType."""
     s = F.col(s) if isinstance(s, str) else s
-    return F.to_timestamp(s, translate_format(c_fmt))
+    return F.to_timestamp(s, translate_format(c_fmt, parse=True))

@@ -355,6 +355,75 @@ def misc_prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlfront.sql(spark, _PREPARED_SCRIPT)
 
 
+_FN_SURFACE_SQL = """
+    SELECT n_nationkey,
+           gamma(n_nationkey % 6 + 1.0)                      AS g,
+           regexp_replace(n_name, 'N', 'x')                  AS first_only,
+           strptime('05 ' || CAST(n_regionkey + 1 AS VARCHAR), '%d %m')
+                                                             AS base1900,
+           bin(n_nationkey)                                  AS bits,
+           json_contains('{"k": [1,2,3]}',
+                         CAST(n_regionkey AS VARCHAR))       AS jc,
+           json_object('key', n_name, 'num', n_nationkey)    AS jo,
+           parse_dirname(n_name)                             AS pd,
+           greatest(n_nationkey)                             AS g1
+    FROM nation ORDER BY n_nationkey
+"""
+
+
+def misc_fn_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 function-surface sweep fixes exercised over a table
+    (first-match-only regexp_replace, strptime's 1900 base year,
+    json_contains/json_object, parse_dirname, 1-arg greatest; gamma on
+    integer points where libm values are exactly representable — the
+    fractional gamma/lgamma paths are pinned with rounding in
+    tests/test_fn_surface.py because python and duckdb libm differ in
+    the last ULP) — the oracle runs the identical text, so every value
+    is hash-pinned by the driver (tools/fn_surface_sweep.py is the
+    generator that found these)."""
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return sqlfront.sql(spark, _FN_SURFACE_SQL)
+
+
+_STAR_REPLACE_SQL = """
+    SELECT * REPLACE (upper(n_name) AS n_name,
+                      n_regionkey * 10 + 1 AS n_regionkey)
+    FROM nation ORDER BY n_nationkey
+"""
+
+_COLUMNS_EXPR_SQL = """
+    SELECT n_regionkey, min(COLUMNS('n_n.*')) FROM nation
+    GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def misc_star_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`* REPLACE (expr AS col, …)` star modifier (reference:
+    StarExpression replace_list, duckdb-internal.hpp) — r12 upgrade keeps
+    each replaced column at its ORIGINAL ordinal position by expanding
+    the star against the resolved table schema (tests/test_star_columns.py
+    pins the ordinals; this parity entry pins the values)."""
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return sqlfront.sql(spark, _STAR_REPLACE_SQL)
+
+
+def misc_columns_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNS('regex') star expression replicated through an ENCLOSING
+    aggregate — `min(COLUMNS('n_n.*'))` → one min per matched column,
+    each output named after the matched column like the reference."""
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return sqlfront.sql(spark, _COLUMNS_EXPR_SQL)
+
+
 def misc_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`DESCRIBE documents` statement form (r10 verdict missing #1; the
     vendored PG grammar maps DESCRIBE/SHOW onto the show/table_info
@@ -371,6 +440,9 @@ def misc_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "misc_prepared_execute": misc_prepared_execute,
+    "misc_star_replace": misc_star_replace,
+    "misc_columns_expr": misc_columns_expr,
+    "misc_fn_surface": misc_fn_surface,
     "misc_describe_table": misc_describe_table,
     "misc_commitlog_timetravel": misc_commitlog_timetravel,
     "misc_explain_analyze_metrics": misc_explain_analyze_metrics,
@@ -394,6 +466,11 @@ ORACLES = {
     # oracle TEXT through sqlfront too, and the row order is irrelevant
     # (the compare/driver hash sorts rows)
     "misc_describe_table": "DESCRIBE documents",
+    # both star-modifier oracles are the identical DuckDB text — the
+    # corpus round-trip also re-runs them through sqlfront
+    "misc_star_replace": _STAR_REPLACE_SQL,
+    "misc_columns_expr": _COLUMNS_EXPR_SQL,
+    "misc_fn_surface": _FN_SURFACE_SQL,
     # the whole PREPARE+EXECUTE script is the oracle text — DuckDB runs
     # it through its own prepared-statement machinery
     "misc_prepared_execute": _PREPARED_SCRIPT,

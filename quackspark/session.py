@@ -214,6 +214,47 @@ def _register_compat_udfs(spark: SparkSession) -> None:
             ]
         )
 
+    @F.pandas_udf("double")
+    def _gamma(x):
+        def g(v):
+            if v is None:
+                return None
+            try:
+                return math.gamma(float(v))
+            except ValueError:  # poles at 0, -1, -2, …
+                return None
+        return pd.Series([g(v) for v in x])
+
+    @F.pandas_udf("double")
+    def _lgamma(x):
+        def g(v):
+            if v is None:
+                return None
+            try:
+                return math.lgamma(float(v))
+            except ValueError:
+                return None
+        return pd.Series([g(v) for v in x])
+
+    @F.pandas_udf("string")
+    def _re_once(s, pat, rep, flags):
+        import re as _re
+
+        from quackspark.functions.compat import regexp_replace_duck_py
+
+        return pd.Series(
+            [regexp_replace_duck_py(_re, a, p, r, f)
+             for a, p, r, f in zip(s, pat, rep, flags)]
+        )
+
+    @F.pandas_udf("boolean")
+    def _json_contains(h, n):
+        from quackspark.functions.compat import json_contains_py
+
+        return pd.Series(
+            [json_contains_py(a, b) for a, b in zip(h, n)], dtype="object"
+        )
+
     spark.udf.register("jaro_winkler_similarity", _jw)
     spark.udf.register("jaro_similarity", _jaro)
     spark.udf.register("gcd", _gcd)
@@ -221,6 +262,10 @@ def _register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("damerau_levenshtein", _dl)
     spark.udf.register("qs_nfc_normalize", _nfc)
     spark.udf.register("qs_nextafter", _nextafter)
+    spark.udf.register("qs_gamma", _gamma)
+    spark.udf.register("qs_lgamma", _lgamma)
+    spark.udf.register("qs_regexp_once", _re_once)
+    spark.udf.register("qs_json_contains", _json_contains)
     _UDFS_REGISTERED.add(id(spark))
 
 

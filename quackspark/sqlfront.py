@@ -273,6 +273,25 @@ def _find_call_end(toks: list[str], open_idx: int) -> int:
     raise UnsupportedSQL("unbalanced parentheses")
 
 
+def _enclosing_call_name(out: list[str]) -> int | None:
+    """Index in ``out`` of the function-name token of the innermost
+    still-open call, or None. Used by carrier rewrites to retarget an
+    enclosing extraction function when a typed carrier replaces its
+    argument (e.g. microsecond(TIME '…') → the µs-of-minute form)."""
+    d = 0
+    for k in range(len(out) - 1, -1, -1):
+        t = out[k]
+        if t == ")":
+            d += 1
+        elif t == "(":
+            if d == 0:
+                if k > 0 and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", out[k - 1]):
+                    return k - 1
+                return None
+            d -= 1
+    return None
+
+
 def _split_args(toks: list[str]) -> list[list[str]]:
     """Split the token span inside a call into top-level comma args."""
     args: list[list[str]] = [[]]
@@ -471,16 +490,32 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         args = [args[0]] + [[_posix_regex(t) for t in a] for a in args[1:]]
 
     if low in ("strftime", "date_format"):
-        # strftime(ts, '%Y-%m-%d') — translate C directives if present
-        if len(args) == 2 and _is_string(args[1][0]) and "%" in args[1][0]:
+        # strftime(ts, '%Y-%m-%d') — C format, ALWAYS translated (a
+        # no-directive format is pure literal text and must be quoted or
+        # its letters misfire as Java pattern letters); DuckDB also binds
+        # the reversed (format, ts) overload — detect a literal-string
+        # first arg and swap. date_format keeps Java semantics unless C
+        # directives are present.
+        if low == "strftime" and len(args) == 2 and _is_string(args[0][0]) \
+                and len(args[0]) == 1 and not _is_string(args[1][0]):
+            args = [args[1], args[0]]
+        if len(args) == 2 and _is_string(args[1][0]) and len(args[1]) == 1 \
+                and (low == "strftime" or "%" in args[1][0]):
             fmt = _quote(translate_format(_str_val(args[1][0])))
             return _tokens(f"date_format({j(args[0])}, {fmt})")
         return _tokens(f"date_format({j(args[0])}, {j(args[1])})")
     if low == "strptime":
         fmt = args[1][0]
-        if _is_string(fmt) and "%" in fmt:
-            fmt = _quote(translate_format(_str_val(fmt)))
-        return _tokens(f"to_timestamp({j(args[0])}, {fmt})")
+        shift = ""
+        if _is_string(fmt) and len(args[1]) == 1:
+            raw = _str_val(fmt)
+            fmt = _quote(translate_format(raw, parse=True))
+            if "%y" not in raw.lower():
+                # C strptime's missing-field base year is 1900; Spark's
+                # to_timestamp defaults to 1970 (oracle:
+                # strptime('03','%m') = 1900-03-01)
+                shift = " - INTERVAL '70' YEAR"
+        return _tokens(f"(to_timestamp({j(args[0])}, {fmt}){shift})")
     if low == "regexp_matches":
         if len(args) == 3:
             pat = _regex_with_flags(args[1], args[2], allow_global=False)
@@ -488,15 +523,23 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         return _tokens(f"({j(args[0])} RLIKE {j(args[1])})")
     if low == "regexp_replace":
         # DuckDB default replaces the FIRST match; Spark regexp_replace is
-        # always global. Require the 'g' flag rather than mis-translate.
+        # always global. 'g'-flagged stays on the codegen'd JVM builtin;
+        # the first-only default (and odd flag mixes) route through the
+        # Arrow-batched qs_regexp_once kernel (re.sub count=1 — RE2's \1
+        # replacement references are Python's, session.py registration).
         if len(args) == 4:
             pat = _regex_with_flags(args[1], args[3], allow_global=True)
             if pat is not None:
                 return _tokens(f"regexp_replace({j(args[0])}, {pat}, {j(args[2])})")
-        raise UnsupportedSQL(
-            "regexp_replace without the 'g' flag replaces only the first "
-            "match in DuckDB; Spark has no first-only mode — add 'g'"
-        )
+            return _tokens(
+                f"qs_regexp_once({j(args[0])}, {j(args[1])}, "
+                f"{j(args[2])}, {j(args[3])})"
+            )
+        if len(args) == 3:
+            return _tokens(
+                f"qs_regexp_once({j(args[0])}, {j(args[1])}, {j(args[2])}, '')"
+            )
+        raise UnsupportedSQL("regexp_replace takes 3 or 4 arguments")
     if low == "regexp_full_match":
         if _is_string(args[1][0]):
             pat = _quote("^(?:" + _str_val(args[1][0]) + ")$")
@@ -624,9 +667,13 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         return _tokens("CAST(0 AS BIGINT)")
     if low == "try_strptime" and len(args) == 2:
         fmt = args[1][0]
-        if _is_string(fmt) and "%" in fmt:
-            fmt = _quote(translate_format(_str_val(fmt)))
-        return _tokens(f"try_to_timestamp({j(args[0])}, {fmt})")
+        shift = ""
+        if _is_string(fmt) and len(args[1]) == 1:
+            raw = _str_val(fmt)
+            fmt = _quote(translate_format(raw, parse=True))
+            if "%y" not in raw.lower():
+                shift = " - INTERVAL '70' YEAR"  # 1900 base, see strptime
+        return _tokens(f"(try_to_timestamp({j(args[0])}, {fmt}){shift})")
     if low == "signbit" and len(args) == 1:
         # string probe catches -0.0, which `< 0` cannot
         return _tokens(f"(CAST(({j(args[0])}) AS STRING) LIKE '-%')")
@@ -675,10 +722,19 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
             return _tokens(f"regexp_replace({base}, '[.][^.]*$', '')")
         return _tokens(base)
     if low == "parse_dirpath" and len(args) == 1:
+        # no separator at all → '' (oracle: parse_dirpath('abc') = '')
         p = j(args[0])
-        return _tokens(f"regexp_replace({p}, '[/\\\\\\\\][^/\\\\\\\\]*$', '')")
+        return _tokens(
+            f"CASE WHEN ({p}) RLIKE '[/\\\\\\\\]' THEN "
+            f"regexp_replace({p}, '[/\\\\\\\\][^/\\\\\\\\]*$', '') "
+            f"ELSE '' END"
+        )
     if low == "parse_dirname" and len(args) == 1:
-        return _tokens(f"element_at({_parse_path_sql(j(args[0]))}, 1)")
+        p = j(args[0])
+        return _tokens(
+            f"CASE WHEN ({p}) RLIKE '[/\\\\\\\\]' THEN "
+            f"element_at({_parse_path_sql(p)}, 1) ELSE '' END"
+        )
     if low == "formatreadablesize" and len(args) == 1:
         return _tokens(_format_bytes_sql(j(args[0])))
     if low == "formatreadabledecimalsize" and len(args) == 1:
@@ -717,7 +773,17 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
         # and strip the outer brackets (exact for any payload)
         w = f"to_json(array({j(args[0])}))"
         return _tokens(f"substr({w}, 2, length({w}) - 2)")
+    if low == "json_object" and not args:
+        return _tokens("'{}'")
     if low == "json_object" and args and len(args) % 2 == 0:
+        # literal keys → named_struct so each value KEEPS its own type
+        # ({"a":1,"b":"x"}; a map would coerce 1 to "1" — r12 fn sweep);
+        # computed keys keep the map form (values must share a type)
+        if all(len(k) == 1 and _is_string(k[0]) for k in args[::2]):
+            pairs = ", ".join(
+                f"{k[0]}, {j(v)}" for k, v in zip(args[::2], args[1::2])
+            )
+            return _tokens(f"to_json(named_struct({pairs}))")
         return _tokens(f"to_json(map({', '.join(j(a) for a in args)}))")
     if low == "json_group_object" and len(args) == 2:
         return _tokens(
@@ -1288,10 +1354,28 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         )
     if low == "json_extract_string" and len(args) == 2:
         p = args[1]
+        if args[0] and args[0][0].lower() in ("named_struct", "map", "struct"):
+            # a JSON-cast literal became a struct (struct_json_casts) —
+            # re-serialize so get_json_object sees JSON text
+            args = [_tokens(f"to_json({j(args[0])})"), p]
         if _is_string(p[0]) and len(p) == 1 and not _str_val(p[0]).startswith("$"):
             return _tokens(
                 f"get_json_object({j(args[0])}, {_quote('$.' + _str_val(p[0]))})"
             )
+        if p and p[0].lower() == "array" and len(p) > 1 and p[1] == "(":
+            # list-of-paths overload: one extraction per path, as a LIST
+            items = _split_args(p[2:-1])
+            if all(len(it) == 1 and _is_string(it[0]) for it in items):
+                x = j(args[0])
+                parts = ", ".join(
+                    f"get_json_object({x}, "
+                    + (_quote("$." + _str_val(it[0]))
+                       if not _str_val(it[0]).startswith("$")
+                       else it[0])
+                    + ")"
+                    for it in items
+                )
+                return _tokens(f"array({parts})")
         return _tokens(f"get_json_object({j(args[0])}, {j(p)})")
     if low == "json_extract" and len(args) == 2:
         raise UnsupportedSQL(
@@ -1565,6 +1649,8 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         x = j(args[0])
         return _tokens(f"CAST(sign(({x})) * 2 * ceil(abs(({x})) / 2) AS DOUBLE)")
     if low == "bar":
+        if len(args) == 3:  # reference default width (oracle-verified: 80)
+            args = args + [["80"]]
         x, mn, mx, w = (j(a) for a in args)
         frac = f"least(greatest((({x}) - ({mn})) / (({mx}) - ({mn})), 0.0), 1.0)"
         nfull = f"CAST(floor({frac} * ({w})) AS INT)"
@@ -1577,10 +1663,126 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             f"translate({j(args[0])}, {_quote(_ACCENTS_FROM)}, {_quote(_ACCENTS_TO)})"
         )
     if low in ("gamma", "lgamma"):
-        # integer-argument form via factorial: Γ(n) = (n-1)! — same
-        # composition as queries/maths (oracle-matched there)
-        x = f"CAST(factorial(CAST(({j(args[0])}) AS INT) - 1) AS DOUBLE)"
-        return _tokens(x if low == "gamma" else f"log({x})")
+        # real-valued Γ via the Arrow-batched math.gamma/lgamma kernel
+        # (session.py qs_gamma/qs_lgamma — libm, same as the reference's
+        # call). The old factorial composition was integer-only and
+        # silently wrong for fractional inputs (r12 fn-surface sweep).
+        return _tokens(f"qs_{low}(CAST(({j(args[0])}) AS DOUBLE))")
+    # --- r12 function-surface sweep batch (tools/fn_surface_sweep.py) ---
+    if low in ("add", "subtract") and len(args) == 1:
+        # unary overloads: add(x) = +x, subtract(x) = -x (the 2-arg
+        # operator forms are in _emit_call)
+        return _tokens(f"({'-' if low == 'subtract' else ''}({j(args[0])}))")
+    if low == "timezone" and len(args) == 1:
+        # offset-seconds extraction — 0 under the UTC-pinned session (the
+        # timezone_hour/timezone_minute convention in _emit_call)
+        return _tokens("CAST(0 AS BIGINT)")
+    if low == "era" and len(args) == 1:
+        # 1 = AD/CE, 0 = BC/BCE (proleptic year <= 0)
+        return _tokens(
+            f"(CASE WHEN year({j(args[0])}) > 0 THEN 1 ELSE 0 END)"
+        )
+    if low in ("greatest", "least") and len(args) == 1:
+        # DuckDB binds the 1-arg form (identity); Spark requires >= 2
+        return _tokens(f"({j(args[0])})")
+    if (low in ("list_element", "list_extract", "array_extract")
+            and len(args) == 2 and len(args[0]) == 1
+            and _is_string(args[0][0])):
+        # VARCHAR overload: 1-based character pick, '' out of range,
+        # negative from the end (duck: list_element('abc', -1) = 'c')
+        return _tokens(f"substr({args[0][0]}, {j(args[1])}, 1)")
+    if low == "timezone" and len(args) == 2:
+        # function spelling of AT TIME ZONE (same dispatch convention as
+        # _rewrite_at_time_zone): NTZ input → instant (to_utc); an input
+        # that is already an instant-producing conversion (to_utc / the
+        # from_utc identity the TIMESTAMPTZ literal pass emits) → wall
+        # clock in tz (from_utc)
+        head = next((t.lower() for t in args[1] if t != "("), "")
+        fn = (
+            "from_utc_timestamp"
+            if head in ("to_utc_timestamp", "from_utc_timestamp")
+            else "to_utc_timestamp"
+        )
+        return _tokens(f"{fn}({j(args[1])}, {j(args[0])})")
+    if low == "make_timestamp" and len(args) == 1:
+        # single-arg overload: µs since epoch (duckdb-5.cpp MakeTimestamp)
+        return _tokens(f"timestamp_micros(CAST(({j(args[0])}) AS BIGINT))")
+    if low == "make_time" and len(args) == 3:
+        # TIME carrier (µs since midnight) — same physical value as the
+        # CAST(x AS TIME) carrier in _rewrite_time_carriers
+        h, m, s = (j(a) for a in args)
+        return _tokens(
+            f"(CAST(({h}) AS BIGINT) * 3600000000 + "
+            f"CAST(({m}) AS BIGINT) * 60000000 + "
+            f"CAST(round(({s}) * 1000000) AS BIGINT))"
+        )
+    if low == "json_array_length" and len(args) == 1:
+        # DuckDB: 0 for any non-array JSON value, NULL only for NULL input
+        x = j(args[0])
+        return _tokens(
+            f"CASE WHEN ({x}) IS NULL THEN NULL "
+            f"ELSE coalesce(json_array_length({x}), 0) END"
+        )
+    if low == "json_contains" and len(args) == 2:
+        return _tokens(
+            f"qs_json_contains(CAST({j(args[0])} AS STRING), "
+            f"CAST({j(args[1])} AS STRING))"
+        )
+    if low in ("to_binary", "from_binary", "bin"):
+        if low == "from_binary" and len(args) == 1:
+            # '0'/'1' bitstring → BLOB, 8 bits per byte
+            x = j(args[0])
+            return _tokens(
+                f"unhex(CASE WHEN length({x}) < 8 THEN '' ELSE "
+                f"array_join(transform(sequence(1, length({x}) div 8), "
+                f"qs_i -> lpad(conv(substring({x}, (qs_i - 1) * 8 + 1, 8), "
+                f"2, 16), 2, '0')), '') END)"
+            )
+        if low in ("to_binary", "bin") and len(args) == 1 and args[0] \
+                and _is_string(args[0][0]) and len(args[0]) == 1:
+            # string input → the bitstring of its bytes (DuckDB binds the
+            # VARCHAR overload of bin/to_binary); numeric inputs keep
+            # Spark's bin. Only literal strings are statically typed here.
+            x = f"CAST({args[0][0]} AS BINARY)"
+            return _tokens(
+                f"CASE WHEN octet_length({x}) = 0 THEN '' ELSE "
+                f"array_join(transform(sequence(1, octet_length({x})), "
+                f"qs_i -> lpad(conv(hex(substring({x}, qs_i, 1)), 16, 2), "
+                f"8, '0')), '') END"
+            )
+        if low == "to_binary":
+            return _tokens(f"bin({j(args[0])})")
+        return None  # plain bin: fall through to passthrough
+    if low in ("stats", "vector_type", "json_serialize_sql",
+               "json_serialize_plan", "json_deserialize_sql",
+               "timetz_byte_comparable", "unpivot_list"):
+        raise UnsupportedSQL(
+            f"{low}: engine-introspection/debug function with no Spark "
+            "analog (reference duckdb-6.cpp function catalog)"
+        )
+    if low == "__qs_bitlen" and len(args) == 1:
+        return _tokens(f"length({j(args[0])})")
+    if low == "__qs_bitcount" and len(args) == 1:
+        return _tokens(
+            f"CAST(length(regexp_replace({j(args[0])}, '0', '')) AS BIGINT)"
+        )
+    if low == "__qs_bitoctet" and len(args) == 1:
+        return _tokens(
+            f"CAST(ceil(length({j(args[0])}) / 8.0) AS BIGINT)"
+        )
+    if low.startswith("__qs_time_") and len(args) == 1:
+        c = f"({j(args[0])})"
+        unit = low[len("__qs_time_"):]
+        forms = {
+            "hour": f"CAST(floor({c} / 3600000000) AS BIGINT)",
+            "minute": f"CAST(floor({c} / 60000000) % 60 AS BIGINT)",
+            "second": f"CAST(floor({c} / 1000000) % 60 AS BIGINT)",
+            "millisecond": f"CAST(floor({c} % 60000000 / 1000) AS BIGINT)",
+            "microsecond": f"CAST({c} % 60000000 AS BIGINT)",
+        }
+        if unit in forms:
+            return _tokens(forms[unit])
+        raise UnsupportedSQL(f"TIME extraction {unit} unsupported")
     if low == "xor":
         return _tokens(f"(({j(args[0])}) ^ ({j(args[1])}))")
     if low == "dayofweek":
@@ -1668,16 +1870,17 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         raise UnsupportedSQL(
             "struct_insert — rebuild the struct with named_struct/struct_pack"
         )
-    if low == "timezone" and len(args) == 2:
-        # timezone(tz, ts_ntz): interpret the naive ts in tz, shown in the
-        # (UTC) session zone — to_utc_timestamp under the UTC session
-        return _tokens(f"to_utc_timestamp({j(args[1])}, {j(args[0])})")
-    if low == "age" and len(args) == 2:
+    if low == "age" and len(args) in (1, 2):
         # Postgres/DuckDB age(a, b): field-wise later-minus-earlier with
-        # day borrow from the earlier month (functions/compat.age_parts).
+        # day borrow from the earlier month (functions/compat.age_parts);
+        # the 1-arg form diffs against current_date (r12 fn sweep).
         # Emitted as a marker struct that date_part() below projects.
-        A = f"CAST(({j(args[0])}) AS DATE)"
-        B = f"CAST(({j(args[1])}) AS DATE)"
+        if len(args) == 2:
+            A = f"CAST(({j(args[0])}) AS DATE)"
+            B = f"CAST(({j(args[1])}) AS DATE)"
+        else:  # age(x) = age(current_date, x)
+            A = "current_date()"
+            B = f"CAST(({j(args[0])}) AS DATE)"
         E, S = f"greatest({A}, {B})", f"least({A}, {B})"
         sign = f"(CASE WHEN {A} >= {B} THEN 1 ELSE -1 END)"
         d_raw = f"(day({E}) - day({S}))"
@@ -1841,38 +2044,211 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
     return None
 
 
-def _rewrite_star_modifiers(toks: list[str]) -> list[str]:
-    """DuckDB 0.7 star modifiers: `* EXCLUDE (cols)` → Spark `* EXCEPT
-    (cols)`; `* REPLACE (expr AS col, …)` → `* EXCEPT (cols), expr AS col, …`
-    (replaced columns re-appear at the end of the select list — column
-    *set* identical, ordinal position differs)."""
+_FROM_STOP_KW = frozenset(
+    "where group having order limit qualify window union except intersect "
+    "offset using on join left right full inner cross natural asof "
+    "positional lateral tablesample semi anti as".split()
+)
+
+
+def _star_source_columns(
+    toks: list[str], pos: int, qual: str | None, spark: SparkSession | None
+) -> list[str] | None:
+    """Resolve the column list a ``*`` at a select item expands to, when the
+    query block's FROM is a single plain table/view (the same shape the
+    COLUMNS() expansion resolves).  ``pos`` is the first token after the
+    star's modifiers; scan forward at the star's own paren depth for FROM.
+    Returns None whenever the source is not statically resolvable (joins,
+    subqueries, CTE names, table functions) — callers fall back to a
+    column-set-preserving rewrite."""
+    if spark is None:
+        return None
+    d = 0
+    k = pos
+    from_pos = None
+    while k < len(toks):
+        t = toks[k]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+            if d < 0:
+                return None
+        elif d == 0:
+            tl = t.lower()
+            if tl == "from":
+                from_pos = k
+                break
+            if tl in ("union", "intersect", ";") or (
+                tl == "except" and toks[k - 1] != "*"
+            ):
+                return None
+        k += 1
+    if from_pos is None:
+        return None
+    k = from_pos + 1
+    if k >= len(toks) or not _IDENT.match(toks[k]) or toks[k].lower() in _FROM_STOP_KW:
+        return None
+    table = toks[k]
+    k += 1
+    alias = None
+    if k < len(toks) and toks[k].lower() == "as":
+        k += 1
+        if k < len(toks) and _IDENT.match(toks[k]):
+            alias = toks[k]
+            k += 1
+        else:
+            return None
+    elif k < len(toks) and _IDENT.match(toks[k]) and toks[k].lower() not in _FROM_STOP_KW:
+        alias = toks[k]
+        k += 1
+    # single-relation FROM only: the next token at this depth must close
+    # the block or start a clause — a join/comma means * spans >1 relation
+    if k < len(toks):
+        nl = toks[k].lower()
+        if toks[k] != ")" and nl not in (
+            "where", "group", "having", "order", "limit", "qualify",
+            "window", "union", "except", "intersect", "offset", ";",
+        ):
+            return None
+    if qual is not None and qual.lower() not in (
+        table.lower(), (alias or "").lower(),
+    ):
+        return None
+    try:
+        return spark.table(table).columns
+    except Exception:
+        return None
+
+
+def _bq(name: str) -> str:
+    """Token for a column name — backquoted unless a plain identifier."""
+    return name if _IDENT.match(name) else "`" + name.replace("`", "``") + "`"
+
+
+def _rewrite_star_modifiers(
+    toks: list[str], spark: SparkSession | None = None
+) -> list[str]:
+    """DuckDB star modifiers (STAR expr, reference duckdb-internal.hpp
+    StarExpression exclude_list/replace_list): `* EXCLUDE (cols)` → Spark
+    `* EXCEPT (cols)` (position-preserving natively); `* REPLACE (expr AS
+    col, …)` expands position-preservingly to an explicit column list when
+    the block's FROM is a single resolvable table — DuckDB keeps the
+    replaced column at its original ordinal.  Paren-less single-entry forms
+    (`* EXCLUDE c`, `* REPLACE e AS c`) and qualified stars (`t.* EXCLUDE
+    …`) are accepted like the reference.  When the star's source is not
+    statically resolvable (joins, subqueries, CTEs), REPLACE falls back to
+    `* EXCEPT (cols), expr AS col, …` — column *set* identical, ordinal
+    position differs."""
     out: list[str] = []
     i = 0
     while i < len(toks):
         t = toks[i]
-        nxt = toks[i + 1].lower() if i + 1 < len(toks) else ""
-        if t == "*" and nxt == "exclude" and i + 2 < len(toks) and toks[i + 2] == "(":
-            end = _find_call_end(toks, i + 2)
-            out.extend(["*", "EXCEPT"] + toks[i + 2 : end + 1])
-            i = end + 1
+        qual = None
+        star_at = None
+        if t == "*" and i + 1 < len(toks) and toks[i + 1].lower() in (
+            "exclude", "replace",
+        ):
+            star_at, mod_at = i, i + 1
+        elif (
+            _IDENT.match(t)
+            and t.lower() not in _FROM_STOP_KW
+            and i + 3 < len(toks)
+            and toks[i + 1] == "."
+            and toks[i + 2] == "*"
+            and toks[i + 3].lower() in ("exclude", "replace")
+        ):
+            qual, star_at, mod_at = t, i, i + 3
+        if star_at is None:
+            out.append(t)
+            i += 1
             continue
-        if t == "*" and nxt == "replace" and i + 2 < len(toks) and toks[i + 2] == "(":
-            end = _find_call_end(toks, i + 2)
-            entries = _split_args(toks[i + 3 : end])
-            cols, exprs = [], []
+        kind = toks[mod_at].lower()
+        if mod_at + 1 < len(toks) and toks[mod_at + 1] == "(":
+            end = _find_call_end(toks, mod_at + 1)
+            entries = _split_args(toks[mod_at + 2 : end])
+            after = end + 1
+        elif kind == "exclude":
+            if mod_at + 1 >= len(toks) or not _IDENT.match(toks[mod_at + 1]):
+                raise UnsupportedSQL("* EXCLUDE needs a column list")
+            entries = [[toks[mod_at + 1]]]
+            after = mod_at + 2
+        else:
+            # paren-less REPLACE: one `expr AS col` entry, ending at the
+            # identifier that follows the first top-level AS
+            k = mod_at + 1
+            d = 0
+            entry: list[str] = []
+            while k < len(toks):
+                tk = toks[k]
+                if tk == "(":
+                    d += 1
+                elif tk == ")":
+                    if d == 0:
+                        break
+                    d -= 1
+                if (
+                    d == 0
+                    and tk.lower() == "as"
+                    and k + 1 < len(toks)
+                    and _IDENT.match(toks[k + 1])
+                ):
+                    entry.extend([tk, toks[k + 1]])
+                    k += 2
+                    break
+                entry.append(tk)
+                k += 1
+            entries = [entry]
+            after = k
+        star_toks = [qual, ".", "*"] if qual is not None else ["*"]
+        if kind == "exclude":
+            names = []
             for e in entries:
-                if len(e) >= 3 and e[-2].lower() == "as":
-                    cols.append(e[-1])
-                    exprs.append(" ".join(e))
-                else:
-                    raise UnsupportedSQL("* REPLACE entries need 'expr AS col'")
-            out.extend(
-                _tokens("* EXCEPT (" + ", ".join(cols) + "), " + ", ".join(exprs))
-            )
-            i = end + 1
+                if len(e) != 1:
+                    raise UnsupportedSQL("* EXCLUDE entries must be column names")
+                names.append(e[0])
+            out.extend(star_toks + ["EXCEPT", "("])
+            for n_, c in enumerate(names):
+                if n_:
+                    out.append(",")
+                out.append(c)
+            out.append(")")
+            i = after
             continue
-        out.append(t)
-        i += 1
+        cols, exprs = [], []
+        for e in entries:
+            if len(e) >= 3 and e[-2].lower() == "as":
+                cols.append(e[-1])
+                exprs.append(e[:-2])
+            else:
+                raise UnsupportedSQL("* REPLACE entries need 'expr AS col'")
+        src = _star_source_columns(toks, after, qual, spark)
+        if src is not None and all(
+            c.lower() in {s.lower() for s in src} for c in cols
+        ):
+            by_name = {c.lower(): (c, ex) for c, ex in zip(cols, exprs)}
+            expansion: list[str] = []
+            for n_, c in enumerate(src):
+                if n_:
+                    expansion.append(",")
+                hit = by_name.get(c.lower())
+                if hit is not None:
+                    expansion.extend(hit[1] + ["AS", _bq(hit[0])])
+                elif qual is not None:
+                    expansion.extend([qual, ".", _bq(c)])
+                else:
+                    expansion.append(_bq(c))
+            out.extend(expansion)
+        else:
+            out.extend(star_toks + ["EXCEPT", "("])
+            for n_, c in enumerate(cols):
+                if n_:
+                    out.append(",")
+                out.append(c)
+            out.append(")")
+            for c, ex in zip(cols, exprs):
+                out.extend([","] + ex + ["AS", _bq(c)])
+        i = after
     return out
 
 
@@ -2466,6 +2842,24 @@ def _parse_time_literal(text: str) -> tuple[int, int | None]:
     return micros, off
 
 
+#: date_part-style extraction fns whose TIME-carrier forms differ from the
+#: timestamp builtins (DuckDB on TIME: hour/minute/second plus
+#: microsecond/millisecond counting WITHIN THE MINUTE — oracle-verified:
+#: microsecond(TIME '12:30:45.123456') = 45123456)
+_TIME_EXTRACT_FNS = {"hour", "minute", "second", "millisecond", "microsecond"}
+
+
+def _retarget_time_extraction(out: list[str]) -> None:
+    """When a TIME carrier lands as the sole argument of an enclosing
+    extraction call, retarget the call onto the carrier arithmetic marker
+    (__qs_time_<unit>, emitted in _emit_call_extra) — Spark's hour() etc.
+    cannot take the BIGINT carrier."""
+    p = _enclosing_call_name(out)
+    if p is not None and out[p].lower() in _TIME_EXTRACT_FNS \
+            and p + 2 == len(out):  # carrier is the first/only argument
+        out[p] = "__qs_time_" + out[p].lower()
+
+
 def _rewrite_time_literals(toks: list[str]) -> list[str]:
     """`TIME '12:34:56.789'` → µs-since-midnight BIGINT literal;
     `TIMETZ '…±HH:MM'` / `TIME WITH TIME ZONE '…'` → the
@@ -2504,6 +2898,7 @@ def _rewrite_time_literals(toks: list[str]) -> list[str]:
                             f"plain TIME literal cannot carry an offset: "
                             f"{_str_val(toks[j])!r}"
                         )
+                    _retarget_time_extraction(out)
                     out.extend(["CAST", "(", str(micros), "AS", "BIGINT", ")"])
                 i = j + 1
                 continue
@@ -2512,9 +2907,21 @@ def _rewrite_time_literals(toks: list[str]) -> list[str]:
     return out
 
 
+def _tstz_literal_toks(lit: str) -> list[str]:
+    """TIMESTAMPTZ typed literal → a value-identity conversion that KEEPS
+    the instant-typed provenance visible to later passes:
+    `from_utc_timestamp(CAST('<s>' AS TIMESTAMP), 'UTC')` is the same
+    value under the UTC session, and its head token lets timezone() /
+    AT TIME ZONE dispatch the instant→wall direction like the reference
+    does on the TIMESTAMPTZ input type."""
+    return _tokens(f"from_utc_timestamp(CAST({lit} AS TIMESTAMP), 'UTC')")
+
+
 def _rewrite_multiword_type_literals(toks: list[str]) -> list[str]:
-    """`TIMESTAMP WITH TIME ZONE '…'` / `TIME WITH TIME ZONE` typed
-    literals → plain CAST (UTC session: instants == wall times)."""
+    """`TIMESTAMP WITH TIME ZONE '…'` / `TIMESTAMPTZ '…'` /
+    `TIMESTAMP_S/MS/NS '…'` typed literals → CAST-based forms (UTC
+    session: instants == wall times); the TZ-typed ones go through
+    _tstz_literal_toks so direction-sensitive consumers see the type."""
     out: list[str] = []
     i = 0
     while i < len(toks):
@@ -2523,8 +2930,20 @@ def _rewrite_multiword_type_literals(toks: list[str]) -> list[str]:
                 and toks[i + 2].lower() == "time"
                 and toks[i + 3].lower() == "zone"
                 and _is_string(toks[i + 4])):
-            out.extend(["CAST", "(", toks[i + 4], "AS", "TIMESTAMP", ")"])
+            out.extend(_tstz_literal_toks(toks[i + 4]))
             i += 5
+            continue
+        if (toks[i].lower() == "timestamptz" and i + 1 < len(toks)
+                and _is_string(toks[i + 1])):
+            # single-keyword typed literal (r12 fn-surface sweep: was an
+            # unrewritten pass-through Spark rejects)
+            out.extend(_tstz_literal_toks(toks[i + 1]))
+            i += 2
+            continue
+        if (toks[i].lower() in ("timestamp_s", "timestamp_ms", "timestamp_ns")
+                and i + 1 < len(toks) and _is_string(toks[i + 1])):
+            out.extend(["CAST", "(", toks[i + 1], "AS", "TIMESTAMP", ")"])
+            i += 2
             continue
         out.append(toks[i])
         i += 1
@@ -2922,7 +3341,9 @@ def _rewrite_at_time_zone(toks: list[str]) -> list[str]:
             if t != "(":
                 head = t.lower()
                 break
-        fn = ("from_utc_timestamp" if head == "to_utc_timestamp"
+        fn = ("from_utc_timestamp"
+              if head in ("to_utc_timestamp", "from_utc_timestamp",
+                          "timestamptz")
               else "to_utc_timestamp")
         toks = (toks[:start] + [fn, "("] + prim + [","] + tz + [")"]
                 + toks[tzend + 1 :])
@@ -3544,6 +3965,7 @@ def _rewrite_time_carriers(toks: list[str]) -> list[str]:
                 and toks[end - 2].lower() == "as"
             ):
                 x = " ".join(_rewrite_time_carriers(toks[i + 2 : end - 2]))
+                _retarget_time_extraction(out)
                 out.extend(_time_carrier_toks(x))
                 i = end + 1
                 continue
@@ -3871,6 +4293,24 @@ def _strip_trailing_commas(toks: list[str]) -> list[str]:
     return out
 
 
+#: length-family functions whose BIT-typed overloads count BITS of the
+#: '0'/'1' carrier, not bytes of a VARCHAR (oracle:
+#: bit_length('1010'::BIT)=4, bit_count('1011'::BIT)=3,
+#: octet_length('1010'::BIT)=1) — retargeted onto carrier arithmetic
+#: markers when a BIT cast is erased directly inside them
+_BIT_LEN_FNS = {
+    "bit_length": "__qs_bitlen",
+    "bit_count": "__qs_bitcount",
+    "octet_length": "__qs_bitoctet",
+}
+
+
+def _retarget_bit_length(out: list[str]) -> None:
+    p = _enclosing_call_name(out)
+    if p is not None and out[p].lower() in _BIT_LEN_FNS:
+        out[p] = _BIT_LEN_FNS[out[p].lower()]
+
+
 def _rewrite_bit_casts(toks: list[str]) -> list[str]:
     """BIT emulation (reference type duckdb.hpp:932): the Spark carrier is
     the '0'/'1' string itself, so `CAST(x AS BIT)` / `x::BIT` become
@@ -3881,6 +4321,7 @@ def _rewrite_bit_casts(toks: list[str]) -> list[str]:
     while i < len(toks):
         t = toks[i]
         if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() == "bit":
+            _retarget_bit_length(out)
             i += 2
             continue
         if t == "::" and i + 1 < len(toks) and toks[i + 1].lower() == "uuid":
@@ -3899,6 +4340,7 @@ def _rewrite_bit_casts(toks: list[str]) -> list[str]:
             if end - 2 >= 0 and toks[end - 2].lower() == "as":
                 typ = toks[end - 1].lower()
                 if typ == "bit":
+                    _retarget_bit_length(out)
                     out.extend(["("] + _rewrite_bit_casts(toks[i + 2 : end - 2]) + [")"])
                     i = end + 1
                     continue
@@ -3989,107 +4431,235 @@ def _rewrite_current_setting(
     return out
 
 
+def _columns_matcher(inner: list[str]):
+    """Parse the inside of a COLUMNS(...) call into a name-predicate
+    callable.  Forms (reference parser: star expression with a COLUMNS
+    wrapper): 'regex' (re.search semantics — COLUMNS('key') matches
+    n_nationkey, verified vs the oracle), `*`, `* EXCLUDE (cols)`, and the
+    lambda form `c -> <name predicate>` with LIKE / NOT LIKE / = / !=."""
+    if len(inner) == 1 and _is_string(inner[0]):
+        pat = _str_val(inner[0])
+        return lambda c, pat=pat: re.search(pat, c) is not None
+    if len(inner) == 1 and inner[0] == "*":
+        return lambda c: True
+    if len(inner) >= 2 and inner[0] == "*" and inner[1].lower() == "exclude":
+        if len(inner) >= 3 and inner[2] == "(":
+            names = [e[0] for e in _split_args(inner[3:-1]) if e]
+        else:
+            names = [inner[2]] if len(inner) >= 3 else []
+        if not names or any(not _IDENT.match(n) for n in names):
+            raise UnsupportedSQL("COLUMNS(* EXCLUDE ...) needs column names")
+        excl = {n.lower() for n in names}
+        return lambda c, excl=excl: c.lower() not in excl
+    if len(inner) >= 3 and _IDENT.match(inner[0]) and inner[1] == "->":
+        pred = inner[2:]
+        low_p = [x.lower() for x in pred]
+        v = inner[0].lower()
+
+        def _like_re(p: str) -> str:
+            return "^" + re.escape(p).replace("%", ".*").replace("_", ".") + "$"
+
+        if (len(pred) == 3 and low_p[0] == v and low_p[1] == "like"
+                and _is_string(pred[2])):
+            rx = _like_re(_str_val(pred[2]))
+            return lambda c, rx=rx: re.search(rx, c) is not None
+        if (len(pred) == 4 and low_p[0] == v
+                and low_p[1:3] == ["not", "like"] and _is_string(pred[3])):
+            rx = _like_re(_str_val(pred[3]))
+            return lambda c, rx=rx: re.search(rx, c) is None
+        if (len(pred) == 3 and low_p[0] == v and pred[1] == "="
+                and _is_string(pred[2])):
+            name = _str_val(pred[2])
+            return lambda c, name=name: c == name
+        if (len(pred) == 3 and low_p[0] == v and pred[1] in ("!=", "<>")
+                and _is_string(pred[2])):
+            name = _str_val(pred[2])
+            return lambda c, name=name: c != name
+        raise UnsupportedSQL(
+            "COLUMNS(lambda): only LIKE / NOT LIKE / = / != "
+            "name predicates are evaluable at transpile time"
+        )
+    raise UnsupportedSQL(
+        "COLUMNS(...) supports 'regex', *, * EXCLUDE (...), or a "
+        "name-predicate lambda"
+    )
+
+
+_SELECT_CLAUSE_KW = frozenset(
+    "from where group having order limit qualify window offset".split()
+)
+
+
+def _select_item_bounds(toks: list[str], i: int) -> tuple[int, int, int] | None:
+    """Bounds of the select-list item containing token position ``i``:
+    (start, end, base) with toks[start:end] the item and ``base`` the paren
+    depth of the enclosing select list relative to position i (<= 0).
+    Returns None when i does not sit in a select list (e.g. WHERE)."""
+    # backward: the enclosing SELECT is the first `select` token seen at the
+    # running minimum depth (inner subqueries re-balance above the minimum)
+    d = 0
+    mind = 0
+    events: list[tuple[int, int, str]] = []
+    j = i - 1
+    sel = None
+    while j >= 0:
+        t = toks[j]
+        tl = t.lower()
+        if t == ")":
+            d += 1
+        elif t == "(":
+            d -= 1
+            mind = min(mind, d)
+        elif tl == "select":
+            if d == mind:
+                sel = j
+                break
+        elif tl == "," or tl in _SELECT_CLAUSE_KW:
+            events.append((j, d, tl))
+        j -= 1
+    if sel is None:
+        return None
+    base = mind
+    at_base = [e for e in events if e[1] == base]
+    if at_base:
+        pos, _, kind = max(at_base, key=lambda e: e[0])
+        if kind != ",":
+            return None  # i sits in a clause after the select list
+        start = pos + 1
+    else:
+        start = sel + 1
+        if start < i and toks[start].lower() in ("distinct", "all"):
+            start += 1
+    # forward: item ends at the first `,` / FROM / clause keyword at base
+    d = 0
+    k = i
+    end = None
+    while k < len(toks):
+        t = toks[k]
+        tl = t.lower()
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+            if d < base:
+                break
+        elif d == base and (tl == "," or tl in _SELECT_CLAUSE_KW or tl in (
+            "union", "intersect", ";",
+        ) or (tl == "except" and toks[k - 1] != "*")):
+            end = k
+            break
+        k += 1
+    if end is None:
+        end = k
+    return start, end, base
+
+
+def _columns_from_table(
+    toks: list[str], i: int, base: int, spark: SparkSession
+) -> list[str]:
+    """Column list of the single plain FROM table of the query block whose
+    select list (at relative depth ``base``) contains position ``i``."""
+    d = 0
+    table = None
+    for k in range(i, len(toks)):
+        t = toks[k]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+            if d < base:
+                break
+        elif d == base and t.lower() == "from":
+            cand = toks[k + 1] if k + 1 < len(toks) else ""
+            if _IDENT.match(cand) and cand.lower() not in _FROM_STOP_KW:
+                table = cand
+            break
+    if table is None:
+        raise UnsupportedSQL(
+            "COLUMNS(...) supported only over a plain FROM table"
+        )
+    try:
+        return spark.table(table).columns
+    except Exception:
+        raise UnsupportedSQL(f"COLUMNS(...): unknown table {table}")
+
+
 def _rewrite_columns_expr(toks: list[str], spark: SparkSession | None) -> list[str]:
-    """COLUMNS('regex') star-expression (DuckDB friendly SQL): expand to the
-    matching columns of the single plain table/view after FROM. DuckDB
-    regex-matches anywhere in the name (verified empirically: COLUMNS('key')
-    matches n_nationkey) → re.search."""
-    out: list[str] = []
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        lambda_end = -1
-        if (
-            t.lower() == "columns"
-            and i + 3 < len(toks)
-            and toks[i + 1] == "("
-            and not _is_string(toks[i + 2])
-        ):
-            # COLUMNS(c -> pred) lambda form: evaluate the name predicate
-            # at transpile time (LIKE / NOT LIKE / = / != on the name)
-            end_l = _find_call_end(toks, i + 1)
-            inner = toks[i + 2 : end_l]
-            if len(inner) >= 3 and _IDENT.match(inner[0]) and inner[1] == "->":
-                pred = inner[2:]
-                low_p = [x.lower() for x in pred]
-                v = inner[0].lower()
-
-                def _like_re(p: str) -> str:
-                    return "^" + re.escape(p).replace("%", ".*").replace("_", ".") + "$"
-
-                if (len(pred) == 3 and low_p[0] == v and low_p[1] == "like"
-                        and _is_string(pred[2])):
-                    rx = _like_re(_str_val(pred[2]))
-                    matcher = lambda c, rx=rx: re.search(rx, c) is not None  # noqa: E731
-                elif (len(pred) == 4 and low_p[0] == v
-                        and low_p[1:3] == ["not", "like"] and _is_string(pred[3])):
-                    rx = _like_re(_str_val(pred[3]))
-                    matcher = lambda c, rx=rx: re.search(rx, c) is None  # noqa: E731
-                elif (len(pred) == 3 and low_p[0] == v and pred[1] == "="
-                        and _is_string(pred[2])):
-                    name = _str_val(pred[2])
-                    matcher = lambda c, name=name: c == name  # noqa: E731
-                elif (len(pred) == 3 and low_p[0] == v and pred[1] in ("!=", "<>")
-                        and _is_string(pred[2])):
-                    name = _str_val(pred[2])
-                    matcher = lambda c, name=name: c != name  # noqa: E731
-                else:
+    """COLUMNS(...) star-expression (DuckDB friendly SQL): replicate the
+    ENCLOSING select-list item once per matched column of the single plain
+    table/view after FROM — `min(COLUMNS('[ab]'))` → `min(a) AS a, min(b)
+    AS b` (output columns named after the matched column, like the
+    reference; an explicit `AS x` on the item keeps the user alias on every
+    replica).  Multiple COLUMNS calls in one item replicate in lockstep and
+    must match the same column set."""
+    guard = 0
+    while True:
+        guard += 1
+        if guard > 200:
+            raise UnsupportedSQL("COLUMNS(...) expansion did not converge")
+        pos = None
+        for i in range(len(toks) - 1):
+            if (
+                toks[i].lower() == "columns"
+                and toks[i + 1] == "("
+                and (i == 0 or toks[i - 1] != ".")
+            ):
+                pos = i
+                break
+        if pos is None:
+            return toks
+        if spark is None:
+            raise UnsupportedSQL("COLUMNS(...) needs a live session")
+        bounds = _select_item_bounds(toks, pos)
+        if bounds is None:
+            raise UnsupportedSQL(
+                "COLUMNS(...) outside a select list is unsupported"
+            )
+        start, end, base = bounds
+        cols = _columns_from_table(toks, pos, base, spark)
+        # every COLUMNS(...) span inside the item
+        spans: list[tuple[int, int]] = []
+        matched: list[str] | None = None
+        k = start
+        while k < end - 1:
+            if toks[k].lower() == "columns" and toks[k + 1] == "(" and (
+                k == 0 or toks[k - 1] != "."
+            ):
+                close = _find_call_end(toks, k + 1)
+                m = _columns_matcher(toks[k + 2 : close])
+                got = [c for c in cols if m(c)]
+                if matched is None:
+                    matched = got
+                elif matched != got:
                     raise UnsupportedSQL(
-                        "COLUMNS(lambda): only LIKE / NOT LIKE / = / != "
-                        "name predicates are evaluable at transpile time"
+                        "multiple COLUMNS(...) in one expression must "
+                        "match the same column set"
                     )
-                lambda_end = end_l
-                pat = None
-        if lambda_end >= 0 or (
-            t.lower() == "columns"
-            and i + 3 < len(toks)
-            and toks[i + 1] == "("
-            and _is_string(toks[i + 2])
-            and toks[i + 3] == ")"
-        ):
-            if spark is None:
-                raise UnsupportedSQL("COLUMNS(regex) needs a live session")
-            if lambda_end < 0:
-                pat = _str_val(toks[i + 2])
-                matcher = lambda c, pat=pat: re.search(pat, c) is not None  # noqa: E731
-            call_close = lambda_end if lambda_end >= 0 else i + 3
-            # the FROM of this query block: next depth-0 FROM + plain ident
-            depth = 0
-            table = None
-            for k in range(call_close + 1, len(toks)):
-                if toks[k] == "(":
-                    depth += 1
-                elif toks[k] == ")":
-                    if depth == 0:
-                        break
-                    depth -= 1
-                elif depth == 0 and toks[k].lower() == "from":
-                    cand = toks[k + 1] if k + 1 < len(toks) else ""
-                    if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", cand):
-                        table = cand
-                    break
-            if table is None:
-                raise UnsupportedSQL(
-                    "COLUMNS(regex) supported only over a plain FROM table"
-                )
-            try:
-                cols = spark.table(table).columns
-            except Exception:
-                raise UnsupportedSQL(f"COLUMNS(regex): unknown table {table}")
-            matched = [c for c in cols if matcher(c)]
-            if not matched:
-                raise UnsupportedSQL("COLUMNS(...) matched no columns")
-            expansion: list[str] = []
-            for n_, c in enumerate(matched):
-                if n_:
-                    expansion.append(",")
-                expansion.append(c)
-            out.extend(expansion)
-            i = call_close + 1
-            continue
-        out.append(t)
-        i += 1
-    return out
+                spans.append((k, close))
+                k = close + 1
+                continue
+            k += 1
+        if not matched:
+            raise UnsupportedSQL("COLUMNS(...) matched no columns")
+        bare = len(spans) == 1 and spans[0] == (start, end - 1)
+        explicit_alias = (
+            end - 2 > spans[-1][1]
+            and toks[end - 2].lower() == "as"
+            and (_IDENT.match(toks[end - 1]) or toks[end - 1].startswith("`"))
+        )
+        new_item: list[str] = []
+        for n_, c in enumerate(matched):
+            if n_:
+                new_item.append(",")
+            last = start
+            for s, e in spans:
+                new_item.extend(toks[last:s])
+                new_item.append(_bq(c))
+                last = e + 1
+            new_item.extend(toks[last:end])
+            if not bare and not explicit_alias:
+                new_item.extend(["AS", _bq(c)])
+        toks = toks[:start] + new_item + toks[end:]
 
 
 _ASOF_INEQ = {">=": "DESC", ">": "DESC", "<=": "ASC", "<": "ASC"}
@@ -5487,7 +6057,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> str:
     toks = _rewrite_collate(toks)
     toks = _rewrite_let_subqueries(toks)
     toks = _rewrite_struct_literals(toks)
-    toks = _rewrite_star_modifiers(toks)
+    toks = _rewrite_star_modifiers(toks, spark)
     toks = _rewrite_intdiv(toks)
     toks = _rewrite_hex_casts(toks)
     toks = _rewrite_composite_types(toks)

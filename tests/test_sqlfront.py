@@ -285,8 +285,15 @@ def test_regexp_flags_translation(spark):
         "SELECT regexp_replace(n_name, 'N', 'x', 'gi') FROM nation"
     )
     assert "(?i)N" in t
-    with pytest.raises(sqlfront.UnsupportedSQL):
-        sqlfront.transpile("SELECT regexp_replace(n_name, 'N', 'x') FROM nation")
+    # flagless regexp_replace replaces the FIRST match only in DuckDB —
+    # implemented via the qs_regexp_once kernel since r12 (was a refusal)
+    t = sqlfront.transpile("SELECT regexp_replace(n_name, 'N', 'x') FROM nation")
+    assert "qs_regexp_once" in t
+    got = sqlfront.sql(
+        spark, "SELECT regexp_replace('NaNa', 'N', 'x') AS v"
+    ).collect()
+    want = con.execute("SELECT regexp_replace('NaNa', 'N', 'x')").fetchall()
+    assert [(got[0]["v"],)] == want == [("xaNa",)]
 
 
 def test_ctas_and_insert_into(spark, tmp_path):
