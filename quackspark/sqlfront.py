@@ -1669,6 +1669,54 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
         # silently wrong for fractional inputs (r12 fn-surface sweep).
         return _tokens(f"qs_{low}(CAST(({j(args[0])}) AS DOUBLE))")
     # --- r12 function-surface sweep batch (tools/fn_surface_sweep.py) ---
+    if low in ("arg_max", "argmax", "max_by",
+               "arg_min", "argmin", "min_by") and len(args) == 2:
+        # DuckDB arg_max/max_by SKIP rows whose value is NULL (oracle:
+        # arg_max(v,k) over {(1,'a'),(5,NULL),(3,'c')} = 'c'); Spark's
+        # max_by keeps them — NULL the key when the value is NULL so
+        # those rows can't win (max_by ignores NULL keys)
+        fn = "max_by" if low in ("arg_max", "argmax", "max_by") else "min_by"
+        v, k = j(args[0]), j(args[1])
+        return _tokens(
+            f"{fn}({v}, CASE WHEN ({v}) IS NULL THEN NULL ELSE ({k}) END)"
+        )
+    if low in ("arg_max_null", "arg_min_null") and len(args) == 2:
+        # the keep-NULL-values variants ARE Spark's max_by/min_by
+        fn = "max_by" if low == "arg_max_null" else "min_by"
+        return _tokens(f"{fn}({j(args[0])}, {j(args[1])})")
+    if low == "bitstring_agg" and len(args) in (1, 3):
+        # BIT carrier aggregation (reference duckdb-6.cpp bitstring_agg):
+        # one bit per integer in [lo, hi] (min..max of the group when no
+        # bounds), set where the value occurs — a collect_set bounded by
+        # the span, no per-row state
+        x = f"CAST(({j(args[0])}) AS BIGINT)"
+        lo = (f"CAST(({j(args[1])}) AS BIGINT)" if len(args) == 3
+              else f"min({x})")
+        hi = (f"CAST(({j(args[2])}) AS BIGINT)" if len(args) == 3
+              else f"max({x})")
+        return _tokens(
+            f"array_join(transform(sequence({lo}, {hi}), qs_i -> "
+            f"CASE WHEN array_contains(collect_set({x}), qs_i) "
+            f"THEN '1' ELSE '0' END), '')"
+        )
+    if low == "entropy" and len(args) == 1:
+        # Shannon entropy (log2) of the value distribution, NULLs
+        # excluded, 0.0 for an empty/all-NULL group (oracle-verified).
+        # log2(n) - Σ c·log2(c)/n over per-value counts; the count pass
+        # runs on a collected group list (bounded by group size — the
+        # reference's hash is bounded by distinct count; for huge groups
+        # pre-aggregate counts with GROUP BY instead)
+        x = j(args[0])
+        L = f"collect_list(CAST(({x}) AS STRING))"
+        n = f"size({L})"
+        counts = (f"transform(array_distinct({L}), "
+                  f"qs_d -> size(filter({L}, qs_e -> qs_e = qs_d)))")
+        s = (f"aggregate({counts}, CAST(0 AS DOUBLE), "
+             f"(qs_a, qs_c) -> qs_a + qs_c * log2(qs_c))")
+        return _tokens(
+            f"(CASE WHEN {n} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE log2({n}) - {s} / {n} END)"
+        )
     if low in ("add", "subtract") and len(args) == 1:
         # unary overloads: add(x) = +x, subtract(x) = -x (the 2-arg
         # operator forms are in _emit_call)
@@ -4978,7 +5026,8 @@ _AGG_FNS = {
     "collect_list", "collect_set", "list", "string_agg", "array_agg",
     "approx_count_distinct", "percentile", "percentile_approx", "quantile",
     "approx_quantile", "entropy", "product", "min_by", "max_by", "arg_min",
-    "arg_max", "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "arg_max", "arg_min_null", "arg_max_null", "argmin", "argmax",
+    "bitstring_agg", "regr_slope", "regr_intercept", "regr_r2", "regr_count",
     "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
 }
 

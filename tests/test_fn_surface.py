@@ -143,6 +143,44 @@ def test_regexp_once_backreference(con, duck):
     assert con.sql(q).df.collect()[0][0] == duck.execute(q).fetchall()[0][0]
 
 
+def test_aggregate_surface_matches_duckdb(con, duck, spark):
+    """r12 aggregate-sweep additions: NULL-value-skipping arg_max/max_by
+    (DuckDB skips rows whose VALUE is NULL; Spark's max_by keeps them),
+    the arg_*_null variants, bitstring_agg over the BIT carrier, and
+    expression-position entropy (Shannon log2, NULLs excluded, 0.0 for
+    an empty group)."""
+    duck.execute("CREATE OR REPLACE TABLE agg_t (k int, v varchar)")
+    duck.execute("INSERT INTO agg_t VALUES (1,'a'),(5,NULL),(3,'c')")
+    spark.createDataFrame(
+        [(1, "a"), (5, None), (3, "c")], "k int, v string"
+    ).createOrReplaceTempView("agg_t")
+    for q in [
+        "SELECT arg_max(v, k) AS a, arg_max_null(v, k) AS b,"
+        " arg_min(v, k) AS c, arg_min_null(v, k) AS d FROM agg_t",
+        "SELECT max_by(v, k) AS a, min_by(v, k) AS b FROM agg_t",
+        "SELECT bitstring_agg(k) AS a FROM agg_t",
+        "SELECT bitstring_agg(k, 0, 8) AS a FROM agg_t",
+    ]:
+        want = duck.execute(q).fetchall()
+        got = [tuple(r) for r in con.sql(q).df.collect()]
+        assert got == want, q
+
+
+def test_entropy_matches_duckdb(con, duck, spark):
+    duck.execute("CREATE OR REPLACE TABLE ent_t (g int, v int)")
+    duck.execute(
+        "INSERT INTO ent_t VALUES (1,1),(1,1),(1,2),(1,2),(2,NULL),(2,7)"
+    )
+    spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (1, 2), (2, None), (2, 7)], "g int, v int"
+    ).createOrReplaceTempView("ent_t")
+    q = "SELECT g, entropy(v) AS h FROM ent_t GROUP BY g ORDER BY g"
+    want = duck.execute(q).fetchall()
+    got = [tuple(r) for r in con.sql(q).df.collect()]
+    assert [(g, round(h, 9)) for g, h in got] == \
+        [(g, round(h, 9)) for g, h in want] == [(1, 1.0), (2, 0.0)]
+
+
 def test_json_contains_fuzz_vs_oracle(con, duck):
     # randomized structural-containment agreement on nested documents
     import itertools
