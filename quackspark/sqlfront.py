@@ -1737,8 +1737,14 @@ def _emit_call_extra(low, original, args, j) -> list[str] | None:
             and len(args) == 2 and len(args[0]) == 1
             and _is_string(args[0][0])):
         # VARCHAR overload: 1-based character pick, '' out of range,
-        # negative from the end (duck: list_element('abc', -1) = 'c')
-        return _tokens(f"substr({args[0][0]}, {j(args[1])}, 1)")
+        # negative from the end (duck: list_element('abc', -1) = 'c');
+        # index 0 is '' in DuckDB but Spark's substr treats 0 as 1
+        # (found by fuzz seed 20260823)
+        idx = j(args[1])
+        return _tokens(
+            f"(CASE WHEN ({idx}) = 0 THEN '' "
+            f"ELSE substr({args[0][0]}, {idx}, 1) END)"
+        )
     if low == "timezone" and len(args) == 2:
         # function spelling of AT TIME ZONE (same dispatch convention as
         # _rewrite_at_time_zone): NTZ input → instant (to_utc); an input

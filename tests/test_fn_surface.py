@@ -97,6 +97,7 @@ BOTH = [
     "SELECT list_element('abc', 2) AS v",
     "SELECT list_element('abc', -1) AS v",
     "SELECT list_element('abc', 7) AS v",
+    "SELECT list_element('abc', 0) AS v",  # fuzz 20260823: '' not 'a'
     "SELECT bit_length('1010'::BIT) AS v",
     "SELECT bit_count('1011'::BIT) AS v",
     "SELECT octet_length('101010101'::BIT) AS v",

@@ -54,6 +54,15 @@ STR_COLS = {
 DBL_COLS = {"customer": ["c_acctbal"], "orders": ["o_totalprice"]}
 TS_COLS = {"orders": ["o_orderdate"]}
 TABLES = ["nation", "region", "customer", "orders"]
+#: full physical column order (star-modifier forms compare positionally)
+ALL_COLS = {
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "region": ["r_regionkey", "r_name"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+}
 
 STR_LITS = ["'A'", "'BRAZIL'", "'x%'", "'_a_'", "$tag$dollar ' quoted$tag$",
             "E'esc\\nline'", "'it''s'"]
@@ -99,7 +108,7 @@ class Gen:
     def misc_expr(self, t: str):
         """Occasional non-int/str projections: dates, list/struct literals,
         scalar subqueries — the shapes a rewriter mis-nests first."""
-        form = self.r.randrange(6)
+        form = self.r.randrange(7)
         if form == 0 and t in TS_COLS:
             return f"CAST(year({self.pick(TS_COLS[t])}) AS INTEGER)"
         if form == 1 and t in TS_COLS:
@@ -111,6 +120,20 @@ class Gen:
         if form == 4:
             t2 = self.pick([x for x in TABLES if x != t])
             return f"(SELECT max({self.pick(INT_COLS[t2])}) FROM {t2})"
+        if form == 5:
+            # r12 fn-surface additions in expression position
+            s, k = self.pick(STR_COLS[t]), self.pick(INT_COLS[t])
+            return self.pick([
+                f"regexp_replace({s}, '[AEO]', '@')",   # first-match only
+                f"json_object('k', {k}, 'n', {s})",
+                f"json_contains('[0,1,2,3]', CAST({k} % 6 AS VARCHAR))",
+                f"list_element('abcdef', {k} % 8)",
+                f"parse_dirname({s} || '/x/y')",
+                f"bit_length({s})",
+                f"round(gamma({k} % 5 + 0.5), 6)",
+                f"bin({k} % 9)",
+                f"greatest({k})",
+            ])
         return f"coalesce(nullif({self.int_expr(t, 2)}, 0), -1)"
 
     def str_expr(self, t: str, depth: int = 0):
@@ -158,7 +181,20 @@ class Gen:
     # --- SELECT cores --------------------------------------------------------
 
     def agg_item(self, t: str, i: int):
-        form = self.r.randrange(8)
+        form = self.r.randrange(12)
+        if form >= 8:
+            # r12 aggregate-surface additions (NULL-skipping arg_max
+            # family, entropy, bitstring_agg). The arg key must be UNIQUE
+            # (the table's PK) — ties make arg_max scan-order-dependent
+            # in BOTH engines, which would masquerade as a frontend bug.
+            v, k = self.pick(STR_COLS[t]), INT_COLS[t][0]
+            extra = [
+                f"arg_max(nullif({v}, 'A'), {k}) AS a{i}",
+                f"arg_min_null({v}, {k}) AS a{i}",
+                f"round(entropy({self.pick(INT_COLS[t])} % 4), 6) AS a{i}",
+                f"bitstring_agg({self.pick(INT_COLS[t])} % 16) AS a{i}",
+            ]
+            return extra[form - 8]
         if form == 0:
             return f"count(*) AS a{i}"
         if form == 1:
@@ -229,14 +265,53 @@ class Gen:
         )
         return f"SELECT * FROM (VALUES {rows}) AS v(c0, c1)", ["c0", "c1"]
 
+    def star_core(self, t: str):
+        """Star modifiers and COLUMNS expressions (r12: position-preserving
+        REPLACE, paren-less forms, qualified stars, item replication) —
+        compared positionally, so a REPLACE that drifts ordinals fails."""
+        cols = ALL_COLS[t]
+        form = self.r.randrange(6)
+        if form == 0:
+            drop = self.pick(cols)
+            keep = [c for c in cols if c != drop]
+            paren = self.r.random() < 0.5
+            mod = f"({drop})" if paren else drop
+            return f"SELECT * EXCLUDE {mod} FROM {t}", keep
+        if form == 1:
+            tgt = self.pick(INT_COLS[t])
+            return (f"SELECT * REPLACE ({tgt} % 5 + 100 AS {tgt}) FROM {t}",
+                    list(cols))
+        if form == 2:
+            tgt = self.pick(STR_COLS[t])
+            return (f"SELECT * REPLACE lower({tgt}) AS {tgt} FROM {t}",
+                    list(cols))
+        if form == 3:
+            tgt = self.pick(INT_COLS[t])
+            return (f"SELECT {t}.* REPLACE ({tgt} * 2 AS {tgt}) FROM {t}",
+                    list(cols))
+        if form == 4:
+            pre = t[0] + "_"
+            matched = [c for c in cols if "e" in c]
+            if not matched:
+                matched = list(cols)
+                rx, names = f"'{pre}'", matched
+            else:
+                rx, names = "'e'", matched
+            return (f"SELECT min(COLUMNS({rx})) FROM {t}", list(names))
+        matched = INT_COLS[t]
+        rx = "'key'"
+        return (f"SELECT COLUMNS({rx}) + 1 FROM {t}", list(matched))
+
     def core(self, t: str):
-        form = self.r.randrange(10)
+        form = self.r.randrange(12)
         if form < 4:
             return self.plain_core(t)
         if form < 7:
             return self.grouped_core(t)
         if form < 9:
             return self.window_core(t)
+        if form < 11:
+            return self.star_core(t)
         return self.values_core()
 
     # --- composition ----------------------------------------------------------
