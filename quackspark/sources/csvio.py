@@ -35,6 +35,10 @@ _READ_OPTS = {
     "timestampformat": ("timestampFormat", translate_format),
     "auto_detect": ("inferSchema", lambda v: v),
     "all_varchar": ("inferSchema", lambda v: not v),
+    # Spark-side escape hatch for the quoted-newline default below: on a
+    # known newline-free single large file, multiline=false restores
+    # intra-file input splits
+    "multiline": ("multiLine", lambda v: v),
 }
 
 
@@ -216,6 +220,14 @@ def read_csv(
             raise ValueError(f"unsupported read_csv option: {k!r}")
         name, conv = _READ_OPTS[k]
         spark_opts[name] = conv(v)
+    # DuckDB dialect defaults Spark's univocity parser does not share
+    # (tools/fuzz_csv.py): the default ESCAPE is the quote character
+    # itself (doubled-quote escaping — '' inside '…'), and quoted fields
+    # may embed record separators (multiLine; trades intra-file input
+    # splits for parity — pass multiline=false on known newline-free
+    # files to restore them; cross-file parallelism is unaffected)
+    spark_opts.setdefault("escape", spark_opts.get("quote", '"'))
+    spark_opts.setdefault("multiLine", True)
     if columns:
         reader = reader.schema(
             ", ".join(f"{c} {t}" for c, t in columns.items())
