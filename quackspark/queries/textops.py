@@ -416,7 +416,46 @@ def pipeline_lm_head_middle_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket", "source")
     )
 
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py — beyond the
+    reference, which has no tokenizer trainer): one corpus-wide
+    word-frequency shuffle, then each merge is a pair-count groupBy over
+    the cached DISTINCT-word table + a 1-row argmax. Deterministic
+    tie-breaking (count DESC, pair ASC) makes the merge table
+    reproducible; tests/test_bpe.py pins it against a pure-Python
+    reference trainer exactly. Rows-only for the driver (BPE training is
+    not SQL-expressible for the oracle)."""
+    from quackspark.operators.bpe import merge_table_df, train_bpe
+    from quackspark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", 24)
+    return merge_table_df(spark, merges)
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with the trained merge table (operators/bpe.py
+    apply_bpe: Arrow-batched rank-greedy kernel, merge ranks shipped in
+    the closure — never corpus-proportional): top trained-token
+    frequencies, deterministic ordering."""
+    from quackspark.operators.bpe import apply_bpe, train_bpe
+    from quackspark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", 16)
+    enc = apply_bpe(docs, "text", merges)
+    return (
+        enc.select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(40)
+    )
+
+
 QUERIES = {
+    "text_bpe_train": text_bpe_train,
+    "text_bpe_encode": text_bpe_encode,
     "text_hashed_classifier": text_hashed_classifier,
     "pipeline_lm_head_middle_tail": pipeline_lm_head_middle_tail,
     "text_bigram_logprob": text_bigram_logprob,
