@@ -243,7 +243,27 @@ class Gen:
     def window_core(self, t: str):
         key = self.pick(INT_COLS[t])
         part = self.pick(STR_COLS[t])
-        wf = self.r.randrange(5)
+        wf = self.r.randrange(9)
+        uniq = INT_COLS[t][0]  # deterministic total order within partitions
+        if wf >= 5:
+            # r12 frame/modifier edges: RANGE offsets, EXCLUDE, ntile,
+            # nth_value IGNORE NULLS — ORDER BY the unique key so frame
+            # contents are engine-interchangeable
+            extra = [
+                f"sum({key}) OVER (PARTITION BY {part} ORDER BY {uniq} "
+                f"RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)",
+                f"count(*) OVER (PARTITION BY {part} ORDER BY {uniq} "
+                f"ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)",
+                f"ntile(3) OVER (PARTITION BY {part} ORDER BY {uniq})",
+                f"nth_value(nullif({key} % 3, 0), 2 IGNORE NULLS) "
+                f"OVER (PARTITION BY {part} ORDER BY {uniq} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+            ]
+            w = extra[wf - 5]
+            sql = f"SELECT {uniq} AS c0, {part} AS c1, {w} AS c2 FROM {t}"
+            if self.r.random() < 0.4:
+                sql += f" WHERE {self.pred(t)}"
+            return sql, ["c0", "c1", "c2"]
         if wf == 0:
             w = f"row_number() OVER (PARTITION BY {part} ORDER BY {key}, {self.pick(STR_COLS[t])})"
         elif wf == 1:
