@@ -289,6 +289,12 @@ def copy_to(
         if compression:
             writer = writer.option("compression", compression)
         writer.parquet(path)
+    elif format == "json":
+        # DuckDB COPY (FORMAT JSON) writes newline-delimited JSON —
+        # exactly Spark's json sink (json extension, duckdb-7.cpp:4405)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
     else:
         raise ValueError(f"unsupported COPY format: {format!r}")
 

@@ -200,3 +200,43 @@ def test_read_table_functions_differential(spark, tmp_path):
         assert _rows_to_normed(s_cols, s_rows) == _rows_to_normed(
             d_cols, cur.fetchall()
         ), q
+
+
+def test_copy_to_json_matches_duckdb(spark, tmp_path):
+    """COPY (FORMAT JSON) writes newline-delimited JSON identical to the
+    reference's json extension sink (r12 fn/format sweep)."""
+    import glob as _glob
+    import json as _json
+
+    import duckdb
+
+    from quackspark import sqlfront
+    from quackspark.session import register_testdata_views
+
+    register_testdata_views(spark, "/root/testdata/sf0.001")
+    out = tmp_path / "j_spark"
+    sqlfront.sql(
+        spark,
+        "COPY (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5) "
+        f"TO '{out}' (FORMAT JSON)",
+    )
+    ours = sorted(
+        (_json.loads(line)
+         for f in _glob.glob(str(out / "part-*")) for line in open(f)
+         if line.strip()),
+        key=str,
+    )
+    dd = duckdb.connect()
+    dd.execute(
+        "CREATE VIEW nation AS FROM '/root/testdata/sf0.001/nation.parquet'"
+    )
+    duck_out = tmp_path / "j_duck.json"
+    dd.execute(
+        "COPY (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5) "
+        f"TO '{duck_out}' (FORMAT JSON)"
+    )
+    want = sorted(
+        (_json.loads(line) for line in open(duck_out) if line.strip()),
+        key=str,
+    )
+    assert ours == want and len(ours) == 5
