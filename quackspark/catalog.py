@@ -402,3 +402,129 @@ def last_profiling_output(spark: SparkSession) -> DataFrame:
         _LAST_PROFILE or [(0, 0, "<none>", "<no profiled query>", 0)],
         "op_id int, depth int, operator string, metric string, value long",
     )
+
+
+def pragma_version(spark: SparkSession) -> DataFrame:
+    """`PRAGMA version` / `FROM pragma_version()` (reference
+    duckdb-6.cpp:14150-14176): (library_version, source_id). Reports this
+    engine's own identity — faking the reference's version string would
+    mislead version-gated client code."""
+    import pyspark
+
+    return spark.createDataFrame(
+        [(f"quackspark (spark {pyspark.__version__})", "quackspark")],
+        "library_version string, source_id string",
+    )
+
+
+def pragma_platform(spark: SparkSession) -> DataFrame:
+    """`FROM pragma_platform()`: the reference's <os>_<arch> spelling."""
+    import platform as _pf
+
+    os_ = _pf.system().lower()
+    arch = {"x86_64": "amd64", "aarch64": "arm64"}.get(
+        _pf.machine(), _pf.machine()
+    )
+    return spark.createDataFrame(
+        [(f"{os_}_{arch}",)], "platform string"
+    )
+
+
+def pg_timezone_names(spark: SparkSession) -> DataFrame:
+    """`FROM pg_timezone_names()` (reference ICU extension surface):
+    (name, abbrev, utc_offset, is_dst) for every zone in the session's
+    tz database (IANA via zoneinfo — the reference uses ICU's list; the
+    shared names agree, each engine also carries catalog-only aliases)."""
+    import datetime as _dt
+    import zoneinfo
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+    rows = []
+    for name in sorted(zoneinfo.available_timezones()):
+        try:
+            tz = zoneinfo.ZoneInfo(name)
+            loc = now.astimezone(tz)
+            off = loc.utcoffset() or _dt.timedelta(0)
+            dst = loc.dst() or _dt.timedelta(0)
+            rows.append((name, loc.tzname() or name, off,
+                         dst != _dt.timedelta(0)))
+        except Exception:
+            continue
+    return spark.createDataFrame(
+        rows,
+        "name string, abbrev string, utc_offset interval day to second, "
+        "is_dst boolean",
+    )
+
+
+def parquet_file_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """`FROM parquet_file_metadata('p')` (reference parquet extension):
+    file-level footer facts via pyarrow — column names and order match
+    the reference's."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    return spark.createDataFrame(
+        [(
+            path,
+            md.created_by,
+            md.num_rows,
+            md.num_row_groups,
+            int(str(md.format_version).split(".")[0]),
+            None,
+            None,
+        )],
+        "file_name string, created_by string, num_rows bigint, "
+        "num_row_groups bigint, format_version bigint, "
+        "encryption_algorithm string, footer_signing_key_metadata string",
+    )
+
+
+def parquet_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """`FROM parquet_metadata('p')`: one row per (row group × column
+    chunk) with stats/encodings/offsets — the reference's column set,
+    filled from pyarrow's footer view (fields pyarrow does not expose —
+    distinct counts, legacy stats blobs — are NULL, as they commonly are
+    in the reference too)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    rows = []
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            st = col.statistics
+            rows.append((
+                path, rg_i, rg.num_rows, rg.num_columns, rg.total_byte_size,
+                c_i, col.file_offset, col.num_values,
+                ".".join(col.path_in_schema.split(".")),
+                str(col.physical_type),
+                None, None,
+                st.null_count if st and st.has_null_count else None,
+                st.distinct_count if st and st.has_distinct_count else None,
+                str(st.min) if st and st.has_min_max else None,
+                str(st.max) if st and st.has_min_max else None,
+                str(col.compression),
+                ", ".join(str(e) for e in col.encodings),
+                None,
+                col.dictionary_page_offset,
+                col.data_page_offset,
+                col.total_compressed_size,
+                col.total_uncompressed_size,
+                {},
+            ))
+    return spark.createDataFrame(
+        rows,
+        "file_name string, row_group_id bigint, row_group_num_rows bigint, "
+        "row_group_num_columns bigint, row_group_bytes bigint, "
+        "column_id bigint, file_offset bigint, num_values bigint, "
+        "path_in_schema string, type string, stats_min string, "
+        "stats_max string, stats_null_count bigint, "
+        "stats_distinct_count bigint, stats_min_value string, "
+        "stats_max_value string, compression string, encodings string, "
+        "index_page_offset bigint, dictionary_page_offset bigint, "
+        "data_page_offset bigint, total_compressed_size bigint, "
+        "total_uncompressed_size bigint, "
+        "key_value_metadata map<string,string>",
+    )

@@ -5150,13 +5150,15 @@ def _rewrite_replacement_scans(sql: str, spark: SparkSession | None) -> str:
 
     sql = _PATH_SCAN.sub(sub, sql)
     sql = _GLOB_FN.sub(_sub_glob_fn, sql)
+    sql = _REPEAT_ROW_FN.sub(_sub_repeat_row, sql)
     return _READ_FN.sub(lambda m: _sub_read_fn(m, spark), sql)
 
 
 _READ_FN = re.compile(
     r"\bFROM\s+(?:read_(csv_auto|csv|json_auto|json|ndjson_auto|ndjson|parquet"
     r"|text|blob)"
-    r"|(?:parquet_scan)|(sniff_csv|parquet_schema))"
+    r"|(?:parquet_scan)"
+    r"|(sniff_csv|parquet_schema|parquet_file_metadata|parquet_metadata))"
     r"\s*\(\s*('[^']+'|\[[^\]]*\])\s*(?:,([^()]*))?\)",
     re.IGNORECASE,
 )
@@ -5164,6 +5166,29 @@ _READ_FN = re.compile(
 _GLOB_FN = re.compile(
     r"\bFROM\s+glob\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
 )
+
+_REPEAT_ROW_FN = re.compile(
+    r"\bFROM\s+repeat_row\s*\(([^()]*)\)", re.IGNORECASE
+)
+
+
+def _sub_repeat_row(m: re.Match) -> str:
+    """`FROM repeat_row(v0, v1, ..., num_rows=N)` (reference table
+    function): N copies of the literal row, columns named column0.. like
+    the reference."""
+    args = _split_args(_tokens(m.group(1)))
+    n = None
+    vals: list[str] = []
+    for a in args:
+        if len(a) >= 3 and a[0].lower() == "num_rows" and a[1] in ("=", ":="):
+            n = " ".join(a[2:])
+        else:
+            vals.append(" ".join(a))
+    if n is None or not vals:
+        raise UnsupportedSQL("repeat_row needs row values and num_rows=N")
+    # DuckDB-dialect output: later passes transpile range() like user text
+    items = ", ".join(f"{v} AS column{i}" for i, v in enumerate(vals))
+    return f"FROM (SELECT {items} FROM range({n})) AS repeat_row_t"
 
 
 def _sub_glob_fn(m: re.Match) -> str:
@@ -5290,6 +5315,10 @@ def _sub_read_fn(m: re.Match, spark: SparkSession | None) -> str:
             [(paths[0], f.name, str(f.type)) for f in sch],
             "file_name string, name string, type string",
         )
+    elif kind in ("parquet_metadata", "parquet_file_metadata"):
+        from quackspark import catalog as _cat
+
+        df = getattr(_cat, kind)(spark, paths[0])
     else:  # json / json_auto / ndjson — newline-delimited JSON
         reader = spark.read
         if cols := options.get("columns"):
@@ -7850,6 +7879,9 @@ _CATALOG_TVFS = (
     "duckdb_sequences",
     "duckdb_functions",
     "duckdb_constraints",
+    "pragma_version",
+    "pragma_platform",
+    "pg_timezone_names",
 )
 
 
@@ -7862,7 +7894,9 @@ def _rewrite_catalog_tablefns(spark: SparkSession, sql_text: str) -> str:
     the view name; only code segments are rewritten, so the names inside
     strings or comments stay text."""
     low = sql_text.lower()
-    if "duckdb_" not in low and "pragma_table_info" not in low:
+    if ("duckdb_" not in low and "pragma_table_info" not in low
+            and "pragma_version" not in low and "pragma_platform" not in low
+            and "pg_timezone_names" not in low):
         return sql_text
     from quackspark import catalog as _cat
 

@@ -208,3 +208,29 @@ def test_json_contains_fuzz_vs_oracle(con, duck):
         rows.append((h, n, want, got))
     bad = [r for r in rows if r[2] != r[3]]
     assert not bad, bad[:5]
+
+
+def test_table_functions_matches_duckdb(con, duck):
+    """r12 table-function additions: parquet_metadata /
+    parquet_file_metadata (pyarrow footer view, reference column set),
+    repeat_row, pg_timezone_names (IANA set — spot-checked on shared
+    names). pragma_version/pragma_platform exist but report THIS
+    engine's identity by design."""
+    p = "/root/testdata/sf0.001/nation.parquet"
+    for q in [
+        f"SELECT * FROM parquet_file_metadata('{p}')",
+        f"SELECT path_in_schema, type, num_values, stats_min_value, "
+        f"stats_max_value, compression, row_group_num_rows "
+        f"FROM parquet_metadata('{p}') ORDER BY column_id",
+        "SELECT * FROM repeat_row(1, 'x', num_rows=3)",
+        "SELECT column0 + 1 AS a FROM repeat_row(41, num_rows=2)",
+        "SELECT name, is_dst FROM pg_timezone_names() "
+        "WHERE name IN ('America/New_York', 'UTC', 'Asia/Tokyo') "
+        "ORDER BY name",
+    ]:
+        want = duck.execute(q).fetchall()
+        got = [tuple(r) for r in con.sql(q).df.collect()]
+        assert got == want, (q, want, got)
+    for q in ["SELECT * FROM pragma_version()",
+              "SELECT * FROM pragma_platform()"]:
+        assert len(con.sql(q).df.collect()) == 1, q
