@@ -528,3 +528,28 @@ def parquet_metadata(spark: SparkSession, path: str) -> DataFrame:
         "total_uncompressed_size bigint, "
         "key_value_metadata map<string,string>",
     )
+
+
+def duckdb_indexes(spark: SparkSession) -> DataFrame:
+    """`FROM duckdb_indexes()`: the CREATE INDEX shim registry (indexes
+    are recorded no-ops — SURVEY §7: broadcast joins + secondary
+    projections are the honest ART analog). Reference column set; oids
+    and comments NULL like a fresh in-memory catalog."""
+    from quackspark import ddl
+
+    rows = [
+        (
+            "spark_catalog", None, "main", None, name, None,
+            info["table"], None, None, {}, bool(info["unique"]), False,
+            None, info["sql"],
+        )
+        for name, info in sorted(ddl.INDEXES.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database_name string, database_oid bigint, schema_name string, "
+        "schema_oid bigint, index_name string, index_oid bigint, "
+        "table_name string, table_oid bigint, comment string, "
+        "tags map<string,string>, is_unique boolean, is_primary boolean, "
+        "expressions string, sql string",
+    )

@@ -106,8 +106,8 @@ _DROP_CASCADE_RE = re.compile(
     r"^\s*(DROP\s+(?:TABLE|VIEW)\s+.*?)\s+(?:CASCADE|RESTRICT)\s*;?\s*$", re.I
 )
 _CREATE_INDEX_RE = re.compile(
-    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"([A-Za-z_]\w*)\s+ON\s+(.*?)\s*;?\s*$",
+    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_]\w*)\s+ON\s+(([A-Za-z_][\w.]*).*?)\s*;?\s*$",
     re.I | re.S,
 )
 _DROP_INDEX_RE = re.compile(
@@ -522,8 +522,18 @@ def run_ddl(spark: SparkSession, duckdb_sql: str) -> DataFrame | None:
         return spark.sql(m.group(1))
 
     if m := _CREATE_INDEX_RE.match(duckdb_sql):
-        INDEXES[m.group(1).lower()] = m.group(2)
-        return _status(spark, index=m.group(1), status="noop (no ART index on Spark)")
+        # normalized serialization like the reference's catalog
+        # (CREATE [UNIQUE] INDEX name ON table(cols); — no space before
+        # the paren, keywords upper); expression indexes keep their text
+        tail = re.sub(r"^" + re.escape(m.group(4)) + r"\s*", "", m.group(3))
+        INDEXES[m.group(2).lower()] = {
+            "table": m.group(4).lower(),
+            "unique": bool(m.group(1)),
+            "on": m.group(3),
+            "sql": (f"CREATE {'UNIQUE ' if m.group(1) else ''}INDEX "
+                    f"{m.group(2)} ON {m.group(4)}{tail};"),
+        }
+        return _status(spark, index=m.group(2), status="noop (no ART index on Spark)")
 
     if m := _DROP_INDEX_RE.match(duckdb_sql):
         INDEXES.pop(m.group(1).lower(), None)

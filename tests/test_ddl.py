@@ -386,8 +386,22 @@ def test_index_shim_and_comment(both):
     from quackspark.ddl import COMMENTS, INDEXES
 
     assert "ddl_idx" in INDEXES
+    # duckdb_indexes() introspects the shim registry with the reference's
+    # normalized serialization (r12) — differential against live DuckDB
+    con.execute("CREATE TABLE ddl_t7 (id INTEGER)")
+    con.execute("CREATE INDEX ddl_idx ON ddl_t7 (id)")
+    cols = "index_name, table_name, is_unique, is_primary, expressions, sql"
+    got = [tuple(r) for r in sql(
+        spark, f"SELECT {cols} FROM duckdb_indexes() WHERE index_name = 'ddl_idx'"
+    ).collect()]
+    want = con.execute(
+        f"SELECT {cols} FROM duckdb_indexes() WHERE index_name = 'ddl_idx'"
+    ).fetchall()
+    assert got == want
     sql(spark, "DROP INDEX ddl_idx")
     assert "ddl_idx" not in INDEXES
+    assert sql(spark, "SELECT count(*) AS c FROM duckdb_indexes()"
+               ).collect()[0]["c"] == 0
     sql(spark, "COMMENT ON TABLE ddl_t7 IS 'probe'")
     assert COMMENTS.get("table:ddl_t7") == "probe"
     sql(spark, "DROP TABLE ddl_t7")
