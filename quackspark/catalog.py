@@ -553,3 +553,22 @@ def duckdb_indexes(spark: SparkSession) -> DataFrame:
         "tags map<string,string>, is_unique boolean, is_primary boolean, "
         "expressions string, sql string",
     )
+
+
+def duckdb_databases(spark: SparkSession) -> DataFrame:
+    """`FROM duckdb_databases()` (reference catalog TVF,
+    duckdb-6.cpp:14150-14176): the attached catalogs with the
+    reference's column set — on Spark that is the session catalog plus
+    any ATTACHed databases (sources/duckfile registers them as
+    schemas)."""
+    names = [c.name for c in spark.catalog.listCatalogs()] or ["spark_catalog"]
+    rows = [
+        (n, None, None, None, {}, n != "spark_catalog", "spark", False)
+        for n in sorted(set(names))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database_name string, database_oid bigint, path string, "
+        "comment string, tags map<string,string>, internal boolean, "
+        "type string, readonly boolean",
+    )

@@ -7879,6 +7879,7 @@ _CATALOG_TVFS = (
     "duckdb_sequences",
     "duckdb_functions",
     "duckdb_constraints",
+    "duckdb_databases",
     "duckdb_indexes",
     "pragma_version",
     "pragma_platform",
