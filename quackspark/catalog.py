@@ -572,3 +572,14 @@ def duckdb_databases(spark: SparkSession) -> DataFrame:
         "comment string, tags map<string,string>, internal boolean, "
         "type string, readonly boolean",
     )
+
+
+def duckdb_keywords(spark: SparkSession) -> DataFrame:
+    """`FROM duckdb_keywords()`: the grammar's keyword classes
+    (functions/_keywords.py — static table of the vendored PG grammar's
+    kwlist, duckdb-libpg_query.cpp)."""
+    from quackspark.functions._keywords import KEYWORDS
+
+    return spark.createDataFrame(
+        list(KEYWORDS), "keyword_name string, keyword_category string"
+    )

@@ -7881,6 +7881,7 @@ _CATALOG_TVFS = (
     "duckdb_constraints",
     "duckdb_databases",
     "duckdb_indexes",
+    "duckdb_keywords",
     "pragma_version",
     "pragma_platform",
     "pg_timezone_names",
