@@ -234,3 +234,20 @@ def test_table_functions_matches_duckdb(con, duck):
     for q in ["SELECT * FROM pragma_version()",
               "SELECT * FROM pragma_platform()"]:
         assert len(con.sql(q).df.collect()) == 1, q
+
+
+def test_catalog_tvfs_keywords_databases(con, duck):
+    """duckdb_keywords() matches the oracle's keyword table exactly (it
+    IS the vendored grammar's kwlist); duckdb_databases() lists the
+    session catalog with the reference's column set."""
+    q = "SELECT keyword_name, keyword_category FROM duckdb_keywords() " \
+        "ORDER BY keyword_name"
+    got = [tuple(r) for r in con.sql(q).df.collect()]
+    want = duck.execute(q).fetchall()
+    assert got == want and len(got) > 400
+    dbs = con.sql("SELECT * FROM duckdb_databases()").df
+    assert dbs.columns == [
+        "database_name", "database_oid", "path", "comment", "tags",
+        "internal", "type", "readonly",
+    ]
+    assert dbs.count() >= 1
