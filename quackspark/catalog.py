@@ -583,3 +583,170 @@ def duckdb_keywords(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         list(KEYWORDS), "keyword_name string, keyword_category string"
     )
+
+
+def duckdb_settings(spark: SparkSession) -> DataFrame:
+    """`FROM duckdb_settings()` (reference duckdb-6.cpp:12687
+    DuckDBSettingsFunction): the settings registry with the reference's
+    column set.  The name/description/input_type/scope rows come from the
+    static registry (functions/_settings.py, data parity); the VALUE
+    column is live where this engine actually maps the setting — threads
+    (Spark default parallelism), TimeZone/timezone
+    (spark.sql.session.timeZone), and any key the user routed into the
+    Spark session conf via SET / assignment-form PRAGMA (sqlfront routes
+    both verbatim).  Unmapped settings show their reference default."""
+    from quackspark.functions._settings import SETTINGS
+
+    tz = None
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        pass
+    rows = []
+    for name, default, desc, input_type, scope in SETTINGS:
+        value = default
+        if name == "threads":
+            value = str(spark.sparkContext.defaultParallelism)
+        elif name.lower() in ("timezone", "time_zone") and tz:
+            value = tz
+        else:
+            try:
+                got = spark.conf.get(name)
+                if got is not None and got != f"<undefined> {name}":
+                    # Spark's SET parser keeps literal quotes (PRAGMA
+                    # memory_limit='2GB' stores "'2GB'") — display bare
+                    if len(got) >= 2 and got[0] == got[-1] == "'":
+                        got = got[1:-1]
+                    value = got
+            except Exception:
+                pass
+        rows.append((name, value, desc, input_type, scope))
+    return spark.createDataFrame(
+        rows,
+        "name string, value string, description string, "
+        "input_type string, scope string",
+    )
+
+
+def duckdb_types(spark: SparkSession) -> DataFrame:
+    """`FROM duckdb_types()` (reference duckdb-6.cpp:14150-14176
+    DuckDBTypesFunction): the built-in type catalog with the reference's
+    column set — one row per type name (the reference repeats each name
+    per schema; this engine has one type namespace).  Spark-side
+    carriers differ (SURVEY.md §1.2) but the name/logical-type/category
+    surface an introspection script reads is identical.  User-defined
+    ENUM types (CREATE TYPE … AS ENUM) are appended with internal=false
+    like the reference."""
+    from quackspark.functions._types import TYPES
+
+    rows = [
+        ("spark_catalog", None, "main", None, None, n, sz, lt, cat,
+         None, {}, True, None)
+        for n, lt, cat, sz in TYPES
+    ]
+    try:
+        from quackspark.sqlfront import _ENUM_TYPES  # CREATE TYPE … AS ENUM
+
+        for name, labels in sorted(_ENUM_TYPES.items()):
+            rows.append(
+                ("spark_catalog", None, "main", None, None, name, None,
+                 "ENUM", "COMPOSITE", None, {}, False, list(labels))
+            )
+    except Exception:
+        pass
+    return spark.createDataFrame(
+        rows,
+        "database_name string, database_oid bigint, schema_name string, "
+        "schema_oid bigint, type_oid bigint, type_name string, "
+        "type_size bigint, logical_type string, type_category string, "
+        "comment string, tags map<string,string>, internal boolean, "
+        "labels array<string>",
+    )
+
+
+#: per-type value cycle [min, max, NULL] for test_vector_types (reference
+#: duckdb-6.cpp:14135 TestVectorTypesFun; values pinned against the
+#: oracle: FROM test_vector_types(NULL::T) emits flat[min,max,NULL] +
+#: constant[min]*3 + dictionary[max,NULL] + sequence — (3,5,7) for
+#: integer types, the value cycle again otherwise)
+_TVT_CYCLES: dict[str, tuple] = {
+    "tinyint": ((-128, 127, None), True, "tinyint"),
+    "int1": ((-128, 127, None), True, "tinyint"),
+    "smallint": ((-32768, 32767, None), True, "smallint"),
+    "int2": ((-32768, 32767, None), True, "smallint"),
+    "short": ((-32768, 32767, None), True, "smallint"),
+    "integer": ((-2147483648, 2147483647, None), True, "int"),
+    "int": ((-2147483648, 2147483647, None), True, "int"),
+    "int4": ((-2147483648, 2147483647, None), True, "int"),
+    "signed": ((-2147483648, 2147483647, None), True, "int"),
+    "bigint": (
+        (-9223372036854775808, 9223372036854775807, None), True, "bigint",
+    ),
+    "int8": (
+        (-9223372036854775808, 9223372036854775807, None), True, "bigint",
+    ),
+    "long": (
+        (-9223372036854775808, 9223372036854775807, None), True, "bigint",
+    ),
+    "float": (
+        (-3.4028234663852886e+38, 3.4028234663852886e+38, None),
+        False, "float",
+    ),
+    "real": (
+        (-3.4028234663852886e+38, 3.4028234663852886e+38, None),
+        False, "float",
+    ),
+    "double": (
+        (-1.7976931348623157e+308, 1.7976931348623157e+308, None),
+        False, "double",
+    ),
+    "float8": (
+        (-1.7976931348623157e+308, 1.7976931348623157e+308, None),
+        False, "double",
+    ),
+    "boolean": ((False, True, None), False, "boolean"),
+    "bool": ((False, True, None), False, "boolean"),
+    "varchar": (("\U0001F986" * 6, "goo\x00se", None), False, "string"),
+    "string": (("\U0001F986" * 6, "goo\x00se", None), False, "string"),
+    "text": (("\U0001F986" * 6, "goo\x00se", None), False, "string"),
+}
+
+
+def test_vector_types(spark: SparkSession, type_names: list[str]) -> DataFrame:
+    """`FROM test_vector_types(NULL::T, …)` (reference duckdb-6.cpp:14135):
+    the 11-row boundary-value fixture per argument type — columns named
+    test_vector, test_vector2, … like the reference.  Vector ENCODINGS
+    (flat/constant/dictionary/sequence) are Tungsten's concern on Spark;
+    the VALUES those encodings carry are what a test consumes, and they
+    are pinned exactly against the oracle.  DATE/TIMESTAMP extremes
+    (year ±290k/5.8M) exceed Spark's representable range → pointed
+    refusal rather than silent clamping."""
+    from quackspark.sqlfront import UnsupportedSQL
+
+    cycles, spark_types = [], []
+    for t in type_names:
+        tl = t.strip().lower()
+        if tl not in _TVT_CYCLES:
+            raise UnsupportedSQL(
+                f"test_vector_types({t}): only "
+                f"integer/float/boolean/varchar prototypes are supported "
+                f"(DATE/TIMESTAMP extremes exceed Spark's range)"
+            )
+        cyc, is_int, st = _TVT_CYCLES[tl]
+        cycles.append((cyc, is_int))
+        spark_types.append(st)
+    if not cycles:
+        raise UnsupportedSQL("test_vector_types needs at least one argument")
+    rows = []
+    # flat [0,1,2] + constant [0,0,0] + dictionary [1,2] + sequence
+    for idx in (0, 1, 2, 0, 0, 0, 1, 2):
+        rows.append(tuple(cyc[idx] for cyc, _ in cycles))
+    for k, seqval in enumerate((3, 5, 7)):
+        rows.append(tuple(
+            seqval if is_int else cyc[k] for cyc, is_int in cycles
+        ))
+    names = ["test_vector"] + [
+        f"test_vector{i + 2}" for i in range(len(cycles) - 1)
+    ]
+    schema = ", ".join(f"{n} {t}" for n, t in zip(names, spark_types))
+    return spark.createDataFrame(rows, schema)

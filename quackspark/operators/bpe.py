@@ -215,5 +215,9 @@ def apply_bpe(
 
         return _encode
 
-    fn = memo_udf(("bpe_encode", id(ranks), lowercase), build)
+    # content-keyed: id(ranks) could never hit (fresh dict per call) and
+    # grew the per-context cache unboundedly (ADVICE r12)
+    fn = memo_udf(
+        ("bpe_encode", hash(tuple(map(tuple, merges))), lowercase), build
+    )
     return df.withColumn(out_col, fn(F.col(text_col)))

@@ -447,14 +447,24 @@ ORACLES["dedup_duplicate_spans"] = r"""
 """
 
 
-#: the span-scrub CTE chain (WITH-body fragment, ends at `kept`) —
-#: shared by the standalone oracle below and the pipeline composition
-#: (queries/pipeline.ORACLES["pipeline_span_scrub_stats"]). Mirrors
-#: operators/dedup.span_scrub stage for stage.
-SQL_SPAN_SCRUB_CTES = r"""
+#: the span-scrub CTE chain (WITH-body fragment, ends at `scr`) —
+#: shared by the standalone oracle below and the pipeline compositions
+#: (queries/pipeline.ORACLES["pipeline_span_scrub_stats"], and the v3
+#: capstone which scrubs the exact-dedup SURVIVORS: sql_span_scrub_ctes
+#: parametrizes the source relation). Mirrors operators/dedup.span_scrub
+#: stage for stage.
+
+
+def sql_span_scrub_ctes(src: str = "documents") -> str:
+    """The span-scrub CTE chain over an arbitrary source relation with
+    (doc_id, text) columns."""
+    return _SQL_SPAN_SCRUB_TMPL.replace("__SCRUB_SRC__", src)
+
+
+_SQL_SPAN_SCRUB_TMPL = r"""
     tok AS (
         SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
-        FROM documents
+        FROM __SCRUB_SRC__
     ), pos AS (
         SELECT doc, t, unnest(range(0, len(t) - 15 + 1)) AS pos
         FROM tok WHERE len(t) >= 15
@@ -502,6 +512,8 @@ SQL_SPAN_SCRUB_CTES = r"""
         LEFT JOIN kept k ON k.doc = t.doc
     )
 """
+
+SQL_SPAN_SCRUB_CTES = sql_span_scrub_ctes("documents")
 
 ORACLES["dedup_span_scrub"] = f"""
     WITH {SQL_SPAN_SCRUB_CTES}

@@ -386,6 +386,107 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation product (r12 verdict directive #1): exact dedup
+    → exact-substring span scrub of the survivors → MinHash-LSH near-dup
+    pairs over the SCRUBBED text → connected-components clustering with
+    longest-member survivor → language + quality gates (quality scored on
+    the scrubbed text) → α=0.5 temperature mix → per-source rollup that
+    also carries the scrub shrinkage. Every stage is an already-oracled
+    operator; this composition is the one the 5 M-doc scale record
+    (tools/scale_pipeline.py → SCALE_PIPELINE.json) executes.
+
+    Scale shape: stage shuffles are (1) the md5-128 fingerprint groupBy,
+    (2) span scrub's ONE uniform window-hash shuffle + doc-keyed span
+    merge (corpus text never shuffles for the merge), (3) the LSH
+    shingle explode + band-key join (collision-bounded, hot-shingle
+    guard), (4) O(log² n) contraction rounds on the PAIR graph only,
+    (5) doc_id-keyed semi-joins for the survivor/keep gates, (6) a tiny
+    per-source agg broadcast back for the mix rates."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", T.tokens(F.lower(F.col("text")))))
+    surv_ids = (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(surv_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+    scrubbed = D.span_scrub(surv, "text", "doc_id", window_tokens=15)
+    sdocs = (
+        scrubbed.join(
+            surv.select(F.col("doc_id").alias("doc"), "lang", "source"), "doc"
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("kept_text").alias("text"),
+            "lang", "source", "n_tokens", "n_removed",
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = D.minhash_lsh_pairs(
+        sdocs, "text", "doc_id", k=3, n_hashes=N_HASHES, bands=8,
+        threshold=_EST_THRESHOLD,
+    )
+    cc = CC.connected_components(pairs, "d1", "d2")
+    docs = sdocs.select(
+        F.col("doc_id").alias("doc"), F.length("text").alias("len")
+    )
+    lab = docs.join(cc, docs["doc"] == cc["node"], "left").select(
+        "doc", "len", F.coalesce("comp", "doc").alias("comp")
+    )
+    best = lab.groupBy("comp").agg(
+        F.min(
+            F.struct((-F.col("len")).alias("nl"), F.col("doc").alias("d"))
+        ).alias("b")
+    )
+    keep_ids = best.select(F.col("b.d").alias("doc_id"))
+    # same no-broadcast-hint reasoning as v2: keep_ids ≈ deduped corpus
+    kept = sdocs.join(keep_ids, "doc_id", "left_semi")
+    gated = (
+        kept.filter(F.col("lang") == "en")
+        .withColumn(
+            "quality",
+            F.round(T.quality_score(F.col("text"), _STOPWORDS["en"]), 6),
+        )
+        .filter(F.col("quality") >= _QUALITY_THRESHOLD)
+    )
+    cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    stats = cnt.agg(
+        F.sum("n").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n"))),
+                lambda s: F.sqrt(s["n"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssum"),
+    )
+    target = F.floor(F.lit(_TEMP_FRAC) * F.col("n_total")).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        target * F.sqrt(F.col("n").cast("double")) / F.col("ssum") / F.col("n"),
+    )
+    rates = cnt.crossJoin(F.broadcast(stats)).select(
+        "source", F.floor(F.lit(256.0) * rate).cast("int").alias("thr")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    mixed = gated.join(F.broadcast(rates), "source").filter(bucket < F.col("thr"))
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
+            F.sum("n_removed").alias("tokens_removed"),
+            davg("quality").alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 #: negatives per document for contrastive-pair sampling
 _NEG_K = 3
 
@@ -486,6 +587,7 @@ def pipeline_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pipeline_training_prep_v2": pipeline_training_prep_v2,
+    "pipeline_training_prep_v3": pipeline_training_prep_v3,
     "pipeline_negative_sampling": pipeline_negative_sampling,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_pack_stats": pipeline_pack_stats,
@@ -771,6 +873,103 @@ ORACLES["pipeline_training_prep_v2"] = f"""
     FROM mixed
     GROUP BY source ORDER BY source
 """
+
+
+def _v3_oracle() -> str:
+    """v3 capstone oracle: v2's six stages with the span-scrub CTE chain
+    spliced in over the exact-dedup survivors — the LSH/clustering/gates/
+    mix all read the SCRUBBED text, exactly like the Spark plan."""
+    from quackspark.queries.dedup import sql_span_scrub_ctes
+
+    scrub = sql_span_scrub_ctes("(SELECT doc_id, text FROM surv)")
+    return f"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, text, lang, source,
+               md5(list_aggregate({_TOKS_LOWER}, 'string_agg', ' ')) AS fp
+        FROM documents
+    ), surv AS (
+        SELECT doc_id, text, lang, source FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fp) AS s FROM norm
+        ) WHERE doc_id = s
+    ), {scrub},
+    sdocs AS (
+        SELECT s.doc AS doc_id, s.kept_text AS text, d.lang, d.source,
+               s.n_tokens, s.n_removed
+        FROM scr s JOIN surv d ON d.doc_id = s.doc
+    ), sig AS (
+        SELECT doc_id AS doc,
+               {_sql_signature(f"list_distinct({_sql_shingles(_TOKS)})")} AS sig
+        FROM sdocs
+    ), banded AS (
+        SELECT doc, sig, unnest({_sql_band_keys()}) AS band FROM sig
+    ), pairs AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.doc < b.doc
+        WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+                                   i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+              / {N_HASHES} >= {_EST_THRESHOLD}
+    ), edges AS (
+        SELECT d1 AS s, d2 AS t FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ), reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM sdocs
+        UNION
+        SELECT e.s, r.comp
+        FROM reach r JOIN edges e ON e.t = r.node
+        WHERE r.comp < e.s
+    ), cc AS (
+        SELECT node AS doc, min(comp) AS comp FROM reach GROUP BY node
+    ), lab AS (
+        SELECT cc.doc, cc.comp, length(s.text) AS len
+        FROM cc JOIN sdocs s ON s.doc_id = cc.doc
+    ), best AS (
+        SELECT doc AS doc_id FROM (
+            SELECT comp, doc,
+                   row_number() OVER (PARTITION BY comp
+                                      ORDER BY len DESC, doc) AS rk
+            FROM lab
+        ) _r WHERE rk = 1
+    ), gated AS (
+        SELECT s.doc_id, s.source, s.text, s.n_removed,
+               round({_sql_quality()}, 6) AS quality
+        FROM sdocs s JOIN best USING (doc_id)
+        WHERE s.lang = 'en'
+    ), gq AS (
+        SELECT * FROM (
+            SELECT doc_id, source, text, n_removed, quality FROM gated
+        ) _g
+        WHERE quality >= {_QUALITY_THRESHOLD}
+    ), cnt AS (
+        SELECT source, count(*) AS n FROM gq GROUP BY source
+    ), stats AS (
+        SELECT sum(n) AS n_total,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(CAST(n AS DOUBLE) ORDER BY source),
+                                  x -> sqrt(x))),
+                   (a, b) -> a + b) AS ssum
+        FROM cnt
+    ), rates AS (
+        SELECT source,
+               CAST(floor(256.0 * least(1.0,
+                   CAST(floor({_TEMP_FRAC} * n_total) AS DOUBLE)
+                   * sqrt(CAST(n AS DOUBLE)) / ssum / n)) AS INT) AS thr
+        FROM cnt CROSS JOIN stats
+    ), mixed AS (
+        SELECT g.* FROM gq g JOIN rates r ON r.source = g.source
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < r.thr
+    )
+    SELECT source,
+           count(*) AS docs_kept,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(sum(n_removed) AS BIGINT) AS tokens_removed,
+           {o_davg("quality")} AS mean_quality
+    FROM mixed
+    GROUP BY source ORDER BY source
+    """
+
+
+ORACLES["pipeline_training_prep_v3"] = _v3_oracle()
 
 
 def _scrub_stats_oracle() -> str:

@@ -783,8 +783,16 @@ def _emit_call(low: str, original: str, args: list[list[str]]) -> list[str]:
             pairs = ", ".join(
                 f"{k[0]}, {j(v)}" for k, v in zip(args[::2], args[1::2])
             )
-            return _tokens(f"to_json(named_struct({pairs}))")
-        return _tokens(f"to_json(map({', '.join(j(a) for a in args)}))")
+            # DuckDB keeps NULL values ({"a":null}); Spark's to_json drops
+            # them by default — force ignoreNullFields=false (ADVICE r12)
+            return _tokens(
+                f"to_json(named_struct({pairs}),"
+                f" map('ignoreNullFields', 'false'))"
+            )
+        return _tokens(
+            f"to_json(map({', '.join(j(a) for a in args)}),"
+            f" map('ignoreNullFields', 'false'))"
+        )
     if low == "json_group_object" and len(args) == 2:
         return _tokens(
             f"to_json(map_from_entries(collect_list(struct({j(args[0])},"
@@ -2105,6 +2113,39 @@ _FROM_STOP_KW = frozenset(
 )
 
 
+def _cte_shadow_names(toks: list[str]) -> frozenset[str]:
+    """Lower-cased names defined by any WITH clause in the statement
+    (conservatively also catches WINDOW definitions — harmless, the only
+    consumer falls back to a column-set-preserving form).  Shapes matched:
+    ``name AS (`` and the column-list form ``name ( … ) AS (`` preceded by
+    WITH / RECURSIVE / a comma.  Used to refuse static catalog-schema
+    resolution when a CTE shadows a table of the same name (ADVICE r12:
+    ``WITH nation AS (…) SELECT * REPLACE … FROM nation`` must not expand
+    against the catalog ``nation``'s ordinals)."""
+    if not any(t.lower() == "with" for t in toks):
+        return frozenset()
+    names: set[str] = set()
+    for k, t in enumerate(toks):
+        if not _IDENT.match(t) or t.lower() in _FROM_STOP_KW:
+            continue
+        nxt = toks[k + 1] if k + 1 < len(toks) else ""
+        if nxt.lower() == "as" and k + 2 < len(toks) and toks[k + 2] == "(":
+            names.add(t.lower())
+        elif (
+            nxt == "("
+            and k > 0
+            and toks[k - 1].lower() in ("with", "recursive", ",")
+        ):
+            close = _find_call_end(toks, k + 1)
+            if (
+                close + 2 < len(toks)
+                and toks[close + 1].lower() == "as"
+                and toks[close + 2] == "("
+            ):
+                names.add(t.lower())
+    return frozenset(names)
+
+
 def _star_source_columns(
     toks: list[str], pos: int, qual: str | None, spark: SparkSession | None
 ) -> list[str] | None:
@@ -2168,6 +2209,10 @@ def _star_source_columns(
     if qual is not None and qual.lower() not in (
         table.lower(), (alias or "").lower(),
     ):
+        return None
+    if table.lower() in _cte_shadow_names(toks):
+        # a CTE shadows (or is) this name — the catalog schema would give
+        # the wrong ordinals (ADVICE r12); fall back to the EXCEPT form
         return None
     try:
         return spark.table(table).columns
@@ -2912,6 +2957,27 @@ def _retarget_time_extraction(out: list[str]) -> None:
     if p is not None and out[p].lower() in _TIME_EXTRACT_FNS \
             and p + 2 == len(out):  # carrier is the first/only argument
         out[p] = "__qs_time_" + out[p].lower()
+        return
+    # Any OTHER still-open extraction call enclosing this carrier —
+    # hour(coalesce(TIME …, x)), hour(greatest(TIME …, TIME …)), or the
+    # carrier not in first-argument position — cannot be retargeted:
+    # Spark's hour() would implicitly cast the BIGINT µs carrier and be
+    # silently wrong.  Refuse loudly instead (ADVICE r12).
+    d = 0
+    for k in range(len(out) - 1, -1, -1):
+        t = out[k]
+        if t == ")":
+            d += 1
+        elif t == "(":
+            if d == 0:
+                if k > 0 and out[k - 1].lower() in _TIME_EXTRACT_FNS:
+                    raise UnsupportedSQL(
+                        f"{out[k - 1]}() over an expression containing a "
+                        f"TIME literal: the TIME carrier can only be "
+                        f"extracted directly ({out[k - 1]}(TIME '…'))"
+                    )
+            else:
+                d -= 1
 
 
 def _rewrite_time_literals(toks: list[str]) -> list[str]:
@@ -4631,6 +4697,11 @@ def _columns_from_table(
     if table is None:
         raise UnsupportedSQL(
             "COLUMNS(...) supported only over a plain FROM table"
+        )
+    if table.lower() in _cte_shadow_names(toks):
+        raise UnsupportedSQL(
+            f"COLUMNS(...) over CTE {table}: schema not statically "
+            f"resolvable (a WITH clause shadows the catalog name)"
         )
     try:
         return spark.table(table).columns
@@ -7882,6 +7953,8 @@ _CATALOG_TVFS = (
     "duckdb_databases",
     "duckdb_indexes",
     "duckdb_keywords",
+    "duckdb_settings",
+    "duckdb_types",
     "pragma_version",
     "pragma_platform",
     "pg_timezone_names",
@@ -7899,7 +7972,8 @@ def _rewrite_catalog_tablefns(spark: SparkSession, sql_text: str) -> str:
     low = sql_text.lower()
     if ("duckdb_" not in low and "pragma_table_info" not in low
             and "pragma_version" not in low and "pragma_platform" not in low
-            and "pg_timezone_names" not in low):
+            and "pg_timezone_names" not in low
+            and "test_vector_types" not in low):
         return sql_text
     from quackspark import catalog as _cat
 
@@ -7921,6 +7995,29 @@ def _rewrite_catalog_tablefns(spark: SparkSession, sql_text: str) -> str:
         name = m.group(1).lower()
         view = f"__qs_tvf_{name}"
         getattr(_cat, name)(spark).createOrReplaceTempView(view)
+        edits.append((m.start(), m.end(), view))
+    n_tvt = 0
+    for m in re.finditer(r"\btest_vector_types\s*\(([^()]*)\)", sql_text, re.I):
+        if not _in_code(m.start()):
+            continue
+        # args are typed prototypes (NULL::INT, 'a'::VARCHAR); named args
+        # like all_flat=true select a vector ENCODING — on Spark that is
+        # Tungsten's concern, the emitted values are identical → ignored
+        types: list[str] = []
+        for a in m.group(1).split(","):
+            a = a.strip()
+            if not a or "=" in a:
+                continue
+            if "::" in a:
+                types.append(a.rsplit("::", 1)[1].strip())
+            else:
+                raise UnsupportedSQL(
+                    f"test_vector_types argument {a!r}: use a typed "
+                    f"prototype (NULL::INT)"
+                )
+        n_tvt += 1
+        view = f"__qs_tvf_tvt_{n_tvt}"
+        _cat.test_vector_types(spark, types).createOrReplaceTempView(view)
         edits.append((m.start(), m.end(), view))
     for m in re.finditer(
         r"\bpragma_table_info\s*\(\s*'((?:[^']|'')*)'\s*\)", sql_text, re.I

@@ -141,3 +141,82 @@ def test_current_setting_duckdb_keys(spark, duck):
     # duckdb's threads is numeric too
     (dth,) = duck.execute("SELECT current_setting('threads')").fetchone()
     assert isinstance(dth, int)
+
+
+# --- r13: duckdb_settings / duckdb_types / test_vector_types ------------
+
+
+def test_duckdb_settings_shape_and_live_values(spark, duck):
+    q = "SELECT name, input_type, scope FROM duckdb_settings() ORDER BY name"
+    got = sqlfront.sql(spark, q)
+    assert [f.name for f in got.schema.fields] == ["name", "input_type", "scope"]
+    names = {r["name"] for r in got.collect()}
+    # the full reference registry is present
+    exp_names = {r[0] for r in duck.execute(
+        "SELECT name FROM duckdb_settings()").fetchall()}
+    assert exp_names <= names
+    # live-mapped values
+    row = sqlfront.sql(
+        spark,
+        "SELECT value FROM duckdb_settings() WHERE name = 'threads'",
+    ).collect()[0]
+    assert row["value"] == str(spark.sparkContext.defaultParallelism)
+
+
+def test_duckdb_settings_reflects_session_set(spark):
+    sqlfront.sql(spark, "PRAGMA memory_limit='2GB'")
+    row = sqlfront.sql(
+        spark,
+        "SELECT value FROM duckdb_settings() WHERE name = 'memory_limit'",
+    ).collect()[0]
+    assert row["value"] == "2GB"
+
+
+def test_duckdb_types_surface(spark, duck):
+    # same column set as the reference, one row per type name
+    q = "SELECT type_name, logical_type, type_category FROM duckdb_types()"
+    got = {tuple(r) for r in sqlfront.sql(spark, q).collect()}
+    exp = {tuple(r) for r in duck.execute(
+        "SELECT DISTINCT type_name, logical_type, type_category "
+        "FROM duckdb_types() WHERE schema_name='main'").fetchall()}
+    assert exp == got
+    cols = [f.name for f in sqlfront.sql(
+        spark, "SELECT * FROM duckdb_types() LIMIT 1").schema.fields]
+    dcols = [d[0] for d in duck.sql("SELECT * FROM duckdb_types()").description]
+    assert cols == dcols
+
+
+def test_duckdb_types_lists_created_enum(spark):
+    sqlfront.sql(spark, "DROP TYPE IF EXISTS ms_mood")
+    sqlfront.sql(spark, "CREATE TYPE ms_mood AS ENUM ('sad', 'ok', 'happy')")
+    rows = sqlfront.sql(
+        spark,
+        "SELECT type_name, logical_type, labels, internal "
+        "FROM duckdb_types() WHERE type_name = 'ms_mood'",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["logical_type"] == "ENUM"
+    assert rows[0]["labels"] == ["sad", "ok", "happy"]
+    assert rows[0]["internal"] is False
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT * FROM test_vector_types(NULL::INT)",
+        "SELECT * FROM test_vector_types(NULL::BIGINT, NULL::VARCHAR)",
+        "SELECT * FROM test_vector_types(1::SMALLINT, true::BOOLEAN)",
+        "SELECT * FROM test_vector_types(NULL::DOUBLE, all_flat=true)",
+    ],
+)
+def test_test_vector_types_matches_oracle(spark, duck, q):
+    got = [tuple(r) for r in sqlfront.sql(spark, q).collect()]
+    exp = duck.sql(q).fetchall()
+    assert got == exp
+
+
+def test_test_vector_types_refuses_unrepresentable(spark):
+    from quackspark.sqlfront import UnsupportedSQL
+
+    with pytest.raises(UnsupportedSQL, match="test_vector_types"):
+        sqlfront.sql(spark, "SELECT * FROM test_vector_types(NULL::DATE)")
