@@ -27,9 +27,24 @@ larger neighbors of a hub to the hub's min, collapsing the star.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components"]
+
+#: edge-count gate for the driver union-find fast path (r13 optimization):
+#: an edge list at or under this size is collected (two longs per row —
+#: 16 MB at the 1M default, the same order as an AQE runtime broadcast)
+#: and solved with path-compressed union-find in microseconds, replacing
+#: ~10-15 driver-synchronized shuffle rounds whose fixed cost dominated
+#: every CC-bearing bench query (measured: 4.8 s for a 536-edge graph at
+#: sf0.1 — pure star-contraction round overhead). Above the gate the
+#: distributed large/small-star loop runs unchanged — the 100 TB path is
+#: untouched, exactly like AQE's broadcast decision: smallness is
+#: *measured*, never assumed. Override with QUACKSPARK_CC_DRIVER_EDGE_CAP
+#: (0 disables the fast path entirely).
+CC_DRIVER_EDGE_CAP = 1_000_000
 
 
 def _canon(edges: DataFrame, dedup: bool = True) -> DataFrame:
@@ -84,20 +99,88 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_components(spark, pdf, schema) -> DataFrame:
+    """Path-compressed union-find with min-root union over a collected
+    edge list — comp = min node id of the component, identical to the
+    star-contraction fixpoint by construction. ``pdf`` is a pandas frame
+    with columns (u, v), self-loops/NULLs included (skipped here)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        if u == v:
+            continue
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru  # min node id stays the root
+    if not parent:
+        return spark.createDataFrame([], schema=schema)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"node": list(parent), "comp": [find(n) for n in parent]}
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """(src, dst) pair DataFrame -> (node, comp) where ``comp`` is the
     minimum node id of the node's connected component. Only nodes that
     appear in at least one edge are returned (callers union singletons
     back with comp = own id; see queries/dedup.dedup_cluster_components).
+
+    ``driver_cap`` gates the small-graph driver fast path (see
+    CC_DRIVER_EDGE_CAP); ``0`` forces the distributed star-contraction
+    loop (tests pin driver == distributed on the same graph).
     """
-    e = _canon(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if driver_cap is None:
+        driver_cap = int(
+            os.environ.get("QUACKSPARK_CC_DRIVER_EDGE_CAP", CC_DRIVER_EDGE_CAP)
+        )
+    if driver_cap > 0:
+        # Probe the RAW (pre-distinct) edge count so the small-graph
+        # decision costs no shuffle: limit(cap+1) short-circuits the scan
+        # the moment the graph is provably large. A duplicate-heavy list
+        # that exceeds the cap only pre-dedup merely falls back to the
+        # distributed loop (which dedups first) — conservative, never
+        # wrong. Union-find is duplicate- and orientation-insensitive, so
+        # the driver path needs no _canon pass at all. NULL endpoints are
+        # dropped up front (matching _canon's null-propagating u != v
+        # filter) so the collected frame keeps its integer dtype.
+        head = raw.where(
+            F.col("u").isNotNull() & F.col("v").isNotNull()
+        ).limit(driver_cap + 1).toPandas()
+        if len(head) <= driver_cap:
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", raw.schema[0].dataType),
+                    StructField("comp", raw.schema[0].dataType),
+                ]
+            )
+            return _driver_components(edges.sparkSession, head, schema)
+    e = _canon(raw)
     # Lazy checkpoint: the checksum action right after is what
     # materializes the checkpointed blocks, so each round costs ONE
     # driver-synchronized job, not two (the r5 eager+checksum pairing

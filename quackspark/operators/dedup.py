@@ -101,6 +101,83 @@ def minhash_signatures(
     )
 
 
+def _minhash_sig_kernel(k: int, n_hashes: int, hot: tuple):
+    """Arrow kernel: text → MinHash signature (array<bigint>), one
+    vectorized pass per batch — the doc-LOCAL form of
+    :func:`minhash_signatures` (r13 optimization, guide §2.4/§4.2): a
+    signature is a pure per-document function, so the shingle explode +
+    16-min groupBy (one full exchange plus interpreted slice/zip_with/
+    array_distinct HOFs per row) is replaced by a map-only kernel — the
+    signature stage was the dominant cost of every minhash-bearing query
+    (1.38 s of dedup_minhash_lsh's 2.96 s at sf0.1).
+
+    Identity with the expression form, pinned by tests
+    (tests/test_verdict_r13.py kernel-vs-expression equality):
+    tokenization is ``re.ASCII \\s+`` after a space-only strip (== Spark
+    ``split(trim(text), '\\s+')`` + empty filter, the _window_hash_kernel
+    precedent); shingles are space-joined k-grams; hash i is
+    ``(A_i * lane_{i%4}(md5(shingle)) + B_i) mod (2^31-1)`` with the
+    md5 lane read big-endian from digest bytes [4j, 4j+4) — exactly
+    ``conv(substring(hex, 8j+1, 8), 16, 10)``. Exact int64 arithmetic on
+    both sides (products < 2^63). Docs with no (surviving) shingles
+    return NULL and are filtered out, mirroring the explode drop-out.
+
+    ``hot`` is the (sorted) hot-shingle tuple from the sampled DF guard —
+    dropped from the shingle set before hashing, exactly like the
+    ``isin`` filter on the exploded stream."""
+    from quackspark.functions._udfmemo import memo_udf
+
+    return memo_udf(
+        ("minhash_sig", k, n_hashes, hot),
+        lambda: _build_minhash_sig_kernel(k, n_hashes, hot),
+    )
+
+
+def _build_minhash_sig_kernel(k: int, n_hashes: int, hot: tuple):
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    A = np.array(_MIX_A[:n_hashes], dtype=np.int64)
+    B = np.array(_MIX_B[:n_hashes], dtype=np.int64)
+    lane_of = np.array([i % 4 for i in range(n_hashes)])
+    hot_set = frozenset(hot)
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(texts):
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            toks = [t for t in ws.split(txt.strip(" ")) if t]
+            n = len(toks) - k + 1
+            if n <= 0:
+                out.append(None)
+                continue
+            shingles = {" ".join(toks[i : i + k]) for i in range(n)}
+            if hot_set:
+                shingles -= hot_set
+            if not shingles:
+                out.append(None)
+                continue
+            # one md5 per shingle; the 4 big-endian u32 lanes of each
+            # digest drive all n_hashes multiply-add mixes at once
+            lanes = np.frombuffer(
+                b"".join(
+                    hashlib.md5(s.encode("utf-8")).digest() for s in shingles
+                ),
+                dtype=">u4",
+            ).reshape(-1, 4).astype(np.int64)
+            out.append(((A * lanes[:, lane_of] + B) % _MERSENNE31).min(axis=0))
+        return pd.Series(out)
+
+    return _sig
+
+
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
     """Split the signature into `bands` bands of `rows` values; each band
     key is 'band_index:v1,v2'. Docs sharing any band key become candidate
@@ -181,6 +258,36 @@ def _doc_sample_pred(doc: Column, mod: int) -> Column:
     return F.pmod(h.cast("long"), F.lit(mod)) == 0
 
 
+def _hot_shingle_list(
+    sh: DataFrame,
+    max_df: int | None = HOT_SHINGLE_DF,
+    sample_mod: int = GUARD_SAMPLE_MOD,
+) -> list | None:
+    """Detection half of :func:`drop_hot_shingles`: the (possibly sampled)
+    DF pass over a ``(doc, sh)`` stream, returning the hot-shingle values
+    when they fit the inline cap — ``[]`` in the common no-hot-shingle
+    case — or ``None`` for the pathological > _GUARD_LIST_CAP corpus
+    (caller falls back to the broadcast anti-join stream form). The
+    second element is the hot-list DataFrame for that fallback."""
+    if max_df is None:
+        return [], None
+    if sample_mod > 1 and max_df >= GUARD_SAMPLE_MIN_DF:
+        src = sh.filter(_doc_sample_pred(F.col("doc"), sample_mod))
+        cutoff = max_df // sample_mod
+    else:
+        src, cutoff = sh, max_df
+    hot = (
+        src.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .select("sh")
+    )
+    hot_vals = [r["sh"] for r in hot.limit(_GUARD_LIST_CAP + 1).collect()]
+    if len(hot_vals) > _GUARD_LIST_CAP:
+        return None, hot
+    return hot_vals, hot
+
+
 def drop_hot_shingles(
     sh: DataFrame,
     max_df: int | None = HOT_SHINGLE_DF,
@@ -203,27 +310,16 @@ def drop_hot_shingles(
     shuffle to skew) but a 1000-executor band join does."""
     if max_df is None:
         return sh
-    if sample_mod > 1 and max_df >= GUARD_SAMPLE_MIN_DF:
-        src = sh.filter(_doc_sample_pred(F.col("doc"), sample_mod))
-        cutoff = max_df // sample_mod
-    else:
-        src, cutoff = sh, max_df
-    hot = (
-        src.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cutoff)
-        .select("sh")
-    )
     # The hot list is bounded (≤ total_shingles/cutoff distinct values) —
     # collect it like AQE collects join stats. The common case is EMPTY:
     # then the guard costs literally nothing in the main plan. A small
     # list becomes a codegen'd hash-set `isin` filter (pure map stage, no
     # broadcast exchange in the hot path). Only a pathological corpus
     # (> _GUARD_LIST_CAP hot shingles) falls back to the anti-join.
-    hot_vals = [r["sh"] for r in hot.limit(_GUARD_LIST_CAP + 1).collect()]
-    if not hot_vals:
+    hot_vals, hot = _hot_shingle_list(sh, max_df, sample_mod)
+    if hot_vals == []:
         return sh
-    if len(hot_vals) <= _GUARD_LIST_CAP:
+    if hot_vals is not None:
         return sh.filter(~F.col("sh").isin(hot_vals))
     return sh.join(F.broadcast(hot), "sh", "left_anti")
 
@@ -300,32 +396,65 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_shingle_df: int | None = HOT_SHINGLE_DF,
+    kernel: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature → band keys → candidate pairs
     from band-bucket equi-join → verify with the *estimated* Jaccard
     (signature agreement rate).
 
-    The 100 TB shape: per-row signature map (no shuffle), one shuffle on
-    band keys, per-bucket pairing; bucket sizes are ~collision counts, not
-    corpus size, so the join never goes quadratic in the corpus. The
-    hot-shingle guard (on by default) drops stopword-shingles before the
-    signatures: a near-universal shingle correlates every signature lane
-    it wins, collapsing docs into the same band buckets — the one way
-    this plan's band join can still blow up.
+    The 100 TB shape: per-row signature map (truly map-only since r13 —
+    the Arrow kernel computes each doc's signature locally, no shingle
+    explode/groupBy exchange), one shuffle on band keys, per-bucket
+    pairing; bucket sizes are ~collision counts, not corpus size, so the
+    join never goes quadratic in the corpus. The hot-shingle guard (on by
+    default) drops stopword-shingles before the signatures: a
+    near-universal shingle correlates every signature lane it wins,
+    collapsing docs into the same band buckets — the one way this plan's
+    band join can still blow up.
+
+    ``kernel=False`` pins the original explode + 16-min-groupBy
+    expression form (bit-identical results; tests assert the two paths
+    agree). The kernel path also falls back to it when the hot-shingle
+    list overflows the inline cap (> _GUARD_LIST_CAP values cannot bake
+    into a UDF closure).
     """
-    sh = drop_hot_shingles(
-        _exploded_shingles(df, text_col, id_col, k), max_shingle_df
-    )
-    aggs = [
-        F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    sig_df = (
-        sh.groupBy("doc")
-        .agg(*aggs)
-        .select("doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
-        .localCheckpoint(eager=False)
-    )  # signatures feed both sides of the candidate self-join —
-    # materialize once instead of recomputing per side
+    sig_df = None
+    if kernel:
+        hot_vals, _hot_df = _hot_shingle_list(
+            _exploded_shingles(df, text_col, id_col, k), max_shingle_df
+        )
+        if hot_vals is not None:
+            from quackspark.queries._util import parallelize_kernel_input
+
+            sig_kernel = _minhash_sig_kernel(
+                k, n_hashes, tuple(sorted(hot_vals))
+            )
+            sig_df = (
+                parallelize_kernel_input(df)
+                .select(
+                    F.col(id_col).alias("doc"),
+                    sig_kernel(F.col(text_col)).alias("sig"),
+                )
+                .filter(F.col("sig").isNotNull())
+                .localCheckpoint(eager=False)
+            )
+    if sig_df is None:
+        sh = drop_hot_shingles(
+            _exploded_shingles(df, text_col, id_col, k), max_shingle_df
+        )
+        aggs = [
+            F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        sig_df = (
+            sh.groupBy("doc")
+            .agg(*aggs)
+            .select(
+                "doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+            )
+            .localCheckpoint(eager=False)
+        )  # signatures feed both sides of the candidate self-join —
+        # materialize once instead of recomputing per side
     rows = n_hashes // bands
     banded = sig_df.select(
         "doc", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")

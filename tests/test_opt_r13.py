@@ -1,0 +1,123 @@
+"""r13 optimization-round equivalence pins: every optimization that
+changes an operator's internals must leave its results bit-identical.
+
+- MinHash signature Arrow kernel (operators/dedup._minhash_sig_kernel)
+  vs the original explode + 16-min-groupBy expression form.
+- Connected-components driver union-find fast path vs the distributed
+  large/small-star loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_minhash_kernel_equals_expression(spark):
+    from quackspark.operators import dedup as D
+    from quackspark.session import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    kw = dict(k=3, n_hashes=16, bands=8, threshold=0.25)
+    a = _rows(
+        D.minhash_lsh_pairs(d, "text", "doc_id", kernel=False, **kw), "d1", "d2"
+    )
+    b = _rows(
+        D.minhash_lsh_pairs(d, "text", "doc_id", kernel=True, **kw), "d1", "d2"
+    )
+    assert a == b
+    assert len(a) > 0  # the fixture must actually exercise the band join
+
+
+def test_minhash_kernel_short_and_null_docs(spark):
+    """Docs below k tokens (and NULL text) drop out of the signature set
+    on both paths — the kernel's NULL-return mirrors the explode's
+    empty-array drop-out."""
+    from quackspark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),                        # < k tokens: no shingles
+            (2, None),                             # NULL text
+            (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta"),         # exact dup of 3
+            (5, "  alpha   beta\tgamma  delta  "), # whitespace-noisy dup
+        ],
+        "doc_id bigint, text string",
+    )
+    kw = dict(k=3, n_hashes=16, bands=8, threshold=0.25)
+    a = _rows(D.minhash_lsh_pairs(df, "text", "doc_id", kernel=False, **kw),
+              "d1", "d2")
+    b = _rows(D.minhash_lsh_pairs(df, "text", "doc_id", kernel=True, **kw),
+              "d1", "d2")
+    assert a == b
+    pairs = {(r[0], r[1]) for r in b}
+    assert (3, 4) in pairs and (3, 5) in pairs  # dups found, short/null absent
+
+
+def test_minhash_kernel_respects_hot_shingles(spark):
+    """With an aggressive DF cutoff (unsampled), the kernel bakes the hot
+    list into its closure and must agree with the stream-filter form."""
+    from quackspark.operators import dedup as D
+    from quackspark.session import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents").limit(200)
+    kw = dict(k=3, n_hashes=16, bands=8, threshold=0.2, max_shingle_df=3)
+    a = _rows(D.minhash_lsh_pairs(d, "text", "doc_id", kernel=False, **kw),
+              "d1", "d2")
+    b = _rows(D.minhash_lsh_pairs(d, "text", "doc_id", kernel=True, **kw),
+              "d1", "d2")
+    assert a == b
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    from quackspark.operators import components as CC
+    from quackspark.operators import dedup as D
+    from quackspark.session import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, n_hashes=16, bands=8, threshold=0.25
+    ).localCheckpoint()
+    dist = _rows(CC.connected_components(pairs, "d1", "d2", driver_cap=0), "node")
+    drv = _rows(CC.connected_components(pairs, "d1", "d2"), "node")
+    assert dist == drv
+    assert len(drv) > 0
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # chain, star, two components, duplicate + reversed + self edges
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(10, 1), (10, 2), (10, 3), (10, 4)],
+        [(1, 2), (3, 4), (5, 6), (6, 5), (2, 1), (7, 7)],
+    ],
+)
+def test_cc_driver_path_synthetic_graphs(spark, edges):
+    from quackspark.operators import components as CC
+
+    e = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    dist = _rows(CC.connected_components(e, "d1", "d2", driver_cap=0), "node")
+    drv = _rows(CC.connected_components(e, "d1", "d2"), "node")
+    assert dist == drv
+
+
+def test_cc_driver_cap_zero_forces_distributed(spark):
+    """driver_cap larger than the edge count takes the fast path; a cap
+    below it falls back to the distributed loop — both agree."""
+    from quackspark.operators import components as CC
+
+    edges = [(i, i + 1) for i in range(50)]
+    e = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    small_cap = _rows(CC.connected_components(e, "d1", "d2", driver_cap=10), "node")
+    big_cap = _rows(CC.connected_components(e, "d1", "d2", driver_cap=1000), "node")
+    assert small_cap == big_cap
+    comp = {r[1] for r in big_cap}
+    assert comp == {0}  # one chain, min node 0
