@@ -112,7 +112,7 @@ def _minhash_sig_kernel(k: int, n_hashes: int, hot: tuple):
     (1.38 s of dedup_minhash_lsh's 2.96 s at sf0.1).
 
     Identity with the expression form, pinned by tests
-    (tests/test_verdict_r13.py kernel-vs-expression equality):
+    (tests/test_opt_r13.py kernel-vs-expression equality):
     tokenization is ``re.ASCII \\s+`` after a space-only strip (== Spark
     ``split(trim(text), '\\s+')`` + empty filter, the _window_hash_kernel
     precedent); shingles are space-joined k-grams; hash i is

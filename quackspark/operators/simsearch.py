@@ -326,6 +326,23 @@ def _banded(
     verification stage pays one dot-product fold per pair instead of
     three (norms are pair-invariant). ``wide`` switches to the 64-plane /
     8-bit band construction (see WIDE_BAND_ROWS)."""
+    sig_df, banded = _sig_and_banded(
+        df, vec_col, id_col, prefix, wide=wide, band_bits=band_bits
+    )
+    return banded
+
+
+def _sig_and_banded(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    prefix: str,
+    wide: bool = False,
+    band_bits: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(sig_df, banded) pair: the unexploded (id, vec, norm, sig) frame
+    (checkpointed — it feeds both sides of candidate joins and any
+    re-attachment by id) and its band-exploded view."""
     keys = (
         srp_band_keys_arrow(F.col(vec_col), band_bits=band_bits)
         if wide
@@ -338,7 +355,7 @@ def _banded(
         (keys if wide else srp_signature_arrow(F.col(vec_col))).alias("sig"),
     ).localCheckpoint(eager=False)
     bands = F.col("sig") if wide else srp_band_keys(F.col("sig"))
-    return sig_df.select(
+    return sig_df, sig_df.select(
         f"{prefix}_id",
         f"{prefix}_vec",
         f"{prefix}_nrm",
@@ -527,33 +544,53 @@ def embedding_neardup_pairs(
         "embedding_neardup_pairs: n=%d mode=%s (%s)",
         n, "wide" if wide else "narrow", "auto" if auto else "pinned",
     )
-    e = _banded(
+    sig_df, banded = _sig_and_banded(
         corpus, vec_col, id_col, "e", wide=wide,
         band_bits=adaptive_band_bits(n),
     )
-    a, b = e.alias("a"), e.alias("b")
-    # cos is computed on raw band collisions: vectors die at the join's
-    # output projection and the dedup shuffle carries only (d1, d2, cos)
-    # triples (duplicate collisions yield identical cos). The dedup sits
-    # BETWEEN scoring and the threshold filter on purpose — it is an
-    # aggregation barrier, so the filter cannot be pushed back through the
-    # projection (which would re-inline and recompute the dot per row)
-    return (
+    # r13: candidate pairs dedup BEFORE scoring. A pair colliding in m
+    # bands previously paid m dot-product kernel evaluations (measured
+    # 514,850 raw collisions for 2,000 vectors at sf0.1 — ~4× the
+    # distinct pairs); now the dedup shuffle carries bare (d1, d2) ids
+    # — 16 bytes, lighter than the (d1, d2, cos) triples it replaces —
+    # and each DISTINCT pair is scored exactly once after re-attaching
+    # (vec, nrm) by id from the checkpointed signature frame. The two
+    # id joins are corpus-keyed (broadcast at bench scale via AQE,
+    # id-partitioned at cluster scale); the extra vector movement trades
+    # against m× fewer Python-boundary dot evaluations. The threshold
+    # filter stays behind the dedup barrier, as before.
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.e_id") < F.col("b.e_id")),
         )
+        .select(F.col("a.e_id").alias("d1"), F.col("b.e_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    v1 = sig_df.select(
+        F.col("e_id").alias("d1"),
+        F.col("e_vec").alias("v1"),
+        F.col("e_nrm").alias("n1"),
+    )
+    v2 = sig_df.select(
+        F.col("e_id").alias("d2"),
+        F.col("e_vec").alias("v2"),
+        F.col("e_nrm").alias("n2"),
+    )
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
         .select(
-            F.col("a.e_id").alias("d1"),
-            F.col("b.e_id").alias("d2"),
+            "d1",
+            "d2",
             F.round(
-                dot_arrow(F.col("a.e_vec"), F.col("b.e_vec"))
-                / (F.col("a.e_nrm") * F.col("b.e_nrm")),
+                dot_arrow(F.col("v1"), F.col("v2"))
+                / (F.col("n1") * F.col("n2")),
                 6,
             ).alias("cos"),
         )
-        .dropDuplicates(["d1", "d2"])
         .filter(F.col("cos") >= threshold)
     )
 

@@ -149,7 +149,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, punctuation ratio, digit ratio,
     type-token ratio → composite score in [0,1]."""
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    # tokens staged in their own projection: the score references the
+    # array 3× and interpreted HOFs are not CSE'd (quality_score_toks
+    # docstring / _exploded_shingles CollapseProject precedent)
+    d = d.select("doc_id", "text", T.tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     ntok = F.greatest(F.size(toks), F.lit(1))
     nchar = F.greatest(F.length("text"), F.lit(1))
     stop_ratio = T.stopword_hits(toks, _STOPWORDS["en"]) / ntok
