@@ -99,10 +99,18 @@ def bm25_topk(
     broadcast corpus-stats join stay codegen'd expressions."""
     from quackspark.queries._util import parallelize_kernel_input
 
+    # lazily checkpointed: feat feeds BOTH the corpus-stats aggregate and
+    # the scoring projection — without the cut Spark re-executes the
+    # Arrow kernel (and its input exchange) once per consumer (r13: the
+    # plan showed two ArrowEvalPython + two exchanges for one kernel).
+    # The materialized frame is the narrow (doc, dl, tf…) features, never
+    # the text.
     feat = parallelize_kernel_input(df).select(
         F.col(id_col).alias("doc"),
         bm25_features_arrow(F.col(text_col), terms).alias("f"),
-    ).select("doc", "f.dl", *[f"f.tf_{t}" for t in terms])
+    ).select("doc", "f.dl", *[f"f.tf_{t}" for t in terms]).localCheckpoint(
+        eager=False
+    )
     stats = feat.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),
