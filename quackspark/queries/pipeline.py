@@ -312,7 +312,9 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_training_prep_v2(
+    spark: SparkSession, sf_dir: str, *, checkpoint_gate: bool = True
+) -> DataFrame:
     """The round-3 capstone: every curation stage this engine has, in
     ONE composition — exact dedup → MinHash-LSH pairs → connected-
     components clustering with QUALITY-AWARE survivor choice (longest
@@ -369,6 +371,19 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("quality") >= _QUALITY_THRESHOLD)
     )
+    # The gate pipeline feeds THREE consumers (the mix-rate count, the
+    # stats fold over it, and the mixed rollup) and Catalyst plans three
+    # copies of the whole semi-join + quality subtree (r13 before-plan:
+    # 3× the gated scans, 0 ReusedExchange). Checkpoint the NARROW
+    # per-doc gate output — id, source, quality, token count; never the
+    # text — so the expensive subtree executes once per run (§2.4/§5;
+    # same lazy-checkpoint pattern as surv above). ``checkpoint_gate``
+    # exists for plan-shape tests that need the gate joins visible.
+    gated = gated.select(
+        "doc_id", "source", "quality", F.size(F.col("_toks")).alias("_ntok")
+    )
+    if checkpoint_gate:
+        gated = gated.localCheckpoint(eager=False)
     # temperature mix (α = 0.5) with rates derived from the GATED set
     cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     stats = cnt.agg(
@@ -398,14 +413,16 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs_kept"),
-            F.sum(F.size(F.col("_toks"))).alias("total_tokens"),
+            F.sum(F.col("_ntok")).alias("total_tokens"),
             davg("quality").alias("mean_quality"),
         )
         .orderBy("source")
     )
 
 
-def pipeline_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_training_prep_v3(
+    spark: SparkSession, sf_dir: str, *, checkpoint_gate: bool = True
+) -> DataFrame:
     """The FULL curation product (r12 verdict directive #1): exact dedup
     → exact-substring span scrub of the survivors → MinHash-LSH near-dup
     pairs over the SCRUBBED text → connected-components clustering with
@@ -477,6 +494,16 @@ def pipeline_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("quality") >= _QUALITY_THRESHOLD)
     )
+    # narrow-gate checkpoint: same 3-consumer de-duplication as v2 (the
+    # mix-rate count, its stats fold, and the mixed rollup each planned a
+    # full copy of the gate subtree) — materialize id/source/quality/
+    # token-count/n_removed once, never the text
+    gated = gated.select(
+        "doc_id", "source", "quality",
+        F.size(F.col("_toks")).alias("_ntok"), "n_removed",
+    )
+    if checkpoint_gate:
+        gated = gated.localCheckpoint(eager=False)
     cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     stats = cnt.agg(
         F.sum("n").alias("n_total"),
@@ -505,7 +532,7 @@ def pipeline_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs_kept"),
-            F.sum(F.size(F.col("_toks"))).alias("total_tokens"),
+            F.sum(F.col("_ntok")).alias("total_tokens"),
             F.sum("n_removed").alias("tokens_removed"),
             davg("quality").alias("mean_quality"),
         )

@@ -121,3 +121,31 @@ def test_cc_driver_cap_zero_forces_distributed(spark):
     assert small_cap == big_cap
     comp = {r[1] for r in big_cap}
     assert comp == {0}  # one chain, min node 0
+
+
+@pytest.mark.parametrize(
+    "name", ["pipeline_training_prep_v2", "pipeline_training_prep_v3"]
+)
+def test_narrow_gate_checkpoint_identical(spark, name):
+    """r13: the capstones checkpoint a NARROW (id, source, quality,
+    token-count) projection of the gate output so the 3-consumer gate
+    subtree executes once. Results must be bit-identical with the
+    checkpoint off, and the checkpointed form must not carry the text."""
+    from quackspark.queries import pipeline as P
+
+    fn = getattr(P, name)
+    a = _rows(fn(spark, SF_ORACLE, checkpoint_gate=True), "source")
+    b = _rows(fn(spark, SF_ORACLE, checkpoint_gate=False), "source")
+    assert a == b
+    assert len(a) > 0
+    plan = (
+        fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    )
+    # boundary proof: the gate joins sit below the checkpoint, and the
+    # checkpointed scan is the narrow frame (no text column)
+    import re as _re
+
+    rdd_scans = [
+        ln for ln in plan.splitlines() if "Scan ExistingRDD" in ln
+    ]
+    assert any("_ntok" in ln and "text" not in ln for ln in rdd_scans), plan
