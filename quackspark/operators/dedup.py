@@ -104,12 +104,15 @@ def minhash_signatures(
 def _minhash_sig_kernel(k: int, n_hashes: int, hot: tuple):
     """Arrow kernel: text → MinHash signature (array<bigint>), one
     vectorized pass per batch — the doc-LOCAL form of
-    :func:`minhash_signatures` (r13 optimization, guide §2.4/§4.2): a
-    signature is a pure per-document function, so the shingle explode +
-    16-min groupBy (one full exchange plus interpreted slice/zip_with/
-    array_distinct HOFs per row) is replaced by a map-only kernel — the
-    signature stage was the dominant cost of every minhash-bearing query
-    (1.38 s of dedup_minhash_lsh's 2.96 s at sf0.1).
+    :func:`minhash_signatures` (guide §2.4/§4.2): a signature is a pure
+    per-document function, so the shingle explode + 16-min groupBy (one
+    full exchange plus interpreted slice/zip_with/array_distinct HOFs per
+    row) is replaced by a map-only kernel. NOTE (r13 steady-state
+    measurement): at bench scale the per-shingle ``hashlib.md5`` Python
+    loop costs MORE than the exchange it removes (kernel 5.0 s vs
+    expression 3.5 s for the signature stage at sf0.1) — there is no
+    vectorized md5 in the allowed dependency set — so this kernel is
+    opt-in (``kernel=True``), kept for exchange-bound deployments.
 
     Identity with the expression form, pinned by tests
     (tests/test_opt_r13.py kernel-vs-expression equality):
@@ -396,15 +399,14 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_shingle_df: int | None = HOT_SHINGLE_DF,
-    kernel: bool = True,
+    kernel: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature → band keys → candidate pairs
     from band-bucket equi-join → verify with the *estimated* Jaccard
     (signature agreement rate).
 
-    The 100 TB shape: per-row signature map (truly map-only since r13 —
-    the Arrow kernel computes each doc's signature locally, no shingle
-    explode/groupBy exchange), one shuffle on band keys, per-bucket
+    The 100 TB shape: per-doc signature (one shingle explode + 16-min
+    groupBy, partial-agg friendly), one shuffle on band keys, per-bucket
     pairing; bucket sizes are ~collision counts, not corpus size, so the
     join never goes quadratic in the corpus. The hot-shingle guard (on by
     default) drops stopword-shingles before the signatures: a
@@ -412,11 +414,20 @@ def minhash_lsh_pairs(
     collapsing docs into the same band buckets — the one way this plan's
     band join can still blow up.
 
-    ``kernel=False`` pins the original explode + 16-min-groupBy
-    expression form (bit-identical results; tests assert the two paths
-    agree). The kernel path also falls back to it when the hot-shingle
-    list overflows the inline cap (> _GUARD_LIST_CAP values cannot bake
-    into a UDF closure).
+    ``kernel=True`` opts into a map-only Arrow signature kernel
+    (bit-identical results; tests assert the two paths agree). It removes
+    the explode/groupBy exchange, but the r13 steady-state measurement
+    went AGAINST it at bench scale: the per-shingle ``hashlib.md5`` loop
+    costs more than the JVM's codegen'd md5 + exchange (kernel signatures
+    5.0 s vs 3.5 s expression at sf0.1, whole query ~1 s slower), and its
+    hot-shingle detection is a blocking collect at construction time that
+    re-executes the upstream plan — in pipeline_training_prep_recompute
+    (un-checkpointed survivors) that action alone regressed the query
+    3.3 s → 13.5 s. Expression form is therefore the default; the kernel
+    stays available for exchange-constrained deployments where the
+    shuffle, not per-task CPU, is the wall. The kernel path falls back to
+    the expression form when the hot-shingle list overflows the inline
+    cap (> _GUARD_LIST_CAP values cannot bake into a UDF closure).
     """
     sig_df = None
     if kernel:
