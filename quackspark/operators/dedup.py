@@ -79,6 +79,42 @@ def _family_hasher(i: int):
     return lambda s: md5_hash_family(s, i)
 
 
+def _lane_signature(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc, sh) stream → (doc, sig) MinHash signatures with the four md5
+    lanes STAGED in their own projection (r13, guide §7.2 "duplicated
+    subtrees"): the seed loop previously built n_hashes full
+    md5→substring→conv chains — Catalyst analyzes/optimizes every copy and
+    only codegen-level subexpression elimination deduplicates them at
+    runtime — where each aggregate actually needs one of 4 lane values.
+    Staging the lanes once shrinks the expression tree ~4× (measured:
+    build 0.60 s → 0.45 s, stage exec 1.72 s → 1.51 s at sf0.1;
+    bit-identical output, pinned by tests/test_opt_r13.py)."""
+    hexd = F.md5(F.col("sh").cast("binary"))
+    lanes = sh.select(
+        "doc",
+        *[
+            F.conv(F.substring(hexd, 8 * j + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"_l{j}")
+            for j in range(4)
+        ],
+    )
+    aggs = [
+        F.min(
+            F.pmod(
+                F.lit(_MIX_A[i]) * F.col(f"_l{i % 4}") + F.lit(_MIX_B[i]),
+                F.lit(_MERSENNE31),
+            )
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        lanes.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, shingles: Column, id_col: str, n_hashes: int
 ) -> DataFrame:
@@ -91,14 +127,7 @@ def minhash_signatures(
     Returns ``doc, sig`` (docs with an empty shingle set drop out — at k=3
     that is only documents of fewer than 3 tokens)."""
     sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("sh"))
-    aggs = [
-        F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    return (
-        sh.groupBy("doc")
-        .agg(*aggs)
-        .select("doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
-    )
+    return _lane_signature(sh, n_hashes)
 
 
 def _minhash_sig_kernel(k: int, n_hashes: int, hot: tuple):
@@ -453,17 +482,8 @@ def minhash_lsh_pairs(
         sh = drop_hot_shingles(
             _exploded_shingles(df, text_col, id_col, k), max_shingle_df
         )
-        aggs = [
-            F.min(md5_hash_family(F.col("sh"), i)).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-        sig_df = (
-            sh.groupBy("doc")
-            .agg(*aggs)
-            .select(
-                "doc", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
-            )
-            .localCheckpoint(eager=False)
+        sig_df = _lane_signature(sh, n_hashes).localCheckpoint(
+            eager=False
         )  # signatures feed both sides of the candidate self-join —
         # materialize once instead of recomputing per side
     rows = n_hashes // bands
@@ -538,14 +558,17 @@ def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     aggregation, reassemble bits. Documents with zero tokens drop out."""
     toks = T.tokens(F.lower(F.col(text_col)))
     exploded = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
-    code = md5_int32(F.col("tok"))
+    # token hash STAGED once per row (same rationale as _lane_signature):
+    # the 32 bit-aggs previously each carried their own md5→conv chain
+    staged = exploded.select("doc", md5_int32(F.col("tok")).alias("_code"))
+    code = F.col("_code")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(code, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(32)
     ]
-    sums = exploded.groupBy("doc").agg(*bit_aggs)
+    sums = staged.groupBy("doc").agg(*bit_aggs)
     simhash = sums.select(
         "doc",
         sum(

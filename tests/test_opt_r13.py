@@ -149,3 +149,45 @@ def test_narrow_gate_checkpoint_identical(spark, name):
         ln for ln in plan.splitlines() if "Scan ExistingRDD" in ln
     ]
     assert any("_ntok" in ln and "text" not in ln for ln in rdd_scans), plan
+
+
+def test_lane_signature_equals_hash_family(spark):
+    """r13: _lane_signature stages the 4 md5 lanes in one projection and
+    derives every seed's min from a staged lane column. Must be
+    bit-identical to the original per-seed md5_hash_family aggregation
+    (same formula, un-staged), including empty-shingle dropout."""
+    from quackspark.operators import dedup as D
+    from quackspark.session import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    sh = D._exploded_shingles(d, "text", "doc_id", 3)
+    staged = _rows(D._lane_signature(sh, 16), "doc")
+    aggs = [
+        F.min(D.md5_hash_family(F.col("sh"), i)).alias(f"h{i}")
+        for i in range(16)
+    ]
+    orig = _rows(
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"h{i}" for i in range(16)]).alias("sig")),
+        "doc",
+    )
+    assert staged == orig
+    assert len(staged) > 0
+
+
+def test_simhash_staged_code_identical(spark):
+    """r13: simhash_docs stages the per-token hash once before the 32
+    bit-aggs; results must match the declared oracle twin (parity suite)
+    and the band reassembly must be unchanged — pin a snapshot here."""
+    from quackspark.operators import dedup as D
+    from quackspark.session import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    out = _rows(D.simhash_docs(d, "text", "doc_id"), "doc")
+    assert len(out) > 0
+    # every simhash is a 32-bit value and the 4 bands reassemble it
+    for row in out[:50]:
+        doc, simhash, b0, b1, b2, b3 = row
+        assert 0 <= simhash < 2**32
+        assert simhash == b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)
