@@ -81,22 +81,17 @@ def pipeline_training_prep(
     # to a runtime broadcast when the ACTUAL built size is small — the
     # stats-driven decision scales; the hint does not (VERDICT r10 #1).
     kept = surv.join(drops, "doc_id", "left_anti")
-    # 3. language + quality gates (pure map filters). Tokens are staged
-    # in their own projection so the whitespace split runs ONCE per doc
-    # — quality_score alone re-derives the array 3× through interpreted
-    # HOFs and the rollup's token count made it 4× (quality_score_toks
-    # docstring; measured 0.83 s → 0.62 s on this stage at sf0.1, r13)
+    # 3. language + quality gates (pure map filters). NOTE (r13): the
+    # staged-_toks form (one projection holding the token array, as the
+    # v2/v3 capstones use under their narrow gate checkpoint) was
+    # A/B-measured here and REVERTED for this pipeline: interleaved
+    # medians at sf0.1 were 3.37 s unstaged vs 3.77 s staged in recompute
+    # mode and a wash (3.09 vs 3.05) in checkpoint mode — without the
+    # checkpoint boundary the extra projection only grows the plan.
     gated = (
         kept.filter(F.col("lang") == "en")
-        .withColumn("_toks", T.tokens(F.col("text")))
         .withColumn(
-            "quality",
-            F.round(
-                T.quality_score_toks(
-                    F.col("text"), F.col("_toks"), _STOPWORDS["en"]
-                ),
-                6,
-            ),
+            "quality", F.round(T.quality_score(F.col("text"), _STOPWORDS["en"]), 6)
         )
         .filter(F.col("quality") >= _QUALITY_THRESHOLD)
     )
@@ -105,7 +100,7 @@ def pipeline_training_prep(
         gated.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs_kept"),
-            F.sum(F.size(F.col("_toks"))).alias("total_tokens"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
             davg("quality").alias("mean_quality"),
         )
         .orderBy("source")
