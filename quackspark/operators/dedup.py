@@ -250,8 +250,18 @@ def _exploded_shingles(
     materialized in their own projection so the whitespace split runs once
     per document, not once per slice reference (Catalyst keeps the
     projection because duplicating the non-cheap split fails its
-    CollapseProject cost check)."""
-    toked = df.select(
+    CollapseProject cost check).
+
+    The input goes through the small-input rescue
+    (parallelize_kernel_input): a single-row-group corpus file arrives as
+    ONE scan task, serializing the tokenize→shingle→md5 chain (the
+    dominant per-task work of every minhash/jaccard stage) on one core —
+    interleaved A/B at sf0.1: signature stage 1.3–1.5 s on 1 task vs
+    0.55–0.75 s parallelized (guide §2.5 input skew / §6 split floors).
+    At scale the scan already has many splits and no shuffle is added."""
+    from quackspark.queries._util import parallelize_kernel_input
+
+    toked = parallelize_kernel_input(df).select(
         F.col(id_col).alias("doc"), T.tokens(F.col(text_col)).alias("toks")
     )
     return toked.select(
@@ -555,9 +565,14 @@ def simhash_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Map-reduce shape like :func:`minhash_signatures`: explode tokens, hash
     once per token (codegen), 32 conditional sums with map-side partial
-    aggregation, reassemble bits. Documents with zero tokens drop out."""
+    aggregation, reassemble bits. Documents with zero tokens drop out.
+    Input goes through the small-input rescue (see _exploded_shingles)."""
+    from quackspark.queries._util import parallelize_kernel_input
+
     toks = T.tokens(F.lower(F.col(text_col)))
-    exploded = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
+    exploded = parallelize_kernel_input(df).select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("tok")
+    )
     # token hash STAGED once per row (same rationale as _lane_signature):
     # the 32 bit-aggs previously each carried their own md5→conv chain
     staged = exploded.select("doc", md5_int32(F.col("tok")).alias("_code"))
@@ -737,7 +752,13 @@ def duplicate_spans(
     all-pairs form of this is impossible at scale — the window-hash
     shuffle IS the distributed suffix-sort analog.
     """
+    from quackspark.queries._util import parallelize_kernel_input
+
     w = window_tokens
+    # small-input rescue: the window-hash work (one md5 per token
+    # position, ~1M digests at sf0.1) otherwise runs on the single scan
+    # task of a one-row-group corpus file (guide §2.5/§6); inert at scale
+    df = parallelize_kernel_input(df)
     if kernel:
         # Arrow path (default): one vectorized pass builds every window
         # digest — the interpreted HOF form below costs ~4× at sf0.1
@@ -832,9 +853,14 @@ def span_scrub(
     small, the corpus text never shuffles for the merge (the spans
     broadcast-or-shuffle by doc id against the token arrays).
     """
+    from quackspark.queries._util import parallelize_kernel_input
+
     w = window_tokens
     k = _window_hash_kernel(w)
-    windows = df.select(
+    # same small-input rescue as duplicate_spans: the per-token md5 loop
+    # must not serialize on a one-row-group scan task (inert at scale)
+    par = parallelize_kernel_input(df)
+    windows = par.select(
         F.col(id_col).alias("doc"),
         F.explode(k(F.col(text_col))).alias("win"),
     ).select("doc", F.col("win.pos").alias("pos"), F.col("win.h").alias("h"))
@@ -868,7 +894,7 @@ def span_scrub(
             F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
         )
     )
-    toked = df.select(
+    toked = par.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
     )

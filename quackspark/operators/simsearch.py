@@ -25,6 +25,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import hashlib
+import os
 import weakref
 
 from pyspark.sql import Column, DataFrame, Window
@@ -502,6 +503,58 @@ def _corpus_count(corpus: DataFrame) -> int:
     return n
 
 
+#: corpus-size gate for the broadcast-table pair-scoring path (r13): at
+#: or under this many vectors the (id, vec) table is collected (64-dim
+#: float64 ≈ 0.5 KB/row → ≤ 50 MB at the cap, the same order as an AQE
+#: runtime broadcast) and the candidate pairs are scored by an Arrow
+#: kernel that receives ONLY (d1, d2) ids — 16 bytes/pair instead of two
+#: full vectors (~1 KB/pair): the two re-attach joins and the ~240 MB
+#: Python-boundary vector traffic at sf0.1 disappear. Above the gate the
+#: join + dot_arrow form runs unchanged (the 100 TB path — a corpus-
+#: proportional broadcast would be the OOM the r10 verdict flags), same
+#: measured-smallness policy as components.CC_DRIVER_EDGE_CAP. Override
+#: with QUACKSPARK_SCORE_TABLE_CAP (0 disables the table path).
+SCORE_TABLE_ROWS = 100_000
+
+
+def _pair_score_table(spark, ids: list, vecs: list):
+    """(d1, d2) → cosine pandas_udf over a broadcast (id, vec) table.
+
+    Bit-identical to ``dot_arrow(v1, v2) / (n1 * n2)`` with n* from
+    :func:`norm`: float64 cast per element, ascending multiply-then-add
+    fold for both the dot and the norms (the same IEEE op sequence the
+    JVM fold and dot_arrow replay), division on the same operands.
+    Lookup is searchsorted over the sorted id array — candidate ids come
+    from the banded self-join of the same corpus, so every id resolves."""
+    import numpy as np
+
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids_arr)
+    sid = ids_arr[order]
+    V = np.asarray(vecs, dtype=np.float64)[order]
+    acc = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):  # ascending fold == norm()'s op order
+        acc += V[:, i] * V[:, i]
+    nrm = np.sqrt(acc)
+    b = spark.sparkContext.broadcast((sid, V, nrm))
+
+    @F.pandas_udf("double")
+    def _score(d1, d2):
+        import numpy as np
+        import pandas as pd
+
+        tsid, tV, tnrm = b.value
+        i1 = np.searchsorted(tsid, d1.to_numpy())
+        i2 = np.searchsorted(tsid, d2.to_numpy())
+        a, c = tV[i1], tV[i2]
+        acc = np.zeros(a.shape[0])
+        for i in range(a.shape[1]):  # ascending fold == dot_arrow's order
+            acc += a[:, i] * c[:, i]
+        return pd.Series(acc / (tnrm[i1] * tnrm[i2]))
+
+    return _score
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     *,
@@ -510,6 +563,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.45,
     wide: bool | None = None,
     n_rows: int | None = None,
+    score_table_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs via SRP band blocking,
     verified by exact cosine ≥ threshold.
@@ -569,6 +623,24 @@ def embedding_neardup_pairs(
         .select(F.col("a.e_id").alias("d1"), F.col("b.e_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
+    if score_table_cap is None:
+        score_table_cap = int(
+            os.environ.get("QUACKSPARK_SCORE_TABLE_CAP", SCORE_TABLE_ROWS)
+        )
+    if n <= score_table_cap:
+        # broadcast-table scoring (see SCORE_TABLE_ROWS): the dedup'd
+        # candidate pairs go to the Arrow kernel as bare id pairs; the
+        # vectors cross the Python boundary once (the collected table),
+        # not once per pair, and the two re-attach joins vanish
+        rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+        score = _pair_score_table(
+            corpus.sparkSession, [r[0] for r in rows], [r[1] for r in rows]
+        )
+        return cand.select(
+            "d1",
+            "d2",
+            F.round(score(F.col("d1"), F.col("d2")), 6).alias("cos"),
+        ).filter(F.col("cos") >= threshold)
     v1 = sig_df.select(
         F.col("e_id").alias("d1"),
         F.col("e_vec").alias("v1"),

@@ -191,3 +191,22 @@ def test_simhash_staged_code_identical(spark):
         doc, simhash, b0, b1, b2, b3 = row
         assert 0 <= simhash < 2**32
         assert simhash == b0 + (b1 << 8) + (b2 << 16) + (b3 << 24)
+
+
+def test_pair_score_table_equals_join_form(spark):
+    """r13: the size-gated broadcast-table scoring path of
+    embedding_neardup_pairs must be bit-identical to the re-attach-join
+    + dot_arrow form (same banding, same IEEE fold order, same round)."""
+    from quackspark.operators import simsearch as S
+    from quackspark.session import load_table
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    table = _rows(
+        S.embedding_neardup_pairs(e, threshold=0.45), "d1", "d2"
+    )
+    joins = _rows(
+        S.embedding_neardup_pairs(e, threshold=0.45, score_table_cap=0),
+        "d1", "d2",
+    )
+    assert table == joins
+    assert len(table) > 0  # the fixture must exercise the band join
