@@ -552,7 +552,12 @@ def _pair_score_table(spark, ids: list, vecs: list):
             acc += a[:, i] * c[:, i]
         return pd.Series(acc / (tnrm[i1] * tnrm[i2]))
 
-    return _score
+    # the threshold filter references the kernel's output column, and the
+    # optimizer otherwise evaluates the kernel once below the pushed
+    # filter AND once in the output projection (two ArrowEvalPython nodes
+    # for one call — guide §4.4); non-deterministic marking forbids the
+    # duplication (the function is pure, the marking is purely a fence)
+    return _score.asNondeterministic()
 
 
 def embedding_neardup_pairs(
@@ -614,33 +619,43 @@ def embedding_neardup_pairs(
     # against m× fewer Python-boundary dot evaluations. The threshold
     # filter stays behind the dedup barrier, as before.
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.e_id") < F.col("b.e_id")),
-        )
-        .select(F.col("a.e_id").alias("d1"), F.col("b.e_id").alias("d2"))
-        .dropDuplicates(["d1", "d2"])
-    )
+    raw_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.e_id") < F.col("b.e_id")),
+    ).select(F.col("a.e_id").alias("d1"), F.col("b.e_id").alias("d2"))
     if score_table_cap is None:
         score_table_cap = int(
             os.environ.get("QUACKSPARK_SCORE_TABLE_CAP", SCORE_TABLE_ROWS)
         )
     if n <= score_table_cap:
-        # broadcast-table scoring (see SCORE_TABLE_ROWS): the dedup'd
-        # candidate pairs go to the Arrow kernel as bare id pairs; the
-        # vectors cross the Python boundary once (the collected table),
-        # not once per pair, and the two re-attach joins vanish
+        # broadcast-table scoring (see SCORE_TABLE_ROWS): the candidate
+        # pairs go to the Arrow kernel as bare id pairs; the vectors
+        # cross the Python boundary once (the collected table), not once
+        # per pair, and the two re-attach joins vanish. Scoring runs on
+        # the RAW collisions (≈11 % more kernel rows than distinct pairs
+        # at sf0.1) with the threshold filter BEFORE dropDuplicates: cos
+        # is a pure function of the pair ids, so the dedup shrinks from
+        # a 464 k-pair exchange to the above-threshold survivors — and a
+        # post-dedup filter would be pushed below the aggregate by
+        # Catalyst anyway, re-evaluating the kernel once per consumer
+        # (guide §4.4; the double ArrowEvalPython was observed in the
+        # plan). dropDuplicates' row choice is deterministic here: cos
+        # is functionally dependent on (d1, d2).
         rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
         score = _pair_score_table(
             corpus.sparkSession, [r[0] for r in rows], [r[1] for r in rows]
         )
-        return cand.select(
-            "d1",
-            "d2",
-            F.round(score(F.col("d1"), F.col("d2")), 6).alias("cos"),
-        ).filter(F.col("cos") >= threshold)
+        return (
+            raw_pairs.select(
+                "d1",
+                "d2",
+                F.round(score(F.col("d1"), F.col("d2")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+            .dropDuplicates(["d1", "d2"])
+        )
+    cand = raw_pairs.dropDuplicates(["d1", "d2"])
     v1 = sig_df.select(
         F.col("e_id").alias("d1"),
         F.col("e_vec").alias("v1"),
