@@ -544,8 +544,14 @@ def _pair_score_table(spark, ids: list, vecs: list):
         import pandas as pd
 
         tsid, tV, tnrm = b.value
-        i1 = np.searchsorted(tsid, d1.to_numpy())
-        i2 = np.searchsorted(tsid, d2.to_numpy())
+        a1, a2 = d1.to_numpy(), d2.to_numpy()
+        i1 = np.searchsorted(tsid, a1).clip(0, len(tsid) - 1)
+        i2 = np.searchsorted(tsid, a2).clip(0, len(tsid) - 1)
+        # candidate ids come from the banded self-join of the same
+        # corpus, so every lookup must hit; a miss would silently score
+        # the wrong vector — fail loudly instead
+        if not ((tsid[i1] == a1).all() and (tsid[i2] == a2).all()):
+            raise ValueError("pair_score_table: candidate id not in table")
         a, c = tV[i1], tV[i2]
         acc = np.zeros(a.shape[0])
         for i in range(a.shape[1]):  # ascending fold == dot_arrow's order
@@ -628,7 +634,12 @@ def embedding_neardup_pairs(
         score_table_cap = int(
             os.environ.get("QUACKSPARK_SCORE_TABLE_CAP", SCORE_TABLE_ROWS)
         )
-    if n <= score_table_cap:
+    # the table kernel indexes ids through a sorted int64 array — non-
+    # integral id columns stay on the join form (works for any type)
+    integral_id = dict(corpus.dtypes).get(id_col) in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    if n <= score_table_cap and integral_id:
         # broadcast-table scoring (see SCORE_TABLE_ROWS): the candidate
         # pairs go to the Arrow kernel as bare id pairs; the vectors
         # cross the Python boundary once (the collected table), not once
