@@ -517,8 +517,20 @@ def _corpus_count(corpus: DataFrame) -> int:
 SCORE_TABLE_ROWS = 100_000
 
 
+#: hard byte bound on the collected (id, vec) table — the row gate
+#: assumes ~64-dim vectors, so a wide-vector corpus under the row cap is
+#: re-checked here after the collect and falls back to the join form
+#: rather than broadcasting a corpus-proportional blob (the collect
+#: itself is backstopped loudly by spark.driver.maxResultSize)
+SCORE_TABLE_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _pair_score_table(spark, ids: list, vecs: list):
-    """(d1, d2) → cosine pandas_udf over a broadcast (id, vec) table.
+    """(d1, d2) → cosine pandas_udf over a broadcast (id, vec) table, or
+    ``None`` when the table cannot serve (duplicate ids — searchsorted
+    would silently resolve to an arbitrary copy where the join form
+    emits one row per copy — or the float64 table exceeds
+    SCORE_TABLE_MAX_BYTES); the caller falls back to the join form.
 
     Bit-identical to ``dot_arrow(v1, v2) / (n1 * n2)`` with n* from
     :func:`norm`: float64 cast per element, ascending multiply-then-add
@@ -531,7 +543,11 @@ def _pair_score_table(spark, ids: list, vecs: list):
     ids_arr = np.asarray(ids, dtype=np.int64)
     order = np.argsort(ids_arr)
     sid = ids_arr[order]
+    if len(sid) and (sid[1:] == sid[:-1]).any():
+        return None
     V = np.asarray(vecs, dtype=np.float64)[order]
+    if V.nbytes > SCORE_TABLE_MAX_BYTES:
+        return None
     acc = np.zeros(V.shape[0])
     for i in range(V.shape[1]):  # ascending fold == norm()'s op order
         acc += V[:, i] * V[:, i]
@@ -639,7 +655,7 @@ def embedding_neardup_pairs(
     integral_id = dict(corpus.dtypes).get(id_col) in (
         "tinyint", "smallint", "int", "bigint"
     )
-    if n <= score_table_cap and integral_id:
+    if 0 < n <= score_table_cap and integral_id:
         # broadcast-table scoring (see SCORE_TABLE_ROWS): the candidate
         # pairs go to the Arrow kernel as bare id pairs; the vectors
         # cross the Python boundary once (the collected table), not once
@@ -657,15 +673,16 @@ def embedding_neardup_pairs(
         score = _pair_score_table(
             corpus.sparkSession, [r[0] for r in rows], [r[1] for r in rows]
         )
-        return (
-            raw_pairs.select(
-                "d1",
-                "d2",
-                F.round(score(F.col("d1"), F.col("d2")), 6).alias("cos"),
+        if score is not None:  # None: duplicate ids or over-size table
+            return (
+                raw_pairs.select(
+                    "d1",
+                    "d2",
+                    F.round(score(F.col("d1"), F.col("d2")), 6).alias("cos"),
+                )
+                .filter(F.col("cos") >= threshold)
+                .dropDuplicates(["d1", "d2"])
             )
-            .filter(F.col("cos") >= threshold)
-            .dropDuplicates(["d1", "d2"])
-        )
     cand = raw_pairs.dropDuplicates(["d1", "d2"])
     v1 = sig_df.select(
         F.col("e_id").alias("d1"),

@@ -201,12 +201,45 @@ def test_pair_score_table_equals_join_form(spark):
     from quackspark.session import load_table
 
     e = load_table(spark, SF_ORACLE, "embeddings")
-    table = _rows(
-        S.embedding_neardup_pairs(e, threshold=0.45), "d1", "d2"
-    )
+    # cap forced high so this side provably takes the table path (an env
+    # override or a non-integral id column would otherwise silently turn
+    # the comparison into join-vs-join)
+    tdf = S.embedding_neardup_pairs(e, threshold=0.45, score_table_cap=10**9)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tdf.explain("formatted")
+    assert "ArrowEvalPython" in buf.getvalue()  # the table kernel, not joins
+    table = _rows(tdf, "d1", "d2")
     joins = _rows(
         S.embedding_neardup_pairs(e, threshold=0.45, score_table_cap=0),
         "d1", "d2",
     )
     assert table == joins
     assert len(table) > 0  # the fixture must exercise the band join
+
+
+def test_pair_score_table_fallbacks(spark):
+    """Duplicate ids and empty corpora must fall back to the join form
+    (searchsorted would silently pick an arbitrary copy; an empty table
+    has no width) — same results, no crash."""
+    from pyspark.sql import functions as F
+
+    from quackspark.operators import simsearch as S
+
+    dup = spark.createDataFrame(
+        [(1, [1.0] * 64), (1, [0.5] * 64), (2, [1.0] * 64), (3, [-1.0] * 64)],
+        "vec_id bigint, embedding array<float>",
+    )
+    a = _rows(S.embedding_neardup_pairs(
+        dup, threshold=0.1, n_rows=4, score_table_cap=10**9), "d1", "d2")
+    b = _rows(S.embedding_neardup_pairs(
+        dup, threshold=0.1, n_rows=4, score_table_cap=0), "d1", "d2")
+    assert a == b
+    empty = dup.filter(F.col("vec_id") < 0)
+    out = S.embedding_neardup_pairs(
+        empty, threshold=0.1, n_rows=0, score_table_cap=10**9
+    )
+    assert out.count() == 0

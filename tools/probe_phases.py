@@ -48,22 +48,31 @@ def main() -> int:
         if fn is None:
             out[name] = None
             continue
-        # warmup (plan + JIT + page cache), as in bench.py
-        spark.sparkContext.setJobDescription(f"phase warmup: {name}")
-        fn(spark, SF_DIR).count()
-        _drop_persisted(spark)
-        cons, act = [], []
-        for i in range(reps):
-            spark.sparkContext.setJobDescription(f"phase construct {i}: {name}")
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            t1 = time.perf_counter()
-            spark.sparkContext.setJobDescription(f"phase action {i}: {name}")
-            df.write.format("noop").mode("overwrite").save()
-            t2 = time.perf_counter()
-            cons.append(t1 - t0)
-            act.append(t2 - t1)
+        # warmup (plan + JIT + page cache), as in bench.py; one broken
+        # query must not sink the probe (bench.py's policy)
+        try:
+            spark.sparkContext.setJobDescription(f"phase warmup: {name}")
+            fn(spark, SF_DIR).count()
             _drop_persisted(spark)
+            cons, act = [], []
+            for i in range(reps):
+                spark.sparkContext.setJobDescription(
+                    f"phase construct {i}: {name}"
+                )
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                t1 = time.perf_counter()
+                spark.sparkContext.setJobDescription(f"phase action {i}: {name}")
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                cons.append(t1 - t0)
+                act.append(t2 - t1)
+                _drop_persisted(spark)
+        except Exception as exc:
+            print(f"probe: {name} failed: {exc}", file=sys.stderr)
+            out[name] = f"ERR: {exc}"
+            spark.sparkContext.setJobDescription(None)
+            continue
         row = {
             "construct_median": round(statistics.median(cons), 4),
             "action_median": round(statistics.median(act), 4),
