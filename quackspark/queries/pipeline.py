@@ -633,10 +633,18 @@ def pipeline_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
+#: Registration order is LOAD-BEARING: the driver's correctness gate
+#: verifies only the first ``DRIVER_WINDOW`` entries of the round-robin
+#: interleave in ``queries/__init__.py``, taking ONE oracled query per
+#: module per pass — so this module's first two entries are its window
+#: members. New queries must APPEND BELOW previously driver-verified
+#: ones (VERDICT r13 #1: inserting pipeline_training_prep_v3 above
+#: pipeline_negative_sampling silently swapped the latter out of driver
+#: verification). Pinned by tests/test_driver_window_policy.py.
 QUERIES = {
     "pipeline_training_prep_v2": pipeline_training_prep_v2,
-    "pipeline_training_prep_v3": pipeline_training_prep_v3,
     "pipeline_negative_sampling": pipeline_negative_sampling,
+    "pipeline_training_prep_v3": pipeline_training_prep_v3,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_pack_stats": pipeline_pack_stats,
     "pipeline_split": pipeline_split,
