@@ -461,10 +461,13 @@ def main() -> None:
             _pct(t, duck01.get(n, -1)),
             round(g / t, 1) if g > 0 and t > 0 else None,
             _pct(g, d1q.get(n, -1)),
-            _pct(t, duckn01.get(n, -1)),
-            _pct(g, d1nq.get(n, -1)),
         ]
-        if any(v is not None for v in row):
+        # right-trim trailing nulls (positions are fixed, so truncation
+        # from the right is parse-compatible; r13's line was 62 chars from
+        # overflowing the driver's 2000-char tail — VERDICT r13 #2)
+        while row and row[-1] is None:
+            row.pop()
+        if row:
             packed[n] = row
     compact = {
         "metric": out["metric"],
@@ -472,12 +475,17 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         # q legend: [sf0.1 sec, sf0.1 spark/duckdb-on-parquet pct,
-        # sf1/sf0.1 10x growth factor, sf1 spark/duckdb-on-parquet pct,
-        # sf0.1 spark/duckdb-NATIVE pct, sf1 spark/duckdb-NATIVE pct] —
-        # percents as ints (75 = 0.75x). Per-query seconds live in the
-        # packed rows, so the redundant {"queries": {name: sec}} dict is
-        # dropped unconditionally (r7 verdict #4: the length-gated fallback
-        # was one field from re-truncating the driver's 2000-char window).
+        # sf1/sf0.1 10x growth factor, sf1 spark/duckdb-on-parquet pct] —
+        # percents as ints (75 = 0.75x), trailing nulls trimmed. Per-query
+        # seconds live in the packed rows, so the redundant
+        # {"queries": {name: sec}} dict is dropped unconditionally (r7
+        # verdict #4: the length-gated fallback was one field from
+        # re-truncating the driver's 2000-char window). The per-query
+        # NATIVE-duckdb pcts (r12/r13 row elements 5-6) moved to the long
+        # line and BENCH_LOCAL record only: with them the r13 compact line
+        # hit 1938/2000 chars and r12's overflowed, losing the driver's
+        # whole per-query table (VERDICT r13 #2) — the native story stays
+        # in aggregate here (ratio_vs_native).
         "q": packed,
     }
     if "ratio_spark_vs_duckdb" in out:
@@ -487,13 +495,12 @@ def main() -> None:
         compact["duckdb_native_value"] = out["duckdb_native_value"]
         compact["ratio_vs_native"] = out["ratio_spark_vs_duckdb_native"]
     # fam legend: {family: [spark_total, duckdb_total, spark/duckdb]}.
-    # Per-family NATIVE splits live in the long line ("families_native")
-    # and the committed BENCH_LOCAL record — the compact line carries the
-    # native story per-query (q rows, elements 5/6) and in aggregate
-    # (ratio_vs_native) and must stay inside the driver's 2000-char tail.
+    # Per-family NATIVE and sf1 splits live in the long line
+    # ("families_native", sf1.families) and the committed BENCH_LOCAL
+    # record — r13's compact "fam_sf1" block (135 chars) is part of why
+    # the line ran 1938/2000 chars (VERDICT r13 #2), so the compact line
+    # keeps only the sf0.1 family split plus the sf1 aggregate below.
     compact["fam"] = out.get("families", {})
-    if "families" in out.get("sf1", {}):
-        compact["fam_sf1"] = out["sf1"]["families"]
     if s1q:
         covered = [
             n for n, v in s1q.items() if v > 0 and d1q.get(n, -1) > 0
@@ -504,13 +511,15 @@ def main() -> None:
             n for n, v in s1q.items() if v > 0 and d1nq.get(n, -1) > 0
         ]
         tot_dn = round(sum(d1nq[n] for n in covered_n), 3)
+        # legend: n covered queries, spark/duck/duckn totals (sec),
+        # ratio = spark/duckdb-on-parquet, ratio_n = spark/duckdb-native
         compact["sf1_summary"] = {
-            "covered_queries": len(covered),
-            "spark_total": tot_s,
-            "duckdb_total": tot_d,
+            "n": len(covered),
+            "spark": tot_s,
+            "duck": tot_d,
             "ratio": round(tot_s / tot_d, 3) if tot_d else None,
-            "duckdb_native_total": tot_dn,
-            "ratio_native": round(
+            "duckn": tot_dn,
+            "ratio_n": round(
                 sum(s1q[n] for n in covered_n) / tot_dn, 3
             ) if tot_dn else None,
         }
@@ -537,14 +546,55 @@ def main() -> None:
                 )
             suspects = _contention_suspects(times, records)
             if suspects:
+                # full suspect list (with per-query baseline provenance)
+                # goes to stderr + the committed BENCH_LOCAL record; the
+                # compact line carries at most 3 bare names — r12's line
+                # overflowed the driver's 2000-char tail exactly here
+                # (8 suffixed entries, ~400 chars) and the round lost its
+                # whole per-query PERF table (VERDICT r13 #2)
+                print(f"bench: contention suspects: {suspects}", file=sys.stderr)
                 compact["contention_suspect"] = {
                     "vs": os.path.basename(locals_[-1]),
                     "n": len(suspects),
-                    "queries": suspects[:8],
+                    "queries": [s.split(" (vs ")[0] for s in suspects[:3]],
                 }
         except Exception as exc:  # the gate must never sink the bench
             print(f"bench: contention gate skipped: {exc}", file=sys.stderr)
-    print(json.dumps(compact, separators=(",", ":")))
+    print(_fit_compact_line(compact))
+
+
+#: hard budget for the compact line: the driver keeps only the last
+#: ~2000 chars of stdout; ≥200 chars of slack guards against wider
+#: numbers on a slow box (r13 shipped 1938/2000 and r12 overflowed)
+COMPACT_LINE_BUDGET = 1800
+
+
+def _fit_compact_line(compact: dict, budget: int = COMPACT_LINE_BUDGET) -> str:
+    """Serialize ``compact``, degrading gracefully if it exceeds the
+    driver's tail window (VERDICT r13 #2). The default shape fits with
+    ~300 chars of slack; the staged trims below only fire if numbers get
+    unexpectedly wide, shedding the most redundant fields first (each is
+    also present in the long line / BENCH_LOCAL record). The per-query
+    seconds (q rows, element 0) are shed LAST — they are the driver's
+    round-over-round comparison."""
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    compact = dict(compact)
+    stages = [
+        lambda c: c.pop("fam", None),
+        lambda c: (c.get("contention_suspect") or {}).pop("queries", None),
+        lambda c: c.pop("sf1_summary", None),
+        lambda c: c.__setitem__(
+            "q", {n: r[:1] for n, r in c.get("q", {}).items()}
+        ),
+    ]
+    for stage in stages:
+        stage(compact)
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    return line  # q seconds alone cannot exceed the budget for 27 queries
 
 
 if __name__ == "__main__":

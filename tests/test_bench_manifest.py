@@ -88,3 +88,79 @@ def test_family_split_covers_manifest():
         {"q1_x": 1.0, "json_y": 4.0, "broken": 9.9},
     )
     assert got == {"tpch": [2.0, 1.0, 2.0], "json": [1.0, 4.0, 0.25]}
+
+
+def _r13_shaped_compact() -> dict:
+    """Rebuild the compact dict in the NEW (r14) shape from the r13
+    driver record's numbers — the known near-overflow case."""
+    import json
+    import os
+
+    rec_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_r13.json")
+    with open(rec_path) as fh:
+        parsed = json.load(fh)["parsed"]
+    compact = {k: v for k, v in parsed.items() if k != "fam_sf1"}
+    q = {}
+    for n, row in parsed["q"].items():
+        r = list(row[:4])
+        while r and r[-1] is None:
+            r.pop()
+        q[n] = r
+    compact["q"] = q
+    s = parsed["sf1_summary"]
+    compact["sf1_summary"] = {
+        "n": s["covered_queries"], "spark": s["spark_total"],
+        "duck": s["duckdb_total"], "ratio": s["ratio"],
+        "duckn": s["duckdb_native_total"], "ratio_n": s["ratio_native"],
+    }
+    return compact
+
+
+def test_compact_line_fits_driver_tail_with_contention():
+    """VERDICT r13 #2: the compact line must carry >=200 chars of
+    headroom under the driver's 2000-char tail WITH a populated
+    contention block. Rebuild the r13 record (1938 chars in the old
+    shape) in the new shape plus a 3-name contention block and assert
+    the budget."""
+    import json
+
+    compact = _r13_shaped_compact()
+    compact["contention_suspect"] = {
+        "vs": "BENCH_LOCAL_r13.json",
+        "n": 8,
+        "queries": [
+            "window_range_interval_frame",
+            "pipeline_training_prep_recompute",
+            "dedup_cluster_components",
+        ],
+    }
+    line = bench._fit_compact_line(compact)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    # the default shape must fit WITHOUT any staged trim firing: every
+    # field of the input survives in the emitted line
+    assert json.loads(line) == compact
+    assert bench.COMPACT_LINE_BUDGET <= 2000 - 200
+
+
+def test_fit_compact_line_degrades_in_order():
+    """If numbers get pathologically wide the staged trims shed the most
+    redundant fields first and NEVER the per-query seconds."""
+    import json
+
+    compact = _r13_shaped_compact()
+    # inflate every row to 5-digit-seconds width to force the trims
+    compact["q"] = {
+        n: [99999.99, 99999, 99999.9, 99999] for n in compact["q"]
+    }
+    compact["contention_suspect"] = {
+        "vs": "BENCH_LOCAL_r13.json", "n": 8,
+        "queries": ["window_range_interval_frame"] * 3,
+    }
+    line = bench._fit_compact_line(compact)
+    got = json.loads(line)
+    # element 0 (the seconds) survives for every query
+    assert set(got["q"]) == set(compact["q"])
+    assert all(r[0] == 99999.99 for r in got["q"].values())
+    # metric/value/sf/ratios survive every stage
+    for key in ("metric", "value", "unit", "sf"):
+        assert got[key] == compact[key]

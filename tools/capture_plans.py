@@ -1,12 +1,13 @@
-"""Capture .explain("formatted") for declared queries into plans/r13/.
+"""Capture .explain("formatted") for declared queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py before [name1,name2,...]
     python tools/capture_plans.py after  [name1,name2,...]
 
 Default query set is the bench headline manifest. Output file per query:
-plans/r13/<name>_<tag>.txt (the optimization-round evidence artifact —
-the judge checks plan claims against these files).
+plans/$QUACKSPARK_PLANS_ROUND/<name>_<tag>.txt (default r14; the
+optimization-round evidence artifact — the judge checks plan claims
+against these files).
 """
 
 from __future__ import annotations
@@ -33,7 +34,9 @@ def main() -> int:
     spark = get_session("quackspark-plans")
     qs = queries()
     outdir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("QUACKSPARK_PLANS_ROUND", "r14"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
