@@ -132,6 +132,33 @@ def davg(expr: Column | str) -> Column:
     return dsum(c) / F.count(c)
 
 
+def dsum_part(expr: Column | str) -> Column:
+    """Partial accumulator of :func:`dsum` for two-level aggregation
+    (r14): per-subgroup exact sums that :func:`dsum_merge` combines into
+    a total BIT-IDENTICAL to a one-level ``dsum`` — both modes' partials
+    are exact (BIGINT micro-units / DECIMAL), so addition is associative
+    and the grouping split cannot change the result."""
+    c = _col(expr)
+    if EXACT_SUM_MODE == "decimal":
+        return F.sum(c.cast(DEC))
+    return F.sum(F.round(c * _SCALE).cast("long"))
+
+
+def dsum_merge(part: Column | str) -> Column:
+    """Combine :func:`dsum_part` partials into the :func:`dsum` total."""
+    c = _col(part)
+    if EXACT_SUM_MODE == "decimal":
+        return F.sum(c).cast("double")
+    return F.sum(c) / F.lit(float(_SCALE))
+
+
+def davg_merge(part: Column | str, cnt: Column | str) -> Column:
+    """:func:`davg` from :func:`dsum_part` partials and per-subgroup
+    non-null counts: (exact total) / (total count) — the identical
+    division :func:`davg` performs."""
+    return dsum_merge(part) / F.sum(_col(cnt))
+
+
 def o_dsum(term: str) -> str:
     """Oracle-side SQL matching :func:`dsum`."""
     if EXACT_SUM_MODE == "decimal":

@@ -18,13 +18,19 @@ filters that push into the survivor scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackspark.functions import text as T
 from quackspark.operators import components as CC
 from quackspark.operators import dedup as D
-from quackspark.queries._util import davg, load_table, o_davg
+from quackspark.queries._util import (
+    davg,
+    davg_merge,
+    dsum_part,
+    load_table,
+    o_davg,
+)
 from quackspark.queries.dedup import (
     _sql_band_keys,
     _sql_shingles,
@@ -307,8 +313,135 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_bucket() -> F.Column:
+    """The deterministic 256-bucket md5 hash of doc_id shared by every
+    mixing stage (engine-portable; mirrored in the SQL oracles)."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+
+
+def _temperature_mix_rollup(
+    gated: DataFrame, *, removed_col: str | None = None
+) -> DataFrame:
+    """α=0.5 temperature mix + per-source rollup over a gated per-doc
+    frame (doc_id, source, quality, _ntok[, removed_col]) as ONE linear
+    plan (r14, guide §2.4/§7.2 — VERDICT r13 #3).
+
+    The joined legacy form (:func:`_temperature_mix_rollup_legacy`) fed
+    the gate frame to THREE consumers (mix-rate count, stats fold, mixed
+    rollup); Catalyst planned a full copy of the expensive gate subtree
+    per consumer (divergent column pruning defeats ReuseExchange — the
+    three copies' exchanges are not canonically equal), which r13 worked
+    around with a narrow-gate localCheckpoint — a construction-time
+    boundary that materialized every stage below it per bench run. Here
+    the gate output is pre-aggregated once per (source, md5-bucket) —
+    ≤256·|sources| rows — and the rates/thresholds are derived from that
+    tiny frame with two window passes, so the gate subtree has exactly
+    ONE consumer and needs no checkpoint at all.
+
+    Bit-identical to the legacy form (pinned by
+    tests/test_opt_r13.py::test_single_pass_mix_identical):
+    - per-(source,bucket) partials are exact (counts, long token sums,
+      dsum_part micro-unit/decimal quality sums), so the two-level
+      rollup equals the one-level one;
+    - ssum replays the identical array_sort → sqrt → left-fold over the
+      same (source, n) structs (collect_set dedups the per-bucket
+      repeats; one struct per source, same sort order);
+    - rate/threshold expressions are the legacy ops in the legacy order.
+    """
+    bucket = _mix_bucket()
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_ntok").alias("_t"),
+        dsum_part("quality").alias("_q"),
+        # davg's denominator is count(quality) — non-null only. The gate
+        # filter makes quality non-null on every row here, but replay the
+        # legacy denominator exactly rather than assume it.
+        F.count("quality").alias("_nq"),
+    ]
+    if removed_col:
+        aggs.append(F.sum(removed_col).alias("_r"))
+    b = gated.groupBy("source", bucket.alias("_b")).agg(*aggs)
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    b = b.withColumn("_nsrc", F.sum("_n").over(w_src))
+    b = b.withColumn("_ntotal", F.sum("_n").over(w_all)).withColumn(
+        "_srcs",
+        F.array_sort(
+            F.collect_set(
+                F.struct(F.col("source"), F.col("_nsrc").alias("n"))
+            ).over(w_all)
+        ),
+    )
+    ssum = F.aggregate(
+        F.transform(F.col("_srcs"), lambda s: F.sqrt(s["n"].cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    target = F.floor(F.lit(_TEMP_FRAC) * F.col("_ntotal")).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        target * F.sqrt(F.col("_nsrc").cast("double")) / ssum / F.col("_nsrc"),
+    )
+    thr = F.floor(F.lit(256.0) * rate).cast("int")
+    mixed = b.filter(F.col("_b") < thr)
+    out_aggs = [
+        F.sum("_n").alias("docs_kept"),
+        F.sum("_t").alias("total_tokens"),
+    ]
+    if removed_col:
+        out_aggs.append(F.sum("_r").alias("tokens_removed"))
+    out_aggs.append(davg_merge("_q", "_nq").alias("mean_quality"))
+    return mixed.groupBy("source").agg(*out_aggs).orderBy("source")
+
+
+def _temperature_mix_rollup_legacy(
+    gated: DataFrame, *, removed_col: str | None = None
+) -> DataFrame:
+    """The r13 joined form (three consumers of ``gated``), kept as the
+    equivalence baseline for :func:`_temperature_mix_rollup` and for its
+    A/B. ``gated`` should be checkpointed by the caller or the gate
+    subtree plans once per consumer."""
+    cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    stats = cnt.agg(
+        F.sum("n").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n"))),
+                lambda s: F.sqrt(s["n"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssum"),
+    )
+    target = F.floor(F.lit(_TEMP_FRAC) * F.col("n_total")).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        target * F.sqrt(F.col("n").cast("double")) / F.col("ssum") / F.col("n"),
+    )
+    rates = cnt.crossJoin(F.broadcast(stats)).select(
+        "source", F.floor(F.lit(256.0) * rate).cast("int").alias("thr")
+    )
+    mixed = gated.join(F.broadcast(rates), "source").filter(
+        _mix_bucket() < F.col("thr")
+    )
+    out_aggs = [
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum(F.col("_ntok")).alias("total_tokens"),
+    ]
+    if removed_col:
+        out_aggs.append(F.sum(removed_col).alias("tokens_removed"))
+    out_aggs.append(davg("quality").alias("mean_quality"))
+    return mixed.groupBy("source").agg(*out_aggs).orderBy("source")
+
+
 def pipeline_training_prep_v2(
-    spark: SparkSession, sf_dir: str, *, checkpoint_gate: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    checkpoint_gate: bool = True,
+    single_pass: bool = True,
 ) -> DataFrame:
     """The round-3 capstone: every curation stage this engine has, in
     ONE composition — exact dedup → MinHash-LSH pairs → connected-
@@ -366,57 +499,30 @@ def pipeline_training_prep_v2(
         )
         .filter(F.col("quality") >= _QUALITY_THRESHOLD)
     )
-    # The gate pipeline feeds THREE consumers (the mix-rate count, the
-    # stats fold over it, and the mixed rollup) and Catalyst plans three
-    # copies of the whole semi-join + quality subtree (r13 before-plan:
-    # 3× the gated scans, 0 ReusedExchange). Checkpoint the NARROW
-    # per-doc gate output — id, source, quality, token count; never the
-    # text — so the expensive subtree executes once per run (§2.4/§5;
-    # same lazy-checkpoint pattern as surv above). ``checkpoint_gate``
-    # exists for plan-shape tests that need the gate joins visible.
+    # Narrow per-doc gate output — id, source, quality, token count;
+    # never the text. r14 (VERDICT r13 #3): the temperature mix runs as
+    # ONE linear plan over a per-(source, bucket) pre-aggregate
+    # (_temperature_mix_rollup), so the expensive gate subtree has a
+    # single consumer and the r13 narrow-gate localCheckpoint — a
+    # construction-time boundary that materialized every stage below it
+    # per bench run — is gone. ``single_pass=False`` keeps the r13
+    # joined form (+ ``checkpoint_gate``) for the equivalence pin/A-B.
     gated = gated.select(
         "doc_id", "source", "quality", F.size(F.col("_toks")).alias("_ntok")
     )
+    if single_pass:
+        return _temperature_mix_rollup(gated)
     if checkpoint_gate:
         gated = gated.localCheckpoint(eager=False)
-    # temperature mix (α = 0.5) with rates derived from the GATED set
-    cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    stats = cnt.agg(
-        F.sum("n").alias("n_total"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("source", "n"))),
-                lambda s: F.sqrt(s["n"].cast("double")),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("ssum"),
-    )
-    target = F.floor(F.lit(_TEMP_FRAC) * F.col("n_total")).cast("double")
-    rate = F.least(
-        F.lit(1.0),
-        target * F.sqrt(F.col("n").cast("double")) / F.col("ssum") / F.col("n"),
-    )
-    rates = cnt.crossJoin(F.broadcast(stats)).select(
-        "source", F.floor(F.lit(256.0) * rate).cast("int").alias("thr")
-    )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
-    mixed = gated.join(F.broadcast(rates), "source").filter(bucket < F.col("thr"))
-    return (
-        mixed.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("docs_kept"),
-            F.sum(F.col("_ntok")).alias("total_tokens"),
-            davg("quality").alias("mean_quality"),
-        )
-        .orderBy("source")
-    )
+    return _temperature_mix_rollup_legacy(gated)
 
 
 def pipeline_training_prep_v3(
-    spark: SparkSession, sf_dir: str, *, checkpoint_gate: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    checkpoint_gate: bool = True,
+    single_pass: bool = True,
 ) -> DataFrame:
     """The FULL curation product (r12 verdict directive #1): exact dedup
     → exact-substring span scrub of the survivors → MinHash-LSH near-dup
@@ -489,50 +595,18 @@ def pipeline_training_prep_v3(
         )
         .filter(F.col("quality") >= _QUALITY_THRESHOLD)
     )
-    # narrow-gate checkpoint: same 3-consumer de-duplication as v2 (the
-    # mix-rate count, its stats fold, and the mixed rollup each planned a
-    # full copy of the gate subtree) — materialize id/source/quality/
-    # token-count/n_removed once, never the text
+    # narrow per-doc gate output (id/source/quality/token-count/
+    # n_removed, never the text); single-pass mix as in v2 (r14) — the
+    # gate subtree has one consumer, no checkpoint boundary needed
     gated = gated.select(
         "doc_id", "source", "quality",
         F.size(F.col("_toks")).alias("_ntok"), "n_removed",
     )
+    if single_pass:
+        return _temperature_mix_rollup(gated, removed_col="n_removed")
     if checkpoint_gate:
         gated = gated.localCheckpoint(eager=False)
-    cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    stats = cnt.agg(
-        F.sum("n").alias("n_total"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("source", "n"))),
-                lambda s: F.sqrt(s["n"].cast("double")),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("ssum"),
-    )
-    target = F.floor(F.lit(_TEMP_FRAC) * F.col("n_total")).cast("double")
-    rate = F.least(
-        F.lit(1.0),
-        target * F.sqrt(F.col("n").cast("double")) / F.col("ssum") / F.col("n"),
-    )
-    rates = cnt.crossJoin(F.broadcast(stats)).select(
-        "source", F.floor(F.lit(256.0) * rate).cast("int").alias("thr")
-    )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
-    mixed = gated.join(F.broadcast(rates), "source").filter(bucket < F.col("thr"))
-    return (
-        mixed.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("docs_kept"),
-            F.sum(F.col("_ntok")).alias("total_tokens"),
-            F.sum("n_removed").alias("tokens_removed"),
-            davg("quality").alias("mean_quality"),
-        )
-        .orderBy("source")
-    )
+    return _temperature_mix_rollup_legacy(gated, removed_col="n_removed")
 
 
 #: negatives per document for contrastive-pair sampling

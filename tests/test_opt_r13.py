@@ -126,29 +126,33 @@ def test_cc_driver_cap_zero_forces_distributed(spark):
 @pytest.mark.parametrize(
     "name", ["pipeline_training_prep_v2", "pipeline_training_prep_v3"]
 )
-def test_narrow_gate_checkpoint_identical(spark, name):
-    """r13: the capstones checkpoint a NARROW (id, source, quality,
-    token-count) projection of the gate output so the 3-consumer gate
-    subtree executes once. Results must be bit-identical with the
-    checkpoint off, and the checkpointed form must not carry the text."""
+def test_single_pass_mix_identical(spark, name):
+    """r14 (supersedes the r13 narrow-gate checkpoint pin): the capstones
+    run the temperature mix as ONE linear plan over a per-(source,
+    bucket) pre-aggregate — no gate checkpoint, one gate subtree.
+    Results must be bit-identical to the r13 joined form in BOTH its
+    checkpoint modes, and the single-pass plan must contain exactly one
+    copy of the keep-gate semi-join (the subtree the r13 checkpoint
+    existed to deduplicate)."""
     from quackspark.queries import pipeline as P
 
     fn = getattr(P, name)
-    a = _rows(fn(spark, SF_ORACLE, checkpoint_gate=True), "source")
-    b = _rows(fn(spark, SF_ORACLE, checkpoint_gate=False), "source")
-    assert a == b
+    a = _rows(fn(spark, SF_ORACLE), "source")
+    b = _rows(
+        fn(spark, SF_ORACLE, single_pass=False, checkpoint_gate=True), "source"
+    )
+    c = _rows(
+        fn(spark, SF_ORACLE, single_pass=False, checkpoint_gate=False), "source"
+    )
+    assert a == b == c
     assert len(a) > 0
     plan = (
         fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     )
-    # boundary proof: the gate joins sit below the checkpoint, and the
-    # checkpointed scan is the narrow frame (no text column)
-    import re as _re
-
-    rdd_scans = [
-        ln for ln in plan.splitlines() if "Scan ExistingRDD" in ln
-    ]
-    assert any("_ntok" in ln and "text" not in ln for ln in rdd_scans), plan
+    assert plan.count("LeftSemi") == 1, plan
+    # the narrow projection still never carries the text column past the
+    # gate: the mix pre-aggregate reads (source, quality, _ntok, bucket)
+    assert "_ntok" in plan
 
 
 def test_lane_signature_equals_hash_family(spark):

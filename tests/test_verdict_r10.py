@@ -60,15 +60,9 @@ def no_size_broadcast(spark):
 
 @pytest.mark.parametrize("name", CAPSTONES)
 def test_no_hinted_broadcast_on_semi_anti_gates(spark, no_size_broadcast, name):
-    if name == "pipeline_training_prep_v2":
-        # r13: the keep LeftSemi sits BELOW the narrow-gate localCheckpoint
-        # in the declared form (same boundary effect as surv's checkpoint,
-        # note below) — build the gate-visible twin for the plan scan
-        from quackspark.queries.pipeline import pipeline_training_prep_v2
-
-        df = pipeline_training_prep_v2(spark, SF, checkpoint_gate=False)
-    else:
-        df = queries()[name](spark, SF)
+    # r14: v2's single-pass mix keeps the keep LeftSemi visible in the
+    # declared form (the r13 narrow-gate checkpoint that hid it is gone)
+    df = queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "Broadcast" in line and re.search(r"LeftSemi|LeftAnti", line):
@@ -94,9 +88,11 @@ def test_no_hinted_broadcast_on_semi_anti_gates(spark, no_size_broadcast, name):
         # prep/recompute: zero hints anywhere (the drops hint is gone)
         ("pipeline_training_prep", 0),
         ("pipeline_training_prep_recompute", 0),
-        # v2 keeps exactly its two bounded metadata hints: the 1-row
-        # temperature stats crossJoin and the per-source rates join
-        ("pipeline_training_prep_v2", 2),
+        # v2 (r14 single-pass mix): the temperature stats crossJoin and
+        # per-source rates join are gone — the mix derives rates with
+        # window functions over the (source, bucket) pre-aggregate, so
+        # there is no join to hint at all
+        ("pipeline_training_prep_v2", 0),
     ],
 )
 def test_capstone_broadcast_hint_budget(spark, name, n_hints):
