@@ -313,27 +313,39 @@ def _hot_shingle_list(
     second element is the hot-list DataFrame for that fallback."""
     if max_df is None:
         return [], None
-    if sample_mod > 1 and max_df >= GUARD_SAMPLE_MIN_DF:
-        src = sh.filter(_doc_sample_pred(F.col("doc"), sample_mod))
-        cutoff = max_df // sample_mod
-    else:
-        src, cutoff = sh, max_df
-    hot = (
-        src.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cutoff)
-        .select("sh")
-    )
+    hot = _hot_shingle_frame(sh, max_df, sample_mod)
     hot_vals = [r["sh"] for r in hot.limit(_GUARD_LIST_CAP + 1).collect()]
     if len(hot_vals) > _GUARD_LIST_CAP:
         return None, hot
     return hot_vals, hot
 
 
+def _hot_shingle_frame(
+    sh: DataFrame,
+    max_df: int | None = HOT_SHINGLE_DF,
+    sample_mod: int = GUARD_SAMPLE_MOD,
+) -> DataFrame:
+    """Detection half of the guard as a LAZY DataFrame (no action): the
+    same sampled DF pass as :func:`_hot_shingle_list`, returned as the
+    (usually empty) hot-shingle frame for a broadcast anti-join."""
+    if sample_mod > 1 and max_df >= GUARD_SAMPLE_MIN_DF:
+        src = sh.filter(_doc_sample_pred(F.col("doc"), sample_mod))
+        cutoff = max_df // sample_mod
+    else:
+        src, cutoff = sh, max_df
+    return (
+        src.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .select("sh")
+    )
+
+
 def drop_hot_shingles(
     sh: DataFrame,
     max_df: int | None = HOT_SHINGLE_DF,
     sample_mod: int = GUARD_SAMPLE_MOD,
+    lazy: bool = True,
 ) -> DataFrame:
     """Skew guard: drop shingles whose document frequency exceeds
     ``max_df`` from a ``(doc, sh)`` stream.
@@ -349,15 +361,28 @@ def drop_hot_shingles(
     performance guard, and the SQL oracle mirrors the sampled semantics
     exactly so correctness parity is unaffected. This is the mitigation
     the reference can't need (its single-process pairwise scan has no
-    shuffle to skew) but a 1000-executor band join does."""
+    shuffle to skew) but a 1000-executor band join does.
+
+    ``lazy=True`` (r14 default, VERDICT r13 #7): detection stays IN the
+    plan as a broadcast anti-join against the (usually empty) hot frame,
+    so the guard costs no separate construction-time action — measured
+    ~0.6 s/query of blocking collect on every minhash-bearing bench
+    column. ``lazy=False`` keeps the r13 collect-then-isin form (the
+    A/B twin; also what the kernel path uses, which must bake the
+    literal list into its closure)."""
     if max_df is None:
         return sh
-    # The hot list is bounded (≤ total_shingles/cutoff distinct values) —
-    # collect it like AQE collects join stats. The common case is EMPTY:
-    # then the guard costs literally nothing in the main plan. A small
-    # list becomes a codegen'd hash-set `isin` filter (pure map stage, no
-    # broadcast exchange in the hot path). Only a pathological corpus
-    # (> _GUARD_LIST_CAP hot shingles) falls back to the anti-join.
+    if lazy:
+        hot = _hot_shingle_frame(sh, max_df, sample_mod)
+        # equi-join keys lead the join output — restore the caller's
+        # column order so both guard forms are drop-in equivalent
+        return sh.join(F.broadcast(hot), "sh", "left_anti").select(*sh.columns)
+    # Collect form: the hot list is bounded (≤ total_shingles/cutoff
+    # distinct values) — collect it like AQE collects join stats. The
+    # common case is EMPTY: then the guard costs literally nothing in
+    # the main plan. A small list becomes a codegen'd hash-set `isin`
+    # filter. Only a pathological corpus (> _GUARD_LIST_CAP hot
+    # shingles) falls back to the anti-join.
     hot_vals, hot = _hot_shingle_list(sh, max_df, sample_mod)
     if hot_vals == []:
         return sh
@@ -439,6 +464,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = HOT_SHINGLE_DF,
     kernel: bool = False,
+    checkpoint_sig: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature → band keys → candidate pairs
     from band-bucket equi-join → verify with the *estimated* Jaccard
@@ -492,10 +518,15 @@ def minhash_lsh_pairs(
         sh = drop_hot_shingles(
             _exploded_shingles(df, text_col, id_col, k), max_shingle_df
         )
-        sig_df = _lane_signature(sh, n_hashes).localCheckpoint(
-            eager=False
-        )  # signatures feed both sides of the candidate self-join —
-        # materialize once instead of recomputing per side
+        sig_df = _lane_signature(sh, n_hashes)
+        if checkpoint_sig:
+            # signatures feed both sides of the candidate self-join —
+            # materialize once instead of recomputing per side.
+            # checkpoint_sig=False (the A/B twin) relies on runtime
+            # exchange reuse instead; r14 measured it a slight LOSS
+            # (minhash 2.10 vs 2.10, v2 3.05 vs 3.18 medians), so the
+            # checkpoint stays the default.
+            sig_df = sig_df.localCheckpoint(eager=False)
     rows = n_hashes // bands
     banded = sig_df.select(
         "doc", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")

@@ -90,3 +90,30 @@ def test_guard_bounds_candidate_pairs(spark):
         df, "text", "doc_id", threshold=0.0, max_shingle_df=None
     )
     assert unguarded.count() == (30 * 29) // 2  # every pair met in the hot block
+
+
+def test_lazy_guard_equals_collect_guard(spark):
+    """r14 (VERDICT r13 #7): the default guard keeps detection IN the
+    plan as a broadcast anti-join instead of a blocking collect. Both
+    forms must leave the identical shingle multiset — with hot shingles
+    present AND on a hot-free corpus — and the lazy form must not run
+    any job at construction time."""
+    for df in (_toy_corpus(spark, n=40), _toy_corpus(spark, n=3)):
+        sh = D._exploded_shingles(df, "text", "doc_id", 3)
+        lazy_rows = sorted(
+            tuple(r) for r in D.drop_hot_shingles(sh, max_df=10).collect()
+        )
+        collect_rows = sorted(
+            tuple(r)
+            for r in D.drop_hot_shingles(sh, max_df=10, lazy=False).collect()
+        )
+        assert lazy_rows == collect_rows
+    # plan proof: detection is a broadcast anti-join, not a collect
+    sh = D._exploded_shingles(_toy_corpus(spark, n=40), "text", "doc_id", 3)
+    plan = (
+        D.drop_hot_shingles(sh, max_df=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan
