@@ -28,11 +28,27 @@ vec id — uniform by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-from quackspark.queries._util import davg
+from quackspark.queries._util import EXACT_SUM_MODE, davg
 
 __all__ = ["sqdist", "kmeans_fit", "kmeans_assign"]
+
+#: row-count gate for the driver Lloyd fast path (r14, VERDICT r13 #4):
+#: a corpus at or under this size is collected once (~51 MB at the cap
+#: for 64-dim float vectors — the same order as an AQE runtime
+#: broadcast) and the whole 2-round Lloyd iteration plus the final
+#: assignment runs in numpy, replacing 3 driver-synchronized job rounds
+#: (seed collect, per-round assign+update collect, final action) whose
+#: fixed cost dominated sim_kmeans at sf0.1 (measured: 0.10 + 0.58 +
+#: 0.47 s warm for ~2000 vectors). Above the gate the distributed
+#: arrow-assign/exact-mean-update loop runs unchanged — the 100 TB path
+#: is untouched; smallness is MEASURED with a limit-probe, never
+#: assumed (the operators/components.py CC_DRIVER_EDGE_CAP pattern).
+#: Override with QUACKSPARK_KMEANS_DRIVER_ROW_CAP (0 disables).
+KMEANS_DRIVER_ROW_CAP = 100_000
 
 
 def sqdist(a: Column, b: Column) -> Column:
@@ -95,21 +111,9 @@ def _assign_arrow(vecs: DataFrame, cent_rows: list) -> DataFrame:
     @F.pandas_udf("struct<cluster: int, d2: double>")
     def _arg(col):
         a = np.vstack(col.to_numpy()).astype(np.float64)  # n × DIM
-        n = a.shape[0]
-        acc = np.zeros((n, C.shape[0]))
-        buf = np.empty_like(acc)
-        for i in range(a.shape[1]):
-            # in-place (x−y)·(x−y) then add: the IDENTICAL IEEE op
-            # sequence as the allocating form, ~2× less memory traffic —
-            # at k in the hundreds the n×k temporaries were the dominant
-            # cost of the whole dedup (SCALE_SEMDEDUP.json r10)
-            np.subtract(a[:, i : i + 1], C[:, i], out=buf)
-            np.multiply(buf, buf, out=buf)
-            acc += buf
-        best = np.argmin(acc, axis=1)  # first minimum → lowest cluster id
+        best, d2 = _argmin_sqdist(a, C)
         return pd.DataFrame(
-            {"cluster": ids[best].astype(np.int32),
-             "d2": acc[np.arange(n), best]}
+            {"cluster": ids[best].astype(np.int32), "d2": d2}
         )
 
     return vecs.select(
@@ -118,6 +122,158 @@ def _assign_arrow(vecs: DataFrame, cent_rows: list) -> DataFrame:
         "vec_id", "embedding", F.col("m.cluster").alias("cluster"),
         F.col("m.d2").alias("d2"),
     )
+
+
+def _argmin_sqdist(a, C):
+    """(n × DIM float64, K × DIM float64) → (argmin index, d2) with the
+    exact IEEE op sequence of :func:`sqdist`: per dimension, in-place
+    (x−y)·(x−y) then add (identical to the allocating form, ~2× less
+    memory traffic — at k in the hundreds the n×k temporaries were the
+    dominant cost of the whole dedup, SCALE_SEMDEDUP.json r10). Shared
+    by the distributed Arrow kernel and the driver fast path so the two
+    paths are the same arithmetic by construction. First minimum →
+    lowest centroid-row index (rows arrive sorted by cluster id)."""
+    import numpy as np
+
+    n = a.shape[0]
+    acc = np.zeros((n, C.shape[0]))
+    buf = np.empty_like(acc)
+    for i in range(a.shape[1]):
+        np.subtract(a[:, i : i + 1], C[:, i], out=buf)
+        np.multiply(buf, buf, out=buf)
+        acc += buf
+    best = np.argmin(acc, axis=1)
+    return best, acc[np.arange(n), best]
+
+
+def _round_micro_half_away(prod):
+    """int64 replication of Spark's ``round(double)`` on a float64 array
+    (the micro-unit term of queries/_util.dsum's long mode): HALF_UP —
+    half away from zero — on the double's SHORTEST decimal repr
+    (Catalyst rounds scala BigDecimal(double), which goes through
+    java.math.BigDecimal.valueOf → Double.toString; Python ``repr`` is
+    the same shortest-round-trip decimal). Vectorized
+    floor(x+0.5)/ceil(x−0.5) fast path; the rare cells within 1e-6 of a
+    .5 boundary — where fp addition or shortest-repr could cross — are
+    re-done exactly with Decimal(repr(x)). Pinned against the Spark
+    expression by tests/test_opt_r14.py."""
+    import numpy as np
+
+    fast = np.where(prod >= 0, np.floor(prod + 0.5), np.ceil(prod - 0.5))
+    frac = np.abs(prod - np.trunc(prod))
+    suspect = np.abs(frac - 0.5) < 1e-6
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat = fast.reshape(-1)
+        pflat = prod.reshape(-1)
+        for j in np.nonzero(suspect.reshape(-1))[0]:
+            flat[j] = float(
+                Decimal(repr(float(pflat[j]))).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+    return fast.astype("int64")
+
+
+def _round_6_half_away(vals):
+    """float64 replication of Spark's ``round(double, 6)``: HALF_UP on
+    the double's shortest decimal repr scaled EXACTLY by 10^6 (no double
+    multiply in the Spark path — BigDecimal(value).setScale(6)).
+    Vectorized product fast path (the double product is within ~ulp of
+    the exact scaling, so only cells within 1e-6 of a .5 boundary can
+    diverge); suspects re-done with Decimal(repr(value)).quantize."""
+    import numpy as np
+
+    prod = vals * 1_000_000.0
+    fast = np.where(prod >= 0, np.floor(prod + 0.5), np.ceil(prod - 0.5))
+    out = fast / 1_000_000.0
+    frac = np.abs(prod - np.trunc(prod))
+    suspect = np.abs(frac - 0.5) < 1e-6
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat = out.reshape(-1)
+        vflat = vals.reshape(-1)
+        for j in np.nonzero(suspect.reshape(-1))[0]:
+            flat[j] = float(
+                Decimal(repr(float(vflat[j]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
+def _driver_lloyd(ids, A, k: int, iters: int):
+    """Driver twin of the distributed Lloyd loop over a fully-collected
+    corpus: seed = k smallest-id vectors, :func:`_argmin_sqdist`
+    assignment, exact-mean update replaying queries/_util.davg's long
+    mode — sum(round(x·1e6) as int64) / 1e6 / count, empty clusters
+    dropped like the distributed groupBy drops them. Returns
+    (clusters int64[K'], C float64[K'×DIM], best_idx, d2) for the FINAL
+    assignment round."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    seed = order[:k]
+    clusters = ids[seed]
+    C = A[seed]
+    micro = None
+    for _ in range(iters - 1):
+        best, _ = _argmin_sqdist(A, C)
+        if micro is None:  # per-cell micro units are round-invariant
+            micro = _round_micro_half_away(A * 1_000_000.0)
+        present = np.unique(best)  # ascending index == ascending id
+        newC = np.empty((len(present), A.shape[1]))
+        for row, ci in enumerate(present):
+            mask = best == ci
+            s = micro[mask].sum(axis=0, dtype=np.int64)
+            n = np.float64(mask.sum())
+            newC[row] = (s.astype(np.float64) / 1_000_000.0) / n
+        clusters = clusters[present]
+        C = newC
+    best, d2 = _argmin_sqdist(A, C)
+    return clusters, C, best, d2
+
+
+def _driver_probe(vecs: DataFrame, cap: int | None):
+    """limit-probe for the driver fast path: collect at most cap+1
+    (vec_id, embedding) rows. Returns the pandas frame when the corpus
+    fits and is clean (no NULLs, rectangular vectors), else None —
+    conservative, never wrong. Long-sum mode only: the decimal exact-sum
+    mode would need a different update replication."""
+    if cap is None:
+        cap = int(
+            os.environ.get(
+                "QUACKSPARK_KMEANS_DRIVER_ROW_CAP", KMEANS_DRIVER_ROW_CAP
+            )
+        )
+    if cap <= 0 or EXACT_SUM_MODE != "long":
+        return None
+    from pyspark.sql.types import DoubleType, FloatType, LongType
+
+    # the driver twin replays LongType ids and float/double vectors; any
+    # other shape falls back to the distributed loop (never wrong)
+    id_type = vecs.schema["vec_id"].dataType
+    vec_type = vecs.schema["embedding"].dataType
+    if not isinstance(id_type, LongType):
+        return None
+    if not isinstance(
+        getattr(vec_type, "elementType", None), (FloatType, DoubleType)
+    ):
+        return None
+    head = vecs.limit(cap + 1).toPandas()
+    if len(head) > cap or len(head) == 0:
+        return None
+    if head["vec_id"].isna().any() or head["embedding"].isna().any():
+        return None
+    # the distributed seed casts vec_id to int BEFORE ordering clusters;
+    # ids outside int32 would wrap there — fall back rather than model it
+    if (head["vec_id"] < 0).any() or (head["vec_id"] > 2**31 - 1).any():
+        return None
+    dims = {len(v) for v in head["embedding"]}
+    if len(dims) != 1 or 0 in dims:
+        return None
+    return head
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -144,12 +300,42 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Train the codebook: `iters` Lloyd rounds from the deterministic
     seed (the K smallest-id vectors). Returns (cluster, cent) — the
     centroids the final assignment runs against (feed this straight
-    into simsearch.ivf_topk's `codebook=`)."""
+    into simsearch.ivf_topk's `codebook=`).
+
+    ``driver_cap`` gates the small-corpus driver fast path (see
+    KMEANS_DRIVER_ROW_CAP); ``0`` forces the distributed loop (tests pin
+    driver == distributed on the same corpus)."""
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    head = _driver_probe(vecs, driver_cap) if iters >= 2 else None
+    if head is not None:
+        import numpy as np
+
+        ids = head["vec_id"].to_numpy().astype(np.int64)
+        A = np.vstack(head["embedding"].to_numpy()).astype(np.float64)
+        clusters, C, _, _ = _driver_lloyd(ids, A, k, iters)
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, IntegerType, StructField, StructType,
+        )
+
+        out = pd.DataFrame(
+            {
+                "cluster": clusters.astype(np.int32),
+                "cent": [list(map(float, row)) for row in C],
+            }
+        )
+        schema = StructType(
+            [
+                StructField("cluster", IntegerType()),
+                StructField("cent", ArrayType(DoubleType())),
+            ]
+        )
+        return df.sparkSession.createDataFrame(out, schema=schema)
     # deep iteration (> 2 rounds): cache the projected (id, vec) frame so
     # every Lloyd round reads the corpus from memory instead of rescanning
     # the source, and cut the centroid lineage per round (the plan would
@@ -185,11 +371,47 @@ def kmeans_assign(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Run `iters` Lloyd rounds and return (vec_id, cluster, d2) — the
-    final assignment with its squared distance."""
+    final assignment with its squared distance.
+
+    Small corpora (see KMEANS_DRIVER_ROW_CAP) run entirely on the
+    driver: one collect replaces the seed collect, the per-round
+    assign+update collect, and the final distributed assignment —
+    identical arithmetic by construction (shared numpy kernels), pinned
+    driver == distributed by tests/test_opt_r14.py. ``driver_cap=0``
+    forces the distributed path."""
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    cents = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    head = _driver_probe(vecs, driver_cap) if iters >= 2 else None
+    if head is not None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, LongType, StructField, StructType,
+        )
+
+        ids = head["vec_id"].to_numpy().astype(np.int64)
+        A = np.vstack(head["embedding"].to_numpy()).astype(np.float64)
+        clusters, _, best, d2 = _driver_lloyd(ids, A, k, iters)
+        out = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": clusters.astype(np.int32)[best],
+                "d2": _round_6_half_away(d2),
+            }
+        )
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("cluster", IntegerType()),
+                StructField("d2", DoubleType()),
+            ]
+        )
+        return df.sparkSession.createDataFrame(out, schema=schema)
+    cents = kmeans_fit(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, driver_cap=0
+    )
     return _assign_arrow(vecs, cents.collect()).select(
         "vec_id", "cluster", F.round("d2", 6).alias("d2")
     )
