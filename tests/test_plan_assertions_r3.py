@@ -50,19 +50,23 @@ def test_temperature_mix_rates_broadcast(spark):
 
 
 def test_kmeans_assignment_is_map_only(spark):
-    """Lloyd assignment is a map-only Arrow argmin against driver-held
-    centroids (r4) — no join of any kind touches the corpus, and the only
-    exchanges in a fit round belong to the K×DIM mean update."""
+    """Lloyd assignment never joins the corpus (r4): the distributed
+    path is a map-only Arrow argmin against driver-held centroids (the
+    only exchanges in a fit round belong to the K×DIM mean update); the
+    r14 small-corpus driver path collapses the whole fit to a local
+    relation — no join of any kind in either plan."""
     from quackspark.operators.kmeans import kmeans_fit
     from quackspark.session import load_table
 
     e = load_table(spark, SF, "embeddings")
-    cents = kmeans_fit(e, k=4, iters=2)
-    plan = _plan(cents)
-    assert "ArrowEvalPython" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" not in plan
+    dist_plan = _plan(kmeans_fit(e, k=4, iters=2, driver_cap=0))
+    assert "ArrowEvalPython" in dist_plan
+    drv_plan = _plan(kmeans_fit(e, k=4, iters=2))
+    assert "ArrowEvalPython" not in drv_plan  # collapsed to a local scan
+    for plan in (dist_plan, drv_plan):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
 
 
 def test_gapfill_single_sort_per_window_partition(spark):
